@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-time windowing semantics from the reference's WindowAssigner
+  * (`/root/reference/arcon/src/stream/operator/window/assigner.rs:61-229`,
+  * tumbling & sliding, window-start alignment to the epoch), evaluated here
+  * on the bounded `events` table. The streaming (unbounded) variants of the
+  * same plans — `withWatermark` + `window()` in append mode — live in
+  * `graft.streaming` and are exercised by the ScalaTest suite; batch and
+  * streaming share the window assignment logic, so the DuckDB oracle on the
+  * batch plan also pins the streaming window boundaries.
+  *
+  * Scale notes: `window(ts, ...)` is a projection (no shuffle); the single
+  * shuffle is the grouped aggregation with map-side partial agg. The as-of
+  * join is the union+ordered-window formulation — one shuffle+sort over
+  * (key, time), no per-row range probe, no equi-join explosion — the
+  * formulation that survives skewed keys at 100 TB.
+  */
+object EventTimeQueries extends QueryModule {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1 tumbling window (Assigner::Tumbling{length}).
+    "w1_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // W1 sliding window (Assigner::Sliding{length: 1h, slide: 30m}) — each
+    // event lands in length/slide = 2 windows.
+    "w2_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // W8 session windows (absent in the reference — superset capability):
+    // gap-based sessionization, 30-minute inactivity gap, via ordered
+    // window + cumulative session counter (one shuffle+sort per key).
+    "w3_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val newSess = when(
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser) > 1800, 1L)
+        .otherwise(lit(0L))
+      val withSess = Tables.events(s, d)
+        .withColumn("is_new", when(lag(col("ts"), 1).over(byUser).isNull, lit(1L)).otherwise(newSess))
+        .withColumn("session_no", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSess.groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    }),
+
+    // As-of join (SURVEY §2.6 "as-of/interval" row): for every event, the
+    // latest order of that user at-or-before the event time. Implemented as
+    // merge-union + last(ignoreNulls) over an ordered window: right rows
+    // sort before left rows at equal timestamps (inclusive >= semantics).
+    "w4_asof_join" -> ((s, d) => {
+      // Deduplicate the right side to one row per (key, time) so the pick
+      // among simultaneous orders is deterministic (highest orderkey).
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("r_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("r_totalprice"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("side", lit(0))
+        .select(col("k"), col("t"), col("event_id"), col("r_orderkey"),
+          col("r_totalprice"), col("side"))
+      val left = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          lit(null).cast("long").as("r_orderkey"),
+          lit(null).cast("double").as("r_totalprice"), lit(1).as("side"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      right.union(left)
+        .withColumn("asof_orderkey", last(col("r_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_totalprice", last(col("r_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("asof_orderkey"), col("asof_totalprice"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w1_tumbling" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Sliding windows: enumerate both 30-min-aligned starts covering each
+    // event via epoch-millisecond integer arithmetic (timezone-free).
+    "w2_sliding" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    unnest([make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000),
+        |            make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000)]) AS ws
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "w4_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t,
+        |    max(o_orderkey) AS r_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS r_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  r.r_orderkey AS asof_orderkey, r.r_totalprice AS asof_totalprice
+        |FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t""".stripMargin
+  )
+}
