@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
-    EventTimeQueries)
+    EventTimeQueries,
+    TrainingDataQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * token counting, language ID, quality scoring, and document
+  * fingerprinting. Everything is a Catalyst expression tree over
+  * `functions._` (codegen'd, no UDFs), so filters composed from these
+  * stay inside whole-stage codegen and scale linearly with executors.
+  *
+  * Determinism contract: only integer arithmetic and exact double division
+  * — every value is bit-reproducible and DuckDB-oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Large prime modulus for the polynomial hashes (fits products in i64:
+    * acc < P, acc*31 + 0x10FFFF < 2^63). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokens. The corpus is single-space separated; for general
+    * text swap the delimiter for "\\s+". */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Polynomial rolling hash of a string: fold over characters of
+    * acc*31 + codepoint (mod P). Cross-engine reproducible (unlike
+    * murmur3/xxhash whose seeds differ between engines); the scale path
+    * for pure fingerprinting is [[fingerprint64]].
+    */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
+
+  /** 64-bit xxhash fingerprint — the cheap at-scale dedup key. */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Number of tokens of `text` found in `words` (multiset count). */
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Real pipelines plug in fastText-style models;
+    * the operator shape (argmax over per-language evidence scores) is the
+    * same. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** Language ID: the language with the most stopword hits; ties resolve
+    * to the first language in `stopwords` order; zero hits → "und"
+    * (undetermined). */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (l, ws) => l -> hitCount(text, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), els) =>
+      when(h > 0 && h === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Mean token length (exact double division of integer totals). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      .cast("double") / size(ts).cast("double")
+  }
+
+  /** Fraction of characters in [a-z ] (alphabetic-or-space ratio). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column =
+    hitCount(text, stopwords.toMap.apply("en")).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Composite quality score in [0, ~1]: length prior + shape priors.
+    * Deterministic arithmetic only; weights mirror common heuristic
+    * filters (Gopher/C4-style length, word-shape, stopword signals). */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val wordShape = when(meanTokenLen(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    lenScore * lit(0.3) + wordShape * lit(0.2) + alpha * lit(0.3) + stop * lit(0.2)
+  }
+
+  /** 61-bit SimHash over token polynomial hashes: bit j of the signature
+    * is the majority vote of bit j across all token hashes (61 bits so the
+    * packed value stays positive in an i64). Computed as an unrolled
+    * expression tree over the token array — one pass per document, no
+    * explode, no shuffle. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => polyHash(t))
+    val n = size(hashes)
+    (0 until 61).map { j =>
+      val onesJ = size(filter(hashes, h => (shiftright(h, j).bitwiseAND(lit(1L))) === 1L))
+      when(onesJ * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Word k-shingles as strings ("w1 w2 ... wk" joined). Guarded for
+    * texts shorter than k tokens (Spark's sequence(1, 0) would count
+    * DOWN, not produce an empty array). */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => array_join(slice(ts, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct polynomial hashes of the k-shingle set — the MinHash and
+    * Jaccard input. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => polyHash(s)))
+
+  /** MinHash signature: element i = min over shingle hashes h of
+    * (a_i*h + b_i) mod P with a_i = 2i+1, b_i = 7919i+13. Returned as an
+    * array<long> of length `numHashes`. */
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val hs = shingleHashes(text, k)
+    val sig = (0 until numHashes).map { i =>
+      val a = 2L * i + 1L
+      val b = 7919L * i + 13L
+      array_min(transform(hs, h => (h * a + b) % P))
+    }
+    array(sig: _*)
+  }
+
+  /** Jaccard similarity of the distinct k-shingle sets of two texts
+    * (set sizes are exact ints; the division is exact double math). */
+  def jaccardShingles(aHashes: Column, bHashes: Column): Column = {
+    val inter = size(array_intersect(aHashes, bHashes)).cast("double")
+    val uni = size(array_distinct(concat(aHashes, bHashes))).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, no Python.
+  *
+  * Determinism contract: all reductions are ORDERED left folds in double
+  * precision (`aggregate` folds the array left-to-right), so results are
+  * bit-reproducible across partitionings, engines, and runs — unlike a
+  * shuffle-order-dependent `sum()`. That is what makes the similarity
+  * queries oracle-checkable, and at scale it costs nothing: the fold is a
+  * tight per-row loop inside whole-stage codegen.
+  */
+object VectorFunctions {
+
+  /** Elementwise products in double precision, in index order. */
+  private def products(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+
+  /** Ordered-fold dot product: fold(products, 0.0, +). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(products(a, b), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (IEEE sqrt of the ordered self-dot — bit-deterministic). */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance, ordered fold. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Scale a float vector by a constant (exact for powers of two). */
+  def scale(a: Column, k: Float): Column =
+    transform(a, x => (x * lit(k)).cast("float"))
+
+  /** Sign-of-dot-product bit for one deterministic pseudo-random
+    * hyperplane — the random-hyperplane LSH primitive. Hyperplane
+    * component j of plane p is derived from a Weyl-style integer sequence
+    * so any engine can reproduce it:
+    *   c(p, j) = ((p * dim + j) * 2654435761 mod 1000003) / 1000003 - 0.5
+    */
+  def hyperplaneBit(a: Column, plane: Int, dim: Int): Column = {
+    val prods = (0 until dim).map { j =>
+      val c = (((plane.toLong * dim + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+      element_at(a, j + 1).cast("double") * lit(c)
+    }
+    val d = prods.reduce(_ + _)
+    when(d > 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
+    * long. Vectors with high cosine similarity collide with high
+    * probability — the bucket key for ANN at scale (shuffle on the bucket,
+    * compare only within buckets, never n²).
+    */
+  def lshSignature(a: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      hyperplaneBit(a, p, dim) * lit(1L << p)
+    }.reduce(_ + _)
+}

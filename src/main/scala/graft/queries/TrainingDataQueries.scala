@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Similarity}
+
+/** The large-scale training-data pipeline operators: text analysis,
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding), and similarity search — each oracle-checked bit-for-bit
+  * against DuckDB (all hashes are engine-neutral integer polynomials; all
+  * float reductions are ordered folds; see graft.functions.*).
+  *
+  * The dedup corpora PLANT deterministic duplicates in-flight (union the
+  * documents/embeddings tables with perturbed copies of themselves) so the
+  * checks prove the operators actually find near-duplicates — the raw
+  * synthetic tables contain none.
+  */
+object TrainingDataQueries extends QueryModule {
+
+  /** documents ∪ 80%-token-prefix copies of every 10th doc (near-dups). */
+  private def nearDupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ts = split(col("text"), " ")
+    val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
+    val perturbed = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(ts, lit(1), nKeep), " ").as("text"))
+    docs.union(perturbed)
+  }
+
+  /** documents ∪ identical copies of every 10th doc (exact dups). */
+  private def exactDupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.union(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** embeddings ∪ 0.5-scaled copies of every 20th vector (cosine-1 dups;
+    * halving a float is exact, so direction is preserved bit-for-bit). */
+  private def nearDupEmb(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.union(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        V.scale(col("embedding"), 0.5f).as("embedding")))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Text analysis ----
+    "x1_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.bpeishTokenCount(col("text")).as("n_bpeish"),
+        T.meanTokenLen(col("text")).as("mean_token_len"))),
+
+    "x2_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        T.qualityScore(col("text")).as("quality"),
+        T.alphaRatio(col("text")).as("alpha_ratio"),
+        T.stopwordRatio(col("text")).as("stopword_ratio"))),
+
+    "x3_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        T.langId(col("text")).as("lang_pred"))),
+
+    "x4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        T.polyHash(col("text")).as("fp"),
+        T.simHash(col("text")).as("simhash"))),
+
+    // ---- Deduplication ----
+    "dd1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(exactDupDocs(s, d), col("text"), col("doc_id"))
+        .select(col("keeper_id"), col("n_copies"))),
+
+    "dd2_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(nearDupDocs(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    "dd3_simhash" -> ((s, d) =>
+      Dedup.simHashDup(exactDupDocs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    "dd4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang", "source"), n = 3)),
+
+    "dd5_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(nearDupEmb(s, d), "vec_id", "embedding",
+        nPlanes = 8, dim = 64, threshold = 0.95)),
+
+    // ---- Similarity search ----
+    "sim1_topk_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "sim2_topk_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64)
+    }),
+
+    // ---- Multimodal plumbing: opaque binary + derived metadata ----
+    "mm1_media_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          encode(col("text"), "utf-8").as("media"))
+        .select(col("doc_id"), col("source"),
+          expr("octet_length(media)").cast("long").as("n_bytes"),
+          (expr("octet_length(media)").cast("long") % 64).as("fake_width"),
+          (expr("octet_length(media)").cast("long") / 64).cast("long").as("fake_height")))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared fragments below; every hash/fold matches the
+  // Spark expression ops 1:1 (verified primitives: polyhash, simhash,
+  // regexp token count, ordered double folds).
+  // ---------------------------------------------------------------------
+
+  /** Polynomial string hash: fold (acc*31 + codepoint) mod P. */
+  private def ph(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*31 + b) % 1000000007)"
+
+  /** Distinct 3-shingle polynomial hashes of a text column. */
+  private def sh3(text: String): String =
+    s"list_distinct(list_transform(list_transform(" +
+      s"range(1, greatest(len(string_split($text, ' ')) - 2, 0) + 1), " +
+      s"i -> array_to_string(list_slice(string_split($text, ' '), i, i + 2), ' ')), " +
+      s"s -> ${ph("s")}))"
+
+  /** Jaccard of two distinct-hash lists with empty-union guard. */
+  private def jac(a: String, b: String): String =
+    s"CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END"
+
+  /** Ordered-fold dot product of two FLOAT[] columns in double. */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** Random-hyperplane LSH bucket (8 planes, dim 64) of a FLOAT[] column. */
+  private def bucket(a: String): String =
+    s"CAST(list_sum(list_transform(range(8), p -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(64), j -> CAST($a[j+1] AS DOUBLE) * " +
+      s"(CAST(((p*64 + j) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))), " +
+      s"(x, y) -> x + y) > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** 61-bit simhash of a text column (majority vote over token hashes). */
+  private def simhash(text: String): String = {
+    val hashes = s"list_transform(string_split($text, ' '), s -> ${ph("s")})"
+    s"CAST(list_sum(list_transform(range(61), j -> " +
+      s"CASE WHEN 2 * CAST(list_sum(list_transform($hashes, x -> " +
+      s"(x // (CAST(1 AS BIGINT) << j)) % 2)) AS BIGINT) > len($hashes) " +
+      s"THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+  }
+
+  private val enStops = "['the','a','of','and','to','in','is']"
+
+  private val nearDupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |  array_to_string(list_slice(string_split(text, ' '), 1,
+      |    greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val exactDupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin
+
+  private val nearDupEmbSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS vec_id,
+      |  list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "x1_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish,
+         |  CAST(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+         |FROM documents""".stripMargin,
+
+    "x2_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+         |    CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> list_contains($enStops, w))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id,
+         |  least(n_tok / 50.0, 1.0) * 0.3
+         |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3
+         |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality,
+         |  alpha_ratio, stopword_ratio
+         |FROM t""".stripMargin,
+
+    "x3_langid" -> {
+      val hits = T.stopwords.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains($arr, w))) AS h_$l"
+      }.mkString(",\n    ")
+      val langs = T.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l > 0 AND h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    $hits
+         |  FROM documents)
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM t""".stripMargin
+    },
+
+    "x4_fingerprint" ->
+      s"""SELECT doc_id, ${ph("text")} AS fp, ${simhash("text")} AS simhash
+         |FROM documents""".stripMargin,
+
+    "dd1_exact_dedup" ->
+      s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM ($exactDupDocsSql) GROUP BY text""".stripMargin,
+
+    "dd2_minhash_lsh" ->
+      s"""WITH cand AS ($nearDupDocsSql),
+         |sig AS (
+         |  SELECT doc_id AS id, ${sh3("text")} AS shs,
+         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
+         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
+         |  FROM cand),
+         |banded AS (
+         |  SELECT id, shs, t.b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
+         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
+         |  FROM sig CROSS JOIN range(8) AS t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
+         |    ${jac("l.shs", "r.shs")} AS jaccard
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd3_simhash" ->
+      s"""WITH cand AS ($exactDupDocsSql),
+         |sig AS (SELECT doc_id AS id, ${simhash("text")} AS sig FROM cand),
+         |chunked AS (
+         |  SELECT id, sig, t.c AS chunk,
+         |    (sig // (CAST(1 AS BIGINT) << (CAST(t.c AS INT) * 16))) & 65535 AS chunk_key
+         |  FROM sig CROSS JOIN range(4) AS t(c)),
+         |pairs AS (
+         |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
+         |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+         |  FROM chunked l JOIN chunked r
+         |    ON l.chunk = r.chunk AND l.chunk_key = r.chunk_key AND l.id < r.id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
+    "dd4_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT lang, source, doc_id AS id, ${sh3("text")} AS shs FROM documents)
+         |SELECT l.lang, l.source, l.id AS doc_a, r.id AS doc_b,
+         |  ${jac("l.shs", "r.shs")} AS jaccard
+         |FROM sh l JOIN sh r
+         |  ON l.lang = r.lang AND l.source = r.source AND l.id < r.id""".stripMargin,
+
+    "dd5_embedding_neardup" ->
+      s"""WITH cand AS ($nearDupEmbSql),
+         |sig AS (SELECT vec_id AS id, embedding AS v, ${bucket("embedding")} AS bucket FROM cand)
+         |SELECT l.id AS id_a, r.id AS id_b, ${cos("l.v", "r.v")} AS cosine
+         |FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE ${cos("l.v", "r.v")} >= 0.95""".stripMargin,
+
+    "sim1_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cos("qv", "c.embedding")} AS cosine
+         |  FROM q, embeddings c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    "sim2_topk_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |    ${bucket("embedding")} AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    "mm1_media_meta" ->
+      """SELECT doc_id, source,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 64 AS fake_width,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 64 AS fake_height
+        |FROM documents""".stripMargin
+  )
+}
