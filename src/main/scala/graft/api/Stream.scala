@@ -1,0 +1,166 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Source configuration — the analog of the reference's `SourceConf`
+  * (`/root/reference/arcon/src/dataflow/conf.rs:83-122`): an optional
+  * event-time extractor (`ArconTime::Event` needs one; `Process` time is
+  * assignment at ingest) plus a source name. Batch size / watermark
+  * interval have no batch analog — in streaming they map to trigger
+  * intervals on the writer.
+  */
+case class SourceConf[T](
+    timeExtractor: Option[T => Long] = None,
+    name: String = "source") {
+  def withTimestampExtractor(f: T => Long): SourceConf[T] =
+    copy(timeExtractor = Some(f))
+}
+
+/** A typed, possibly-unbounded stream of records — the analog of arcon's
+  * `Stream<T: ArconType>` (`/root/reference/arcon/src/dataflow/stream/mod.rs:28-36`)
+  * over a Spark `Dataset[T]` (bounded) or streaming `Dataset[T]`
+  * (unbounded). Where arcon's combinators append nodes to a `DFG` executed
+  * by an actor runtime, these append to a Catalyst logical plan that the
+  * optimizer is free to rewrite — filters commute into scans, maps fuse
+  * into whole-stage codegen, `keyBy` becomes hash partitioning.
+  *
+  * Closure-based combinators (`filter(T => Boolean)`) match the reference
+  * API exactly; each also has a columnar twin (`where(Column)`) that keeps
+  * the plan fully declarative — prefer the columnar form in hot paths at
+  * scale since closures are opaque to predicate pushdown.
+  */
+class Stream[T](val ds: Dataset[T], val conf: SourceConf[T]) extends Serializable {
+
+  private def spark: SparkSession = ds.sparkSession
+
+  // ---- core transforms (SURVEY §2.2) ----
+
+  /** T1 `filter` (arcon/src/dataflow/stream/filter.rs:14-38). */
+  def filter(p: T => Boolean): Stream[T] =
+    new Stream(ds.filter(p), conf)
+
+  /** Columnar filter — pushdown-friendly twin of [[filter]]. */
+  def where(cond: org.apache.spark.sql.Column): Stream[T] =
+    new Stream(ds.where(cond), conf)
+
+  /** T2 `map` (arcon/src/dataflow/stream/map.rs:26). May change type, so
+    * the event-time extractor does not carry over (call
+    * withTimestampExtractor on the result if windows follow). */
+  def map[U: Encoder](f: T => U): Stream[U] =
+    new Stream(ds.map(f), SourceConf[U](name = conf.name))
+
+  /** T3 `map_in_place` (arcon/src/dataflow/stream/map.rs:38) — type-
+    * preserving map; in Spark there is no in-place distinction (Tungsten
+    * rows are immutable), but the type-level contract is kept: the
+    * timestamp extractor survives. */
+  def mapInPlace(f: T => T): Stream[T] =
+    new Stream(ds.map(f)(ds.encoder), conf)
+
+  /** T4 `flat_map` (arcon/src/dataflow/stream/map.rs:50-55). */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Stream[U] =
+    new Stream(ds.flatMap(t => f(t).iterator.toSeq), SourceConf[U](name = conf.name))
+
+  // ---- partitioning (SURVEY §2.3) ----
+
+  /** P1 `key_by` (arcon/src/dataflow/stream/partition.rs:22-53): marks the
+    * stream keyed; downstream stateful/window operators group on the key
+    * (Spark hash-partitions on it — Murmur3, same family as the
+    * reference's `arcon_util` MurmurHash3). */
+  def keyBy[K: Encoder](f: T => K): KeyedStream[K, T] =
+    new KeyedStream(this, f)
+
+  /** P5 round-robin repartition (`ChannelKind::RoundRobin`, declared but
+    * unimplemented in the reference — arcon/src/dataflow/dfg.rs:133). */
+  def rebalance(n: Int): Stream[T] = new Stream(ds.repartition(n), conf)
+
+  /** P4 broadcast hint (`ChannelKind::Broadcast`). */
+  def broadcastHint: Stream[T] =
+    new Stream(org.apache.spark.sql.functions.broadcast(ds), conf)
+
+  def withTimestampExtractor(f: T => Long): Stream[T] =
+    new Stream(ds, conf.withTimestampExtractor(f))
+
+  // ---- sinks (SURVEY §2.5) ----
+
+  /** K1 `print()` sink (ChannelKind::Console). */
+  def print(): Unit =
+    if (ds.isStreaming)
+      ds.writeStream.format("console").start()
+    else ds.show(20, truncate = false)
+
+  /** K2 `ignore()` sink (ChannelKind::Mute) — materializes and discards. */
+  def ignore(): Unit =
+    if (ds.isStreaming) { ds.writeStream.format("noop").start(); () }
+    else { ds.write.format("noop").mode("overwrite").save(); () }
+
+  /** K3 `debug()` sink (DebugNode buffering for assertions,
+    * arcon/src/stream/node/debug.rs:10-60). Batch only. */
+  def debug(): Seq[T] = ds.collect().toSeq
+
+  /** K4 `measure(logFreq)` sink (arcon/src/stream/operator/sink/measure.rs):
+    * throughput measurement — returns (count, elapsedSec, recordsPerSec). */
+  def measure(): (Long, Double, Double) = {
+    val t0 = System.nanoTime()
+    val n = ds.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n, sec, n / sec)
+  }
+
+  /** K5 `LocalFileSink` — line-wise text file (one toString per record). */
+  def toLocalFile(path: String): Unit =
+    ds.map(_.toString)(Encoders.STRING).write.mode("overwrite").text(path)
+
+  /** K8 Parquet export (arcon/src/table/mod.rs:295-341 analog). */
+  def toParquet(path: String): Unit =
+    ds.write.mode("overwrite").parquet(path)
+
+  def toDF: DataFrame = ds.toDF()
+}
+
+object Stream {
+
+  /** S2 iterator/collection source
+    * (arcon/src/stream/source/mod.rs:33-48). */
+  def fromCollection[T: Encoder](spark: SparkSession, data: Seq[T],
+      conf: SourceConf[T] = SourceConf[T]()): Stream[T] =
+    new Stream(spark.createDataset(data), conf)
+
+  /** S3 `LocalFileSource` (arcon/src/stream/source/local_file.rs:17-62):
+    * line-by-line text file, parse each line, drop (don't fail on) parse
+    * errors — matching the reference's report-not-fatal behavior. */
+  def fromLocalFile[T: Encoder](spark: SparkSession, path: String,
+      parse: String => Option[T]): Stream[T] = {
+    import spark.implicits._
+    new Stream(spark.read.textFile(path).flatMap(l => parse(l)), SourceConf[T]())
+  }
+
+  /** Typed parquet source. */
+  def fromParquet[T: Encoder](spark: SparkSession, path: String): Stream[T] =
+    new Stream(spark.read.parquet(path).as[T], SourceConf[T]())
+
+  /** Untyped parquet source. */
+  def fromParquetDF(spark: SparkSession, path: String): Stream[Row] =
+    new Stream(spark.read.parquet(path), SourceConf[Row]())
+
+  /** S4 Kafka source (arcon/src/stream/source/kafka.rs) — offsets,
+    * partition assignment and replay are Spark's built-ins. Returns the
+    * raw (key, value, topic, partition, offset, timestamp) frame; decode
+    * the value column with a [[graft.sources.SourceSchemas]] decoder. */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): Stream[Row] =
+    new Stream(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      SourceConf[Row](name = s"kafka:$topic"))
+
+  /** S6 socket source (reference's is dead code; Spark's is built in). */
+  def fromSocket(spark: SparkSession, host: String, port: Int): Stream[Row] =
+    new Stream(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load(),
+      SourceConf[Row](name = s"socket:$host:$port"))
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Byte→record decoding for byte-oriented sources (Kafka `value` columns)
+  * — the analog of the reference's `SourceSchema` implementations
+  * (`/root/reference/arcon/src/stream/source/schema.rs:4-104`):
+  * `JsonSchema` ≙ `from_json`, `ProtoSchema` ≙ spark-protobuf's
+  * `from_protobuf` (not bundled in this build; the JSON path carries the
+  * contract). Decode failures yield null records, which [[decoded]] drops
+  * — matching the reference's report-not-fail source behavior
+  * (`arcon/src/stream/source/local_file.rs`).
+  */
+object SourceSchemas {
+
+  /** JSON value decode: binary/string column → struct of `schema`. */
+  def jsonValue(value: Column, schema: StructType): Column =
+    from_json(value.cast("string"), schema)
+
+  /** Kafka frame → typed rows: decode `value` as JSON, drop undecodable
+    * records, flatten the struct to top-level columns. */
+  def decoded(kafkaFrame: DataFrame, schema: StructType): DataFrame =
+    kafkaFrame
+      .select(jsonValue(col("value"), schema).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
+
+  /** CSV-ish single-line decode via from_csv (bonus surface). */
+  def csvValue(value: Column, schema: StructType): Column =
+    from_csv(value.cast("string"), schema, Map.empty[String, String])
+}

@@ -1,0 +1,71 @@
+package graft.api
+
+import graft.SparkTestBase
+
+/** Ports of the reference's operator DSL end-to-end tests with `debug()`
+  * sink assertions (`/root/reference/arcon/src/stream/operator/function/mod.rs:11-104`):
+  * map sum 145, filter count 5, flatmap count 10 / sum 10.
+  */
+class StreamDslSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("map: 0..9 mapped +10 sums to 145 (function/mod.rs map test)") {
+    val out = Stream.fromCollection(spark, (0L until 10L))
+      .map(_ + 10L)
+      .debug()
+    assert(out.sum == 145L)
+  }
+
+  test("mapInPlace preserves type and applies mutation") {
+    val out = Stream.fromCollection(spark, (0L until 10L))
+      .mapInPlace(x => x * 2)
+      .debug()
+    assert(out.sum == 90L)
+  }
+
+  test("filter: 0..9 keep <5 gives 5 records (function/mod.rs filter test)") {
+    val out = Stream.fromCollection(spark, (0L until 10L))
+      .filter(_ < 5)
+      .debug()
+    assert(out.size == 5)
+  }
+
+  test("flat_map: 0..4 expanded to 0..i gives count 10 sum 10 (function/mod.rs flatmap test)") {
+    val out = Stream.fromCollection(spark, (0L until 5L))
+      .flatMap(i => (0L until i))
+      .debug()
+    assert(out.size == 10)
+    assert(out.sum == 10L)
+  }
+
+  test("local file source parses lines and drops errors (local_file.rs:17-62)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    val f = new java.io.File(dir, "in.txt")
+    java.nio.file.Files.writeString(f.toPath, "1\n2\nnope\n4\n")
+    val out = Stream.fromLocalFile[Long](spark, f.getPath, l => l.toLongOption)
+      .debug()
+    assert(out.sorted == Seq(1L, 2L, 4L))
+  }
+
+  test("keyBy + reduce: per-key reduction (ReducerState analog)") {
+    val out = Stream.fromCollection(spark, (0L until 10L))
+      .keyBy(_ % 2)
+      .reduce(_ + _)
+      .debug().toMap
+    assert(out == Map(0L -> 20L, 1L -> 25L))
+  }
+
+  test("keyBy + aggregate: full Aggregator contract (AggregatorState analog)") {
+    val avg = new ArconAggregator[Long, (Long, Long), Double] {
+      def createAccumulator(): (Long, Long) = (0L, 0L)
+      def add(acc: (Long, Long), v: Long): (Long, Long) = (acc._1 + v, acc._2 + 1)
+      def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def accumulatorIntoResult(acc: (Long, Long)): Double =
+        acc._1.toDouble / acc._2.toDouble
+    }
+    val out = Stream.fromCollection(spark, (0L until 10L))
+      .keyBy(_ % 2).aggregate(avg).debug().toMap
+    assert(out == Map(0L -> 4.0, 1L -> 5.0))
+  }
+}

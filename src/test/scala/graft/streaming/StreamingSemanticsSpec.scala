@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Unbounded (Structured Streaming) ports of the reference's window-
+  * assigner semantics tests
+  * (`/root/reference/arcon/src/stream/operator/window/assigner.rs:393-567`):
+  * watermark-driven tumbling windows in append mode, late-data discard
+  * with allowed lateness, and the epoch snapshot (TSS) export.
+  */
+class StreamingSemanticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("tumbling window emits on watermark passing end + lateness (assigner.rs discard/trigger tests)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("sv"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      // window [0,10): 3 elements
+      input.addData((ts(1), 1L), (ts(5), 2L), (ts(9), 4L))
+      q.processAllAvailable()
+      // nothing emitted yet — watermark hasn't passed 10s + 2s lateness
+      assert(spark.sql("SELECT * FROM tumble_out").count() == 0)
+      // advance: element at 20s pushes watermark to 18s > 12s → emit [0,10)
+      input.addData((ts(20), 8L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, sv, n FROM tumble_out").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((0L, 7L, 3L)))
+      // late element at 3s — older than watermark - lateness → dropped
+      input.addData((ts(3), 100L))
+      input.addData((ts(40), 1L)) // flush window [20,30)
+      q.processAllAvailable()
+      val all = spark.sql("SELECT ws, sv, n FROM tumble_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // [0,10) NOT re-emitted with the late 100; [20,30) emitted with 8
+      assert(all == Set((0L, 7L, 3L), (20L, 8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("allowed lateness admits in-horizon late data (assigner.rs late-arrival test)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "15 seconds") // generous lateness
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("window.start").cast("long").as("ws"), col("sv"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      input.addData((ts(1), 1L), (ts(12), 2L))
+      q.processAllAvailable()
+      // late element at 5s: watermark is 12-15 < 0 → still admitted
+      input.addData((ts(5), 10L))
+      q.processAllAvailable()
+      input.addData((ts(40), 1L)) // flush
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, sv FROM late_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows(0L) == 11L) // 1 + late 10 both in [0,10)
+    } finally q.stop()
+  }
+
+  test("epoch snapshots publish state as re-readable tables (SnapshotManager/TSS analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(Int, Long)]
+    val counts = input.toDF().toDF("key", "v")
+      .groupBy(col("key")).agg(sum(col("v")).as("total"))
+    val q = Snapshots.start(counts, dir, ckpt)
+    try {
+      input.addData((1, 5L), (2, 7L))
+      q.processAllAvailable()
+      input.addData((1, 3L))
+      q.processAllAvailable()
+      val eps = Snapshots.epochs(dir)
+      assert(eps.size >= 2)
+      val first = Snapshots.read(spark, dir, eps.head)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(first == Map(1 -> 5L, 2 -> 7L))
+      val last = Snapshots.read(spark, dir, eps.last)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(last(1) == 8L) // running state after second epoch
+      // time travel across all epochs
+      val all = Snapshots.readAll(spark, dir)
+      assert(all.columns.contains("epoch"))
+      assert(all.count() >= first.size + 1)
+    } finally q.stop()
+  }
+
+  test("streaming stateful operator via the DSL (flatMapGroupsWithState path)") {
+    import graft.api.Stream
+    import graft.operators.{OperatorContext, StatefulOperator}
+    import org.apache.spark.sql.Encoders
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Long)]
+    val op = new StatefulOperator[Int, (Int, Long), Long, (Int, Long)] {
+      def initialState: Long = 0L
+      def handleElement(key: Int, e: (Int, Long), ts: Option[Long], state: Long,
+          ctx: OperatorContext): (Long, Iterator[(Int, Long)]) = {
+        val s2 = state + e._2
+        (s2, Iterator((key, s2))) // running sum per key
+      }
+    }
+    val stream = new Stream(input.toDS(), graft.api.SourceConf[(Int, Long)]())
+    val out = stream.keyBy(_._1).operator(op)(
+      Encoders.scalaLong, Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+    val q = out.ds.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_out").start()
+    try {
+      input.addData((1, 10L), (2, 5L))
+      q.processAllAvailable()
+      input.addData((1, 7L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM stateful_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(rows == Set((1, 10L), (2, 5L), (1, 17L)))
+    } finally q.stop()
+  }
+}
