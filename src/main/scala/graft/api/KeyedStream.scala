@@ -39,23 +39,32 @@ class KeyedStream[K, T](val stream: Stream[T], val keyFn: T => K)(
   /** T6 custom `Operator` (arcon/src/stream/operator/mod.rs:21-54): keyed
     * state + event-time timers + 1→N output.
     *
-    * Streaming datasets run on `flatMapGroupsWithState` with event-time
-    * timeout — Spark's exact semantic match for per-key state plus
-    * watermark-driven `handle_timeout`. Bounded datasets replay each key's
-    * elements in timestamp order and then fire all pending timers (the
-    * end-of-stream watermark is +∞, as in the reference's test harness
-    * where a final max-watermark flushes all windows).
+    * Streaming datasets run on `flatMapGroupsWithState`. Event-time
+    * timeout — Spark's match for the reference's watermark-driven
+    * `handle_timeout` (arcon/src/stream/node/mod.rs:379-395) — is only
+    * legal when a watermark is declared, so it is chosen iff the stream
+    * went through [[Stream.withWatermark]]; otherwise `NoTimeout` (timers
+    * are inert, matching a reference pipeline that never advances the
+    * watermark). Bounded datasets replay each key's elements in timestamp
+    * order and then fire all pending timers (the end-of-stream watermark
+    * is +∞, as in the reference's test harness where a final
+    * max-watermark flushes all windows).
     */
   def operator[S, OUT](op: StatefulOperator[K, T, S, OUT])(
       implicit sEnc: Encoder[S], outEnc: Encoder[OUT]): Stream[OUT] = {
     val timeFn = stream.conf.timeExtractor
-    val fn: (K, Iterator[T], GroupState[S]) => Iterator[OUT] =
-      StatefulOperator.asFlatMapFunc(op, timeFn)
+    val timersEnabled = stream.watermarked
+    val fn: (K, Iterator[T], GroupState[(S, Array[Byte])]) => Iterator[OUT] =
+      StatefulOperator.asFlatMapFunc(op, timeFn, timersEnabled)
     val out: Dataset[OUT] =
-      if (ds.isStreaming)
-        ds.groupByKey(keyFn).flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-      else
+      if (ds.isStreaming) {
+        val timeout =
+          if (timersEnabled) GroupStateTimeout.EventTimeTimeout
+          else GroupStateTimeout.NoTimeout
+        implicit val stEnc: Encoder[(S, Array[Byte])] =
+          Encoders.tuple(sEnc, Encoders.BINARY)
+        ds.groupByKey(keyFn).flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+      } else
         ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
           StatefulOperator.runBounded(op, timeFn, k, it)
         }

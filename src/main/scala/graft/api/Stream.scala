@@ -30,7 +30,8 @@ case class SourceConf[T](
   * the plan fully declarative — prefer the columnar form in hot paths at
   * scale since closures are opaque to predicate pushdown.
   */
-class Stream[T](val ds: Dataset[T], val conf: SourceConf[T]) extends Serializable {
+class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
+    val watermarked: Boolean = false) extends Serializable {
 
   private def spark: SparkSession = ds.sparkSession
 
@@ -38,28 +39,31 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T]) extends Serializabl
 
   /** T1 `filter` (arcon/src/dataflow/stream/filter.rs:14-38). */
   def filter(p: T => Boolean): Stream[T] =
-    new Stream(ds.filter(p), conf)
+    new Stream(ds.filter(p), conf, watermarked)
 
   /** Columnar filter — pushdown-friendly twin of [[filter]]. */
   def where(cond: org.apache.spark.sql.Column): Stream[T] =
-    new Stream(ds.where(cond), conf)
+    new Stream(ds.where(cond), conf, watermarked)
 
   /** T2 `map` (arcon/src/dataflow/stream/map.rs:26). May change type, so
     * the event-time extractor does not carry over (call
-    * withTimestampExtractor on the result if windows follow). */
+    * withTimestampExtractor on the result if windows follow). The
+    * watermark survives: Spark keeps the `EventTimeWatermark` plan node
+    * under typed transforms, so event-time timeouts stay legal. */
   def map[U: Encoder](f: T => U): Stream[U] =
-    new Stream(ds.map(f), SourceConf[U](name = conf.name))
+    new Stream(ds.map(f), SourceConf[U](name = conf.name), watermarked)
 
   /** T3 `map_in_place` (arcon/src/dataflow/stream/map.rs:38) — type-
     * preserving map; in Spark there is no in-place distinction (Tungsten
     * rows are immutable), but the type-level contract is kept: the
     * timestamp extractor survives. */
   def mapInPlace(f: T => T): Stream[T] =
-    new Stream(ds.map(f)(ds.encoder), conf)
+    new Stream(ds.map(f)(ds.encoder), conf, watermarked)
 
   /** T4 `flat_map` (arcon/src/dataflow/stream/map.rs:50-55). */
   def flatMap[U: Encoder](f: T => IterableOnce[U]): Stream[U] =
-    new Stream(ds.flatMap(t => f(t).iterator.toSeq), SourceConf[U](name = conf.name))
+    new Stream(ds.flatMap(t => f(t).iterator.toSeq),
+      SourceConf[U](name = conf.name), watermarked)
 
   // ---- partitioning (SURVEY §2.3) ----
 
@@ -72,27 +76,47 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T]) extends Serializabl
 
   /** P5 round-robin repartition (`ChannelKind::RoundRobin`, declared but
     * unimplemented in the reference — arcon/src/dataflow/dfg.rs:133). */
-  def rebalance(n: Int): Stream[T] = new Stream(ds.repartition(n), conf)
+  def rebalance(n: Int): Stream[T] = new Stream(ds.repartition(n), conf, watermarked)
+
+  /** P7 per-operator parallelism (`ParallelismStrategy::Static(n)`,
+    * arcon/src/dataflow/conf.rs:23-67): hash-repartition on the given
+    * columns to n partitions — the declarative Spark form of pinning one
+    * operator's parallelism without touching the global shuffle conf. */
+  def parallelism(n: Int, cols: org.apache.spark.sql.Column*): Stream[T] =
+    new Stream(
+      if (cols.isEmpty) ds.repartition(n) else ds.repartition(n, cols: _*),
+      conf, watermarked)
 
   /** P4 broadcast hint (`ChannelKind::Broadcast`). */
   def broadcastHint: Stream[T] =
-    new Stream(org.apache.spark.sql.functions.broadcast(ds), conf)
+    new Stream(org.apache.spark.sql.functions.broadcast(ds), conf, watermarked)
 
   def withTimestampExtractor(f: T => Long): Stream[T] =
-    new Stream(ds, conf.withTimestampExtractor(f))
+    new Stream(ds, conf.withTimestampExtractor(f), watermarked)
+
+  /** Declare the event-time watermark column + delay
+    * (`withWatermark` on the underlying Dataset). This is what arms
+    * event-time timers in [[KeyedStream.operator]]: the reference drives
+    * `handle_timeout` from the watermark
+    * (arcon/src/stream/node/mod.rs:379-395); Spark requires the watermark
+    * be declared on a column before `EventTimeTimeout` is legal. The
+    * `delay` is the allowed out-of-orderness (`late_arrival`). */
+  def withWatermark(tsCol: String, delay: String): Stream[T] =
+    new Stream(ds.withWatermark(tsCol, delay), conf, watermarked = true)
 
   // ---- sinks (SURVEY §2.5) ----
 
-  /** K1 `print()` sink (ChannelKind::Console). */
-  def print(): Unit =
+  /** K1 `print()` sink (ChannelKind::Console). Streaming returns the
+    * query handle so callers can await/stop it. */
+  def print(): Option[org.apache.spark.sql.streaming.StreamingQuery] =
     if (ds.isStreaming)
-      ds.writeStream.format("console").start()
-    else ds.show(20, truncate = false)
+      Some(ds.writeStream.format("console").start())
+    else { ds.show(20, truncate = false); None }
 
   /** K2 `ignore()` sink (ChannelKind::Mute) — materializes and discards. */
-  def ignore(): Unit =
-    if (ds.isStreaming) { ds.writeStream.format("noop").start(); () }
-    else { ds.write.format("noop").mode("overwrite").save(); () }
+  def ignore(): Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    if (ds.isStreaming) Some(ds.writeStream.format("noop").start())
+    else { ds.write.format("noop").mode("overwrite").save(); None }
 
   /** K3 `debug()` sink (DebugNode buffering for assertions,
     * arcon/src/stream/node/debug.rs:10-60). Batch only. */
@@ -110,6 +134,45 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T]) extends Serializabl
   /** K5 `LocalFileSink` — line-wise text file (one toString per record). */
   def toLocalFile(path: String): Unit =
     ds.map(_.toString)(Encoders.STRING).write.mode("overwrite").text(path)
+
+  /** K6 `KafkaSink` (arcon/src/stream/operator/sink/kafka.rs:15-94): the
+    * reference JSON-serializes each element and produces it to a topic,
+    * flushing on epoch — here the serialization is the declarative
+    * projection [[graft.sources.KafkaSink.projection]] (unit-testable
+    * without a broker) and flush/exactly-once is Spark's kafka sink +
+    * checkpoint commit. */
+  def toKafka(bootstrapServers: String, topic: String,
+      checkpointDir: Option[String] = None): Option[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val frame = graft.sources.KafkaSink.projection(ds.toDF())
+    if (ds.isStreaming) {
+      val w = frame.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+      Some(checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start())
+    } else {
+      frame.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic).save()
+      None
+    }
+  }
+
+  /** K7 `SocketSink`-style foreach (arcon/src/stream/operator/sink/socket.rs:21-153):
+    * per-element delivery through a user `ForeachWriter` (open/process/
+    * close per partition-epoch) — the Spark idiom for side-channel sinks
+    * like UDP/sockets. Batch datasets drive the same writer contract per
+    * partition. */
+  def foreachSink(writer: org.apache.spark.sql.ForeachWriter[T]): Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    if (ds.isStreaming) Some(ds.writeStream.foreach(writer).start())
+    else {
+      ds.foreachPartition { (it: Iterator[T]) =>
+        if (writer.open(0L, 0L)) {
+          try { it.foreach(writer.process); writer.close(null) }
+          catch { case e: Throwable => writer.close(e); throw e }
+        } else writer.close(null)
+      }
+      None
+    }
 
   /** K8 Parquet export (arcon/src/table/mod.rs:295-341 analog). */
   def toParquet(path: String): Unit =

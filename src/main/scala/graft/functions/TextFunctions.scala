@@ -96,19 +96,33 @@ object TextFunctions {
     lenScore * lit(0.3) + wordShape * lit(0.2) + alpha * lit(0.3) + stop * lit(0.2)
   }
 
+  /** Let-binding for expression trees: evaluates `value` ONCE and hands
+    * the result to `body` as a lambda variable. Spark HOFs are
+    * interpreted with no subexpression elimination, and CollapseProject
+    * happily re-inlines single-use projection columns — so an expensive
+    * subtree referenced N times is evaluated N times unless bound this
+    * way (`transform` over a 1-element array is the binder). */
+  def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** 61-bit SimHash over token polynomial hashes: bit j of the signature
     * is the majority vote of bit j across all token hashes (61 bits so the
-    * packed value stays positive in an i64). Computed as an unrolled
-    * expression tree over the token array — one pass per document, no
-    * explode, no shuffle. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => polyHash(t))
-    val n = size(hashes)
-    (0 until 61).map { j =>
-      val onesJ = size(filter(hashes, h => (shiftright(h, j).bitwiseAND(lit(1L))) === 1L))
-      when(onesJ * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * packed value stays positive in an i64).
+    *
+    * Each token is hashed exactly once ([[bind]] materializes the hash
+    * array as a lambda variable), then the 61 bit-count passes run over
+    * the materialized longs — pure arithmetic, no re-hashing. This is the
+    * one-pass structure that governs cost under interpreted HOF
+    * evaluation; the unrolled alternative re-evaluates the hashing
+    * subtree per bit. */
+  def simHash(text: Column): Column =
+    bind(transform(tokens(text), t => polyHash(t)), { hs =>
+      val n = size(hs)
+      (0 until 61).map { j =>
+        val onesJ = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
+        when(onesJ * 2 > n, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    })
 
   /** Word k-shingles as strings ("w1 w2 ... wk" joined). Guarded for
     * texts shorter than k tokens (Spark's sequence(1, 0) would count
@@ -126,17 +140,44 @@ object TextFunctions {
   def shingleHashes(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => polyHash(s)))
 
-  /** MinHash signature: element i = min over shingle hashes h of
-    * (a_i*h + b_i) mod P with a_i = 2i+1, b_i = 7919i+13. Returned as an
-    * array<long> of length `numHashes`. */
-  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val hs = shingleHashes(text, k)
-    val sig = (0 until numHashes).map { i =>
-      val a = 2L * i + 1L
-      val b = 7919L * i + 13L
-      array_min(transform(hs, h => (h * a + b) % P))
-    }
-    array(sig: _*)
+  /** MinHash signature from a shingle-hash array: element i = min over
+    * shingle hashes h of (a_i*h + b_i) mod P with a_i = 2i+1,
+    * b_i = 7919i+13. `hsExpr` is [[bind]]-materialized, so it is
+    * evaluated exactly once however this composes. Empty shingle sets
+    * yield an all-null signature (matching `array_min` of an empty
+    * array), so empty docs never band-match each other. */
+  def minHashFromHashes(hsExpr: Column, numHashes: Int): Column =
+    bind(hsExpr, hs =>
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(hs, h => (h * (i * 2L + 1L) + (i * 7919L + 13L)) % P))))
+
+  /** MinHash signature of a text column (convenience wrapper). */
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minHashFromHashes(shingleHashes(text, k), numHashes)
+
+  /** LSH band keys straight from the shingle-hash array, as ONE
+    * expression that evaluates each stage exactly once per row:
+    * [[bind]] materializes the shingle hashes, a single `aggregate`
+    * folds the `numHashes` running minima (array accumulator), and the
+    * aggregate's `finish` lambda derives the per-band poly-fold keys
+    * from the materialized signature. Immune to CollapseProject
+    * re-inlining — there is nothing to inline. Empty shingle sets
+    * yield null (→ `posexplode` emits nothing), matching the null
+    * signature semantics above. */
+  def minHashBandKeys(shExpr: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    bind(shExpr, sh =>
+      when(size(sh) > 0,
+        aggregate(
+          sh,
+          array_repeat(lit(Long.MaxValue), numHashes),
+          (acc, h) => array((0 until numHashes).map(i =>
+            least(element_at(acc, i + 1),
+              (h * (2L * i + 1L) + (7919L * i + 13L)) % P)): _*),
+          sig => transform(sequence(lit(0), lit(bands - 1)), b =>
+            aggregate(slice(sig, b * rows + lit(1), lit(rows)), lit(0L),
+              (acc, v) => (acc * 31L + v) % P))))
+        .otherwise(lit(null).cast("array<bigint>")))
   }
 
   /** Jaccard similarity of the distinct k-shingle sets of two texts

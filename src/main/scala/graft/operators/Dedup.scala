@@ -34,6 +34,19 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs.
     *
+    * Plan shape (each stage computes its inputs exactly once per row):
+    *  1. text → shingle hashes → signature → band keys is ONE
+    *     let-bound expression ([[graft.functions.TextFunctions.minHashBandKeys]]),
+    *     so the shingle hashing runs once per row — not once per hash
+    *     function (Spark HOFs are interpreted without subexpression
+    *     elimination, and CollapseProject re-inlines single-use
+    *     projection columns, so multi-projection staging does NOT
+    *     guarantee this);
+    *  2. the band explode and self-join carry ONLY (band, band_key, id) —
+    *     no arrays ride the exchange;
+    *  3. candidate pairs are made distinct FIRST, then `sh` is joined
+    *     back once per side for a single Jaccard verify per pair.
+    *
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b and verified
     *         shingle-set Jaccard ≥ `threshold`.
     */
@@ -41,28 +54,28 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = docs.select(
+    val withSh = docs.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleK).as("sh"),
-      minHashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      shingleHashes(col(textCol), shingleK).as("sh"))
     // One row per (doc, band): band key = ordered poly-fold of the band's
-    // signature slice.
-    val banded = sig.select(col("id"), col("sh"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)), lit(0L),
-          (acc, v) => (acc * 31L + v) % P))))
+    // signature slice, computed by the single-pass single-expression
+    // pipeline in [[minHashBandKeys]]. Ids only — the shuffle payload is
+    // 3 scalars.
+    val banded = docs.select(col(idCol).as("id"), posexplode(
+      minHashBandKeys(shingleHashes(col(textCol), shingleK), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band"), col("band_key"),
-      col("id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_key"))
+    val l = banded.select(col("band"), col("band_key"), col("id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_key"), col("id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccardShingles(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

@@ -11,15 +11,15 @@ import org.apache.spark.sql.streaming.GroupState
   * value, checkpointed by the streaming state store).
   */
 final class OperatorContext(val currentTime: Option[Long]) {
-  private[operators] var scheduled: Option[Long] = None
+  private[operators] val scheduled = mutable.ArrayBuffer.empty[Long]
 
-  /** Schedule (or move) this key's event-time timer; fires when the
-    * watermark passes `ts` — `ProcessorContext::schedule_at`. One live
-    * timer per key (re-scheduling replaces), which is Spark's
-    * `GroupState.setTimeoutTimestamp` model; the reference allows many
-    * timers per key, so operators needing several keep them in `S` and
-    * re-arm the earliest. */
-  def scheduleAt(ts: Long): Unit = scheduled = Some(ts)
+  /** Schedule an event-time timer for this key; fires when the watermark
+    * passes `ts` — `ProcessorContext::schedule_at`. Multiple live timers
+    * per key are supported, as in the reference's quad-wheel
+    * (arcon/src/stream/node/timer.rs:61-274): the framework keeps the
+    * pending set in state and arms Spark's single per-group timeout at
+    * the earliest entry, re-arming as timers fire. */
+  def scheduleAt(ts: Long): Unit = scheduled += ts
 }
 
 /** The reference's `Operator` trait re-expressed for Spark
@@ -37,43 +37,79 @@ trait StatefulOperator[K, IN, S, OUT] extends Serializable {
   def handleElement(key: K, element: IN, timestamp: Option[Long], state: S,
       ctx: OperatorContext): (S, Iterator[OUT])
 
-  /** Event-time timer callback (watermark passed the scheduled time). */
+  /** Event-time timer callback (watermark passed the scheduled time;
+    * `ctx.currentTime` is the fired timer's timestamp). */
   def handleTimeout(key: K, state: S, ctx: OperatorContext): (S, Iterator[OUT]) =
     (state, Iterator.empty)
 }
 
 object StatefulOperator {
 
+  /** Pending timers ride the group state as packed bytes so any `S` works
+    * without extra encoders (the reference persists timer entries in its
+    * state backend the same way — timer.rs:91-127). */
+  private[operators] def packTimers(ts: Iterable[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(ts.size * 8)
+    ts.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[operators] def unpackTimers(b: Array[Byte]): mutable.SortedSet[Long] = {
+    val s = mutable.SortedSet.empty[Long]
+    if (b != null) {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      while (bb.hasRemaining) s += bb.getLong
+    }
+    s
+  }
+
   /** Adapt to Spark's `flatMapGroupsWithState` function (streaming path).
     * Elements within a micro-batch arrive unordered — same as the
     * reference, which only guards against elements older than the
     * watermark (`arcon/src/stream/node/mod.rs:293-305`); Spark applies
-    * the same watermark filtering before stateful operators. */
+    * the same watermark filtering before stateful operators.
+    *
+    * Group state = (user state, packed pending timers). On timeout, every
+    * pending timer at or before the watermark fires in time order —
+    * timers scheduled from `handleTimeout` itself included — then the
+    * earliest remaining timer is re-armed.
+    */
   def asFlatMapFunc[K, IN, S, OUT](op: StatefulOperator[K, IN, S, OUT],
-      timeFn: Option[IN => Long]): (K, Iterator[IN], GroupState[S]) => Iterator[OUT] = {
+      timeFn: Option[IN => Long], timersEnabled: Boolean):
+      (K, Iterator[IN], GroupState[(S, Array[Byte])]) => Iterator[OUT] = {
     (key, elems, gstate) =>
+      var (state, timerBytes) = gstate.getOption.getOrElse((op.initialState, Array.empty[Byte]))
+      val timers = unpackTimers(timerBytes)
+      val buf = mutable.ArrayBuffer.empty[OUT]
       if (gstate.hasTimedOut) {
-        val ctx = new OperatorContext(None)
-        val (s2, out) = op.handleTimeout(key, gstate.get, ctx)
-        gstate.update(s2)
-        ctx.scheduled.foreach(gstate.setTimeoutTimestamp)
-        out
+        val wm = gstate.getCurrentWatermarkMs()
+        while (timers.nonEmpty && timers.head <= wm) {
+          val t = timers.head
+          timers -= t
+          val ctx = new OperatorContext(Some(t))
+          val (s2, out) = op.handleTimeout(key, state, ctx)
+          state = s2
+          buf ++= out
+          timers ++= ctx.scheduled
+        }
       } else {
-        var state = gstate.getOption.getOrElse(op.initialState)
-        val buf = mutable.ArrayBuffer.empty[OUT]
-        var timer: Option[Long] = None
         elems.foreach { e =>
           val ts = timeFn.map(f => f(e))
           val ctx = new OperatorContext(ts)
           val (s2, out) = op.handleElement(key, e, ts, state, ctx)
           state = s2
           buf ++= out
-          if (ctx.scheduled.isDefined) timer = ctx.scheduled
+          timers ++= ctx.scheduled
         }
-        gstate.update(state)
-        timer.foreach(gstate.setTimeoutTimestamp)
-        buf.iterator
       }
+      gstate.update((state, packTimers(timers)))
+      if (timersEnabled && timers.nonEmpty) {
+        // Spark requires the timeout timestamp be beyond the watermark;
+        // overdue timers re-fire on the next no-data micro-batch.
+        val wm = gstate.getCurrentWatermarkMs()
+        gstate.setTimeoutTimestamp(math.max(timers.head, wm + 1))
+      }
+      buf.iterator
   }
 
   /** Bounded (batch) execution: replay this key's elements in event-time
@@ -87,17 +123,18 @@ object StatefulOperator {
       case None => elems.toSeq
     }
     var state = op.initialState
-    var timer: Option[Long] = None
+    val timers = mutable.SortedSet.empty[Long]
     val buf = mutable.ArrayBuffer.empty[OUT]
 
     def fireDue(now: Long): Unit =
-      while (timer.exists(_ <= now)) {
-        timer = None
-        val ctx = new OperatorContext(Some(now))
+      while (timers.nonEmpty && timers.head <= now) {
+        val t = timers.head
+        timers -= t
+        val ctx = new OperatorContext(Some(t))
         val (s2, out) = op.handleTimeout(key, state, ctx)
         state = s2
         buf ++= out
-        timer = ctx.scheduled
+        timers ++= ctx.scheduled
       }
 
     ordered.foreach { e =>
@@ -107,7 +144,7 @@ object StatefulOperator {
       val (s2, out) = op.handleElement(key, e, ts, state, ctx)
       state = s2
       buf ++= out
-      if (ctx.scheduled.isDefined) timer = ctx.scheduled
+      timers ++= ctx.scheduled
     }
     // end of stream: watermark -> +inf, fire everything left
     fireDue(Long.MaxValue)
