@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -20,9 +21,46 @@ import graft.functions.VectorFunctions._
   *    shuffle is on bucket keys, comparisons per query drop by ~2^planes,
   *    recall traded via the plane count (multi-probe extends it).
   *
+  * Both rank in TWO phases: a per-partition bounded heap keeps only the
+  * local top-k per query (O(k) memory, no sort), then the global rank
+  * runs over ≤ k·partitions survivors per query. The candidate volume
+  * never reaches a sort — the plan that survives |corpus| growing 100×.
   * Ranking ties break by neighbor id, so results are fully deterministic.
   */
 object Similarity {
+
+  /** Phase 1: per-partition top-k per query via bounded heaps (heap head
+    * = the worst kept candidate under (cosine desc, neighbor_id asc)). */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val typed = scored.select(
+      col("query_id").cast("long"), col("neighbor_id").cast("long"),
+      col("cosine").cast("double"))
+      .as[(Long, Long, Double)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+    // worst-first ordering: smaller cosine, then larger id, is "greater"
+    val worstFirst: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)](t => (-t._2, t._1))
+    val pruned = typed.mapPartitions { it =>
+      val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Double)]]
+      it.foreach { case (q, n, c) =>
+        val h = heaps.getOrElseUpdate(q, mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((n, c))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (q, h) => h.iterator.map(t => (q, t._1, t._2)) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+    pruned.toDF("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Phase 2: exact global rank over the pruned survivors. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partitionTopK(scored, k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -31,10 +69,7 @@ object Similarity {
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame,
@@ -48,9 +83,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

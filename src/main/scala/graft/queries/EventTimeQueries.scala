@@ -58,6 +58,32 @@ object EventTimeQueries extends QueryModule {
           count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
     }),
 
+    // W3 AppenderWindow (arcon/src/index/window/appender.rs:10-91), run
+    // through the actual DSL appender path: buffer the whole (user, hour)
+    // window, materialize order-insensitive stats from the buffered
+    // elements.
+    "w5_appender" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val ds = Tables.events(s, d)
+        .select(col("event_id"), expr("unix_millis(ts)").as("tms"), col("user_id"))
+        .as[(Long, Long, Long)](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long, Long)]())
+        .withTimestampExtractor(_._2)
+        .keyBy(_._3)(Encoders.scalaLong)
+        .window(graft.api.WindowAssigner.Tumbling(3600000L))
+        .appender { elems =>
+          val ids = elems.map(_._1)
+          (ids.size.toLong, ids.sum, ids.min, ids.max)
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong))
+        .toDF
+        .select(col("_1").as("user_id"), col("_2").as("window_start"),
+          col("_3").as("window_end"), col("_4._1").as("n_events"),
+          col("_4._2").as("sum_ids"), col("_4._3").as("min_id"),
+          col("_4._4").as("max_id"))
+    }),
+
     // As-of join (SURVEY §2.6 "as-of/interval" row): for every event, the
     // latest order of that user at-or-before the event time. Implemented as
     // merge-union + last(ignoreNulls) over an ordered window: right rows
@@ -121,6 +147,15 @@ object EventTimeQueries extends QueryModule {
         |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, sum(value) AS sum_value
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "w5_appender" ->
+      """SELECT user_id,
+        |  (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+        |  (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "w4_asof_join" ->
       """WITH r AS (

@@ -41,6 +41,50 @@ object Relational extends QueryModule {
         concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"),
         year(col("l_shipdate")).cast("long").as("ship_year"))),
 
+    // T3 map_in_place (arcon/src/dataflow/stream/map.rs:38) — the
+    // type-preserving mutation variant, run through the actual Stream DSL
+    // (typed Dataset map; exact double doubling so the oracle is
+    // bit-identical).
+    "t3_map_in_place" -> ((s, d) => {
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .as[(Long, Long, Double)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long, Double)]())
+        .mapInPlace(t => (t._1, t._2, t._3 * 2.0))
+        .toDF.toDF("l_orderkey", "l_linenumber", "price2x")
+    }),
+
+    // T6 custom Operator (arcon/src/stream/operator/mod.rs:21-54), run
+    // through the actual StatefulOperator DSL on the bounded replay path:
+    // per-customer running sums in o_orderkey order (integer state so the
+    // fold is order-exact vs the SQL window oracle).
+    "t6_custom_operator" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val ds = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      val op = new graft.operators.StatefulOperator[Long, (Long, Long), (Long, Long), (Long, Long, Long, Long)] {
+        def initialState: (Long, Long) = (0L, 0L)
+        def handleElement(key: Long, e: (Long, Long), ts: Option[Long],
+            state: (Long, Long), ctx: graft.operators.OperatorContext):
+            ((Long, Long), Iterator[(Long, Long, Long, Long)]) = {
+          val s2 = (state._1 + e._2, state._2 + 1L)
+          (s2, Iterator((key, e._2, s2._1, s2._2)))
+        }
+      }
+      new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long)]())
+        .withTimestampExtractor(_._2) // replay order = o_orderkey
+        .keyBy(_._1)(Encoders.scalaLong)
+        .operator(op)(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+            Encoders.scalaLong, Encoders.scalaLong))
+        .toDF.toDF("o_custkey", "o_orderkey", "running_keysum", "n_seen")
+    }),
+
     // T4 flat_map (arcon/src/dataflow/stream/map.rs:50-55) — 1→N via
     // explode (a Generator: pipelined, no shuffle).
     "t4_flatmap" -> ((s, d) =>
@@ -256,6 +300,18 @@ object Relational extends QueryModule {
         |  l_returnflag || '-' || l_linestatus AS flag_status,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
         |FROM lineitem""".stripMargin,
+
+    "t3_map_in_place" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * 2.0 AS price2x
+        |FROM lineitem""".stripMargin,
+
+    "t6_custom_operator" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(o_orderkey) OVER w AS BIGINT) AS running_keysum,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_seen
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "t4_flatmap" ->
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",

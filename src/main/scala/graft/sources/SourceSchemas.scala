@@ -20,11 +20,17 @@ object SourceSchemas {
     from_json(value.cast("string"), schema)
 
   /** Kafka frame → typed rows: decode `value` as JSON, drop undecodable
-    * records, flatten the struct to top-level columns. */
+    * records, flatten the struct to top-level columns. PERMISSIVE
+    * `from_json` yields an all-null-fields struct (not a null struct)
+    * for malformed input, so "undecodable" = null struct OR no field
+    * decoded; a record whose every field is genuinely null is
+    * indistinguishable from garbage and is dropped too. */
   def decoded(kafkaFrame: DataFrame, schema: StructType): DataFrame =
     kafkaFrame
       .select(jsonValue(col("value"), schema).as("r"))
-      .filter(col("r").isNotNull)
+      .filter(col("r").isNotNull &&
+        schema.fieldNames.map(f => col("r").getField(f).isNotNull)
+          .reduce(_ || _))
       .select(col("r.*"))
 
   /** CSV-ish single-line decode via from_csv (bonus surface). */

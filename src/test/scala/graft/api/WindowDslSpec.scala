@@ -74,6 +74,22 @@ class WindowDslSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("arrowBatch window UDF ≡ incremental ≡ appender (index/window/arrow.rs equivalence)") {
+    // The reference's three window indexes must agree on the same fold;
+    // arrowBatch hands the whole group to a batch fn (ArrowWindow analog),
+    // appender buffers+sorts, incrementalMerged folds with map-side combine.
+    val evs = (0 until 20).map(i => Ev(i % 2, 1000L + i * 700, i.toLong))
+    def base = stream(evs).keyBy(_.key)
+      .window(WindowAssigner.Tumbling(lengthMs = 5000))
+    val inc = base.incrementalMerged[Long](e => e.v, (e, acc) => acc + e.v, _ + _)
+      .debug().toSet
+    val arrow = base.arrowBatch(it => it.map(_.v).sum).debug().toSet
+    val app = base.appender(elems => elems.map(_.v).sum).debug().toSet
+    assert(inc.nonEmpty)
+    assert(arrow == inc)
+    assert(app == inc)
+  }
+
   test("window validation mirrors the reference (builder.rs:93-108)") {
     assertThrows[IllegalArgumentException] {
       WindowAssigner.Sliding(lengthMs = 10000, slideMs = 15000) // length < slide

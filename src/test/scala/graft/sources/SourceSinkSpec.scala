@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit tests for the byte→record source schemas
+  * (`/root/reference/arcon/src/stream/source/schema.rs:4-104`: decode
+  * failures are reported, not fatal) and the Kafka sink serialization
+  * projection (`/root/reference/arcon/src/stream/operator/sink/kafka.rs:15-94`:
+  * JSON-serialized values), both broker-less.
+  */
+class SourceSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType)))
+
+  test("json decode drops undecodable records (schema.rs report-not-fail)") {
+    val frames = Seq("""{"a":1,"b":"x"}""", "not json at all", """{"a":2,"b":"y"}""")
+      .toDF("value")
+    val out = SourceSchemas.decoded(frames, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("csv decode parses delimited lines") {
+    val out = Seq("7,hello").toDF("value")
+      .select(SourceSchemas.csvValue(col("value"), schema).as("r"))
+      .select(col("r.a"), col("r.b")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((7L, "hello")))
+  }
+
+  test("kafka sink projection: JSON value + stringified key (kafka.rs serde_json analog)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val keyed = KafkaSink.projection(df, Some(col("id"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keyed == Set(
+      ("1", """{"id":1,"s":"a"}"""),
+      ("2", """{"id":2,"s":"b"}""")))
+    val unkeyed = KafkaSink.projection(df).collect()
+    assert(unkeyed.forall(_.isNullAt(0)))
+    assert(unkeyed.map(_.getString(1)).toSet ==
+      Set("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}"""))
+  }
+
+  test("foreachSink drives the writer contract on bounded data (socket.rs analog)") {
+    import graft.api.{SourceConf, Stream}
+    SinkProbe.reset()
+    val ds = spark.createDataset(Seq(1L, 2L, 3L))
+    new Stream(ds, SourceConf[Long]()).foreachSink(
+      new org.apache.spark.sql.ForeachWriter[Long] {
+        def open(partitionId: Long, epochId: Long): Boolean = true
+        def process(value: Long): Unit = SinkProbe.add(value)
+        def close(errorOrNull: Throwable): Unit = ()
+      })
+    assert(SinkProbe.sum() == 6L)
+  }
+}
+
+/** JVM-wide probe for foreach-writer assertions (local-mode executors
+  * share the JVM). */
+object SinkProbe {
+  private val total = new java.util.concurrent.atomic.AtomicLong(0)
+  def reset(): Unit = total.set(0)
+  def add(v: Long): Unit = total.addAndGet(v)
+  def sum(): Long = total.get()
+}
