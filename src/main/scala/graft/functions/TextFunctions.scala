@@ -30,12 +30,22 @@ object TextFunctions {
     size(call_function("regexp_extract_all", text,
       lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
+  private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def nexpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
   /** Polynomial rolling hash of a string: fold over characters of
     * acc*31 + codepoint (mod P). Cross-engine reproducible (unlike
     * murmur3/xxhash whose seeds differ between engines); the scale path
-    * for pure fingerprinting is [[fingerprint64]].
-    */
-  def polyHash(s: Column): Column =
+    * for pure fingerprinting is [[fingerprint64]]. Native expression
+    * ([[PolyHashExpr]]); [[polyHashHof]] is the declarative twin it is
+    * parity-tested against. */
+  def polyHash(s: Column): Column = ncol(PolyHashExpr(nexpr(s)))
+
+  /** Declarative (HOF) formulation of [[polyHash]] — the executable
+    * specification the native expression is tested against. */
+  def polyHashHof(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
 
   /** 64-bit xxhash fingerprint — the cheap at-scale dedup key. */
@@ -107,16 +117,15 @@ object TextFunctions {
 
   /** 61-bit SimHash over token polynomial hashes: bit j of the signature
     * is the majority vote of bit j across all token hashes (61 bits so the
-    * packed value stays positive in an i64).
-    *
-    * Each token is hashed exactly once ([[bind]] materializes the hash
-    * array as a lambda variable), then the 61 bit-count passes run over
-    * the materialized longs — pure arithmetic, no re-hashing. This is the
-    * one-pass structure that governs cost under interpreted HOF
-    * evaluation; the unrolled alternative re-evaluates the hashing
-    * subtree per bit. */
-  def simHash(text: Column): Column =
-    bind(transform(tokens(text), t => polyHash(t)), { hs =>
+    * packed value stays positive in an i64). Native expression
+    * ([[SimHashExpr]]: one compiled loop per row). */
+  def simHash(text: Column): Column = ncol(SimHashExpr(nexpr(text)))
+
+  /** Declarative twin of [[simHash]]: each token hashed once ([[bind]]
+    * materializes the hash array), then 61 bit-count passes over the
+    * materialized longs. Parity-tested against the native expression. */
+  def simHashHof(text: Column): Column =
+    bind(transform(tokens(text), t => polyHashHof(t)), { hs =>
       val n = size(hs)
       (0 until 61).map { j =>
         val onesJ = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
@@ -136,9 +145,13 @@ object TextFunctions {
   }
 
   /** Distinct polynomial hashes of the k-shingle set — the MinHash and
-    * Jaccard input. */
+    * Jaccard input. Native expression ([[ShingleHashesExpr]]). */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s => polyHash(s)))
+    ncol(ShingleHashesExpr(nexpr(text), k))
+
+  /** Declarative twin of [[shingleHashes]], parity-tested. */
+  def shingleHashesHof(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => polyHashHof(s)))
 
   /** MinHash signature from a shingle-hash array: element i = min over
     * shingle hashes h of (a_i*h + b_i) mod P with a_i = 2i+1,
@@ -155,16 +168,21 @@ object TextFunctions {
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     minHashFromHashes(shingleHashes(text, k), numHashes)
 
-  /** LSH band keys straight from the shingle-hash array, as ONE
-    * expression that evaluates each stage exactly once per row:
-    * [[bind]] materializes the shingle hashes, a single `aggregate`
+  /** LSH band keys straight from the text column: shingles → MinHash
+    * signature → per-band poly-fold keys in one compiled pass
+    * ([[MinHashBandKeysExpr]]); null for shingle-less texts (empty docs
+    * never band-match). */
+  def minHashBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column =
+    ncol(MinHashBandKeysExpr(nexpr(text), k, numHashes, bands))
+
+  /** Declarative twin of [[minHashBandKeys]] (takes the shingle-hash
+    * array): [[bind]] materializes the hashes, a single `aggregate`
     * folds the `numHashes` running minima (array accumulator), and the
     * aggregate's `finish` lambda derives the per-band poly-fold keys
-    * from the materialized signature. Immune to CollapseProject
-    * re-inlining — there is nothing to inline. Empty shingle sets
-    * yield null (→ `posexplode` emits nothing), matching the null
-    * signature semantics above. */
-  def minHashBandKeys(shExpr: Column, numHashes: Int, bands: Int): Column = {
+    * from the materialized signature — each stage evaluates exactly once
+    * per row regardless of CollapseProject. Parity-tested against the
+    * native expression. */
+  def minHashBandKeysHof(shExpr: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     bind(shExpr, sh =>
       when(size(sh) > 0,
@@ -180,9 +198,14 @@ object TextFunctions {
         .otherwise(lit(null).cast("array<bigint>")))
   }
 
-  /** Jaccard similarity of the distinct k-shingle sets of two texts
-    * (set sizes are exact ints; the division is exact double math). */
-  def jaccardShingles(aHashes: Column, bHashes: Column): Column = {
+  /** Jaccard similarity of two distinct-hash arrays (set sizes are exact
+    * ints; the division is exact double math). Native expression
+    * ([[JaccardShinglesExpr]]). */
+  def jaccardShingles(aHashes: Column, bHashes: Column): Column =
+    ncol(JaccardShinglesExpr(nexpr(aHashes), nexpr(bHashes)))
+
+  /** Declarative twin of [[jaccardShingles]], parity-tested. */
+  def jaccardShinglesHof(aHashes: Column, bHashes: Column): Column = {
     val inter = size(array_intersect(aHashes, bHashes)).cast("double")
     val uni = size(array_distinct(concat(aHashes, bHashes))).cast("double")
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)

@@ -26,8 +26,18 @@ object VectorFunctions {
   /** L2 norm (IEEE sqrt of the ordered self-dot — bit-deterministic). */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (||a|| * ||b||). */
+  private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def nexpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** Cosine similarity = dot / (||a|| * ||b||). Native expression
+    * ([[CosineExpr]]: the three ordered folds in one compiled loop). */
   def cosine(a: Column, b: Column): Column =
+    ncol(CosineExpr(nexpr(a), nexpr(b)))
+
+  /** Declarative twin of [[cosine]], parity-tested. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared L2 distance, ordered fold. */
@@ -58,9 +68,14 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
     * long. Vectors with high cosine similarity collide with high
     * probability — the bucket key for ANN at scale (shuffle on the bucket,
-    * compare only within buckets, never n²).
+    * compare only within buckets, never n²). Native expression
+    * ([[LshSignatureExpr]]).
     */
   def lshSignature(a: Column, nPlanes: Int, dim: Int): Column =
+    ncol(LshSignatureExpr(nexpr(a), nPlanes, dim))
+
+  /** Declarative twin of [[lshSignature]], parity-tested. */
+  def lshSignatureHof(a: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
       hyperplaneBit(a, p, dim) * lit(1L << p)
     }.reduce(_ + _)

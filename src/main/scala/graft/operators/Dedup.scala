@@ -62,7 +62,7 @@ object Dedup {
     // pipeline in [[minHashBandKeys]]. Ids only — the shuffle payload is
     // 3 scalars.
     val banded = docs.select(col(idCol).as("id"), posexplode(
-      minHashBandKeys(shingleHashes(col(textCol), shingleK), numHashes, bands)))
+      minHashBandKeys(col(textCol), shingleK, numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val l = banded.select(col("band"), col("band_key"), col("id").as("doc_a"))

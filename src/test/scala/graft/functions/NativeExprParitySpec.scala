@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** The native Catalyst expressions must be bit-identical to their
+  * declarative HOF twins — the twins are the executable specification
+  * (and the thing the DuckDB oracles were derived from). Checked over
+  * the real sf0.001 corpus plus adversarial edge cases (empty text,
+  * sub-shingle-length texts, repeated tokens, multi-space runs, CJK).
+  */
+class NativeExprParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq(
+      "", "a", "a b", "one two three", "one two three four",
+      "tok tok tok tok", "x  y   z", " leading", "trailing ",
+      "的 是 了 在 和", "a b a b a b").toDF("text")
+    real.union(edges)
+  }
+
+  test("native text expressions ≡ HOF twins (polyHash/simHash/shingles/bandKeys)") {
+    val df = corpus.select(
+      T.polyHash(col("text")).as("n1"), T.polyHashHof(col("text")).as("h1"),
+      T.simHash(col("text")).as("n2"), T.simHashHof(col("text")).as("h2"),
+      T.shingleHashes(col("text"), 3).as("n3"),
+      T.shingleHashesHof(col("text"), 3).as("h3"),
+      T.minHashBandKeys(col("text"), 3, 32, 8).as("n4"),
+      T.minHashBandKeysHof(T.shingleHashesHof(col("text"), 3), 32, 8).as("h4"))
+    val bad = df.filter(!(col("n1") <=> col("h1") && col("n2") <=> col("h2") &&
+      col("n3") <=> col("h3") && col("n4") <=> col("h4"))).count()
+    assert(bad == 0)
+  }
+
+  test("native jaccard ≡ HOF twin (incl. empty-set edge)") {
+    val pairs = corpus.as("a").crossJoin(corpus.limit(5).as("b"))
+      .select(T.shingleHashes(col("a.text"), 3).as("sa"),
+        T.shingleHashes(col("b.text"), 3).as("sb"))
+    val bad = pairs.filter(
+      !(T.jaccardShingles(col("sa"), col("sb")) <=>
+        T.jaccardShinglesHof(col("sa"), col("sb")))).count()
+    assert(bad == 0)
+  }
+
+  test("native vector expressions ≡ HOF twins (cosine/lshSignature)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").crossJoin(emb.limit(7).as("b"))
+      .select(col("a.embedding").as("va"), col("b.embedding").as("vb"))
+    val bad = pairs.filter(
+      !(V.cosine(col("va"), col("vb")) <=> V.cosineHof(col("va"), col("vb")) &&
+        V.lshSignature(col("va"), 8, 64) <=> V.lshSignatureHof(col("va"), 8, 64)))
+      .count()
+    assert(bad == 0)
+  }
+}
