@@ -10,8 +10,49 @@ import org.apache.spark.sql.functions._
   * it. Failures are recorded loudly in an `errors` field (never as fake
   * timings). The JSON line goes to stdout AND `bench_result.json` so the
   * driver can parse it out of sbt log noise.
+  *
+  * Also runs the BASELINE.md §3 streaming leg: records/s through a
+  * MemoryStream → watermarked windowed aggregation (the reference's
+  * `examples/window.rs` shape) on the RocksDB state store, measured by
+  * the [[graft.streaming.Measure]] listener (the MeasureSink analog).
   */
 object Bench {
+
+  /** Streaming throughput: feed `total` events in `chunks` micro-batch
+    * waves through a tumbling-window sum per key, checkpointed to local
+    * disk; returns (rows, seconds, records/s) from query progress. */
+  private def streamingBench(spark: SparkSession, total: Int, chunks: Int): (Long, Double, Double) = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val agg = input.toDF().toDF("ts", "key", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val m = graft.streaming.Measure.attach(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+    val q = agg.writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val perChunk = total / chunks
+      var c = 0
+      while (c < chunks) {
+        val base = c.toLong * perChunk
+        input.addData((0 until perChunk).map { i =>
+          val t = (base + i) * 10L // 10 ms apart -> ~100 windows/key/chunk
+          (new Timestamp(t), (base + i) % 100L, 1L)
+        })
+        q.processAllAvailable()
+        c += 1
+      }
+    } finally {
+      q.stop()
+      graft.streaming.Measure.remove(spark, m)
+    }
+    (m.totalRows, m.totalSeconds, m.recordsPerSec)
+  }
 
   /** Force every output column to be computed: hash each row across all
     * columns, sum the hashes. One cheap partial-agg on top of the query's
@@ -31,6 +72,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit the per-batch delta, not a full
+      // RocksDB snapshot per partition per batch — the production
+      // setting for micro-batch cadence
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,8 +108,19 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val streaming =
+      if (only.isEmpty)
+        try {
+          val (rows, sec, rps) = streamingBench(spark, total = 500000, chunks = 5)
+          s""","streaming":{"rows":$rows,"sec":$sec,"records_per_sec":$rps}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] streaming leg FAILED: $e")
+            s""","streaming":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
     println(json)
     spark.stop()

@@ -122,11 +122,16 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
     * arcon/src/stream/node/debug.rs:10-60). Batch only. */
   def debug(): Seq[T] = ds.collect().toSeq
 
-  /** K4 `measure(logFreq)` sink (arcon/src/stream/operator/sink/measure.rs):
-    * throughput measurement — returns (count, elapsedSec, recordsPerSec). */
+  /** K4 `measure()` sink (arcon/src/stream/operator/sink/measure.rs):
+    * batch throughput — executes the FULL plan (internal-row
+    * materialization, so Catalyst cannot prune computed columns the way
+    * a `count()` lets it) and returns (count, elapsedSec,
+    * recordsPerSec). For streaming, attach a
+    * [[graft.streaming.Measure]] listener instead — the engine's own
+    * progress events are the continuous analog. */
   def measure(): (Long, Double, Double) = {
     val t0 = System.nanoTime()
-    val n = ds.count()
+    val n = ds.toDF().queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
     (n, sec, n / sec)
   }
@@ -209,7 +214,10 @@ object Stream {
   /** S4 Kafka source (arcon/src/stream/source/kafka.rs) — offsets,
     * partition assignment and replay are Spark's built-ins. Returns the
     * raw (key, value, topic, partition, offset, timestamp) frame; decode
-    * the value column with a [[graft.sources.SourceSchemas]] decoder. */
+    * the value column with a [[graft.sources.SourceSchemas]] decoder.
+    * Requires the spark-sql-kafka connector jar on the cluster classpath
+    * (deployment-provided; not bundled in this build — the decode/encode
+    * projections around it are broker-lessly unit-tested instead). */
   def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest"): Stream[Row] =
     new Stream(

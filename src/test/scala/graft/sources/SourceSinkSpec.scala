@@ -45,6 +45,31 @@ class SourceSinkSpec extends SparkTestBase {
       Set("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}"""))
   }
 
+  test("socket source streams lines from a live TCP server (S6)") {
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintStream(sock.getOutputStream)
+        out.println("hello")
+        out.println("world")
+        out.flush()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val stream = graft.api.Stream.fromSocket(spark, "localhost", server.getLocalPort)
+    val q = stream.ds.writeStream.format("memory").queryName("sock_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      def n() = spark.sql("SELECT * FROM sock_out").count()
+      while (n() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = spark.sql("SELECT value FROM sock_out").collect()
+        .map(_.getString(0)).toSet
+      assert(rows == Set("hello", "world"))
+    } finally { q.stop(); server.close() }
+  }
+
   test("foreachSink drives the writer contract on bounded data (socket.rs analog)") {
     import graft.api.{SourceConf, Stream}
     SinkProbe.reset()

@@ -171,6 +171,23 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("measure listener counts engine progress (sink/measure.rs analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Measure.attach(spark)
+    val input = MemoryStream[Long]
+    val q = input.toDF().writeStream.format("noop").start()
+    try {
+      input.addData(1L to 1000L)
+      q.processAllAvailable()
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.totalRows < 1000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(m.totalRows >= 1000)
+      assert(m.recordsPerSec > 0.0)
+    } finally { q.stop(); Measure.remove(spark, m) }
+  }
+
   test("streaming stateful operator via the DSL (flatMapGroupsWithState path)") {
     import graft.api.Stream
     import graft.operators.{OperatorContext, StatefulOperator}
