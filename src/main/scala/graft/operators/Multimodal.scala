@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media ride
+  * along as opaque `binary` columns with typed metadata; decode /
+  * feature-extract / frame-sample run as BATCHED partition-local
+  * operators so a real codec (libjpeg/ffmpeg/...) amortizes per-batch
+  * setup. The codec itself is a pluggable [[MediaDecoder]] — this
+  * container has no image/audio libraries, so [[MediaDecoder.stub]] is a
+  * clearly-marked deterministic fake; the Spark-side contract (schema,
+  * partition-preserving batch shape, generator-based frame explode) is
+  * real and oracle-tested.
+  *
+  * Scale notes: decode is a narrow `mapPartitions` (no shuffle, codec
+  * initialized once per partition); frame sampling is a generator
+  * (`posexplode` of a bounded `sequence`) — pipelined, no shuffle, the
+  * explode factor bounded by `maxFrames`.
+  */
+object Multimodal {
+
+  /** Decoded media metadata (the typed half of the binary+metadata
+    * column pair). */
+  case class MediaMeta(nBytes: Long, width: Int, height: Int, nFrames: Int)
+
+  /** Pluggable batch codec: one instance per partition, `decode` per
+    * record. Real deployments back this with an image/video library. */
+  trait MediaDecoder extends Serializable {
+    /** Called once per partition before decoding (codec init). */
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
+  object MediaDecoder {
+    /** STUB codec (no media libs in this container): deterministic
+      * header math standing in for a real decode — width/height/frames
+      * derived from the byte length, so every engine (and the DuckDB
+      * oracle) agrees on the result. Swap for a real codec in
+      * production. */
+    val stub: MediaDecoder = new MediaDecoder {
+      def decode(bytes: Array[Byte]): MediaMeta =
+        MediaMeta(bytes.length.toLong, bytes.length % 64,
+          bytes.length / 64, bytes.length % 7 + 1)
+    }
+  }
+
+  /** Batched decode: (id, media) → (id, n_bytes, width, height,
+    * n_frames). Partition-local, codec opened once per partition. */
+  def decodeMeta(df: DataFrame, idCol: String, mediaCol: String,
+      decoder: MediaDecoder = MediaDecoder.stub): DataFrame = {
+    val typed = df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    typed.mapPartitions { it =>
+      decoder.open()
+      it.map { case (id, bytes) =>
+        val m = decoder.decode(bytes)
+        (id, m.nBytes, m.width, m.height, m.nFrames)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt))
+      .toDF(idCol, "n_bytes", "width", "height", "n_frames")
+  }
+
+  /** Frame sampling: one output row per sampled frame index
+    * (0, stride, 2*stride, ... < n_frames, capped at maxFrames rows) —
+    * the video-to-training-examples explode, as a generator. */
+  def sampleFrames(meta: DataFrame, idCol: String, stride: Int,
+      maxFrames: Int = 1000): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val lastFrame = col("n_frames") - 1
+    val upper = lastFrame - pmod(lastFrame, lit(stride)) // floor to stride grid
+    meta.select(col(idCol), col("n_frames"),
+      posexplode(sequence(lit(0),
+        least(upper, lit((maxFrames - 1) * stride)), lit(stride))))
+      .withColumnRenamed("pos", "sample_no")
+      .withColumnRenamed("col", "frame_no")
+  }
+}

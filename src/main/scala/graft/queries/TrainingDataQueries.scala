@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -116,7 +116,24 @@ object TrainingDataQueries extends QueryModule {
         .select(col("doc_id"), col("source"),
           expr("octet_length(media)").cast("long").as("n_bytes"),
           (expr("octet_length(media)").cast("long") % 64).as("fake_width"),
-          (expr("octet_length(media)").cast("long") / 64).cast("long").as("fake_height")))
+          (expr("octet_length(media)").cast("long") / 64).cast("long").as("fake_height"))),
+
+    // Batched partition-local decode through the pluggable MediaDecoder
+    // (stub codec — deterministic header math, real batch plumbing).
+    "mm2_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("media")),
+        "doc_id", "media")),
+
+    // Frame sampling: generator explode of every 2nd frame index.
+    "mm3_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(
+          Tables.documents(s, d)
+            .select(col("doc_id"), encode(col("text"), "utf-8").as("media")),
+          "doc_id", "media"),
+        "doc_id", stride = 2))
   )
 
   // ---------------------------------------------------------------------
@@ -318,6 +335,23 @@ object TrainingDataQueries extends QueryModule {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 64 AS fake_width,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 64 AS fake_height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm2_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) // 64 AS INTEGER) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  CAST(f // 2 AS INTEGER) AS sample_no, CAST(f AS INTEGER) AS frame_no
+        |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM m)""".stripMargin
   )
 }

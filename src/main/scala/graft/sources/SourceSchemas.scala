@@ -36,4 +36,17 @@ object SourceSchemas {
   /** CSV-ish single-line decode via from_csv (bonus surface). */
   def csvValue(value: Column, schema: StructType): Column =
     from_csv(value.cast("string"), schema, Map.empty[String, String])
+
+  /** Protobuf value decode (`ProtoSchema` analog): flat proto3 message
+    * bytes → struct via [[ProtoDecode.protoValue]]. */
+  def protoValue(value: Column, fields: Seq[ProtoField]): Column =
+    ProtoDecode.protoValue(value, fields)
+
+  /** Kafka frame → typed rows via protobuf decode; malformed messages
+    * (null struct) are dropped — the report-not-fail contract. */
+  def decodedProto(kafkaFrame: DataFrame, fields: Seq[ProtoField]): DataFrame =
+    kafkaFrame
+      .select(protoValue(col("value"), fields).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
 }

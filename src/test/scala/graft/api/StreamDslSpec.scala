@@ -47,6 +47,26 @@ class StreamDslSpec extends SparkTestBase {
     assert(out.sorted == Seq(1L, 2L, 4L))
   }
 
+  test("local file sink writes one line per record (K5 local_file.rs:67-109 golden check)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    Stream.fromCollection(spark, Seq(6L, 2L, 15L)).toLocalFile(dir)
+    val lines = spark.read.textFile(dir).collect().toSeq.sorted
+    assert(lines == Seq("15", "2", "6"))
+  }
+
+  test("print and ignore sinks materialize without error (K1/K2)") {
+    val s = Stream.fromCollection(spark, (0L until 5L))
+    assert(s.print().isEmpty)  // batch: console show, no query handle
+    assert(s.ignore().isEmpty) // batch: noop write
+  }
+
+  test("rebalance and parallelism control partition counts (P5/P7)") {
+    val s = Stream.fromCollection(spark, (0L until 100L))
+    assert(s.rebalance(7).ds.rdd.getNumPartitions == 7)
+    assert(s.parallelism(3, org.apache.spark.sql.functions.col("value"))
+      .ds.rdd.getNumPartitions == 3)
+  }
+
   test("keyBy + reduce: per-key reduction (ReducerState analog)") {
     val out = Stream.fromCollection(spark, (0L until 10L))
       .keyBy(_ % 2)

@@ -45,6 +45,30 @@ class SourceSinkSpec extends SparkTestBase {
       Set("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}"""))
   }
 
+  test("protobuf decode: varint/string/double/float/bool + unknown-field skip (ProtoSchema analog)") {
+    val fields = Seq(
+      ProtoField(1, "n", LongType), ProtoField(2, "s", StringType),
+      ProtoField(3, "d", DoubleType), ProtoField(4, "f", FloatType),
+      ProtoField(5, "b", BooleanType))
+    def msg(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val full = msg(
+      Array[Byte](0x08, 0x96.toByte, 0x01),                       // 1: varint 150
+      Array[Byte](0x12, 0x07) ++ "testing".getBytes("UTF-8"),     // 2: "testing"
+      Array[Byte](0x19, 0, 0, 0, 0, 0, 0, 0xF8.toByte, 0x3F),     // 3: double 1.5
+      Array[Byte](0x25, 0, 0, 0x20, 0x40),                        // 4: float 2.5
+      Array[Byte](0x28, 0x01),                                    // 5: bool true
+      Array[Byte](0x48, 0x07))                                    // 9: unknown, skipped
+    val sparse = Array[Byte](0x08, 0x2A)                          // only field 1 = 42
+    val truncated = Array[Byte](0x12, 0x7F, 0x01)                 // len overruns buffer
+    val frames = Seq(full, sparse, truncated).toDF("value")
+    val out = SourceSchemas.decodedProto(frames, fields).collect()
+    assert(out.length == 2) // truncated dropped, report-not-fail
+    val byN = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getDouble(2), r.getFloat(3), r.getBoolean(4))).toMap
+    assert(byN(150L) == (("testing", 1.5, 2.5f, true)))
+    assert(byN(42L) == (("", 0.0, 0.0f, false))) // proto3 defaults
+  }
+
   test("socket source streams lines from a live TCP server (S6)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
@@ -61,7 +85,7 @@ class SourceSinkSpec extends SparkTestBase {
     val stream = graft.api.Stream.fromSocket(spark, "localhost", server.getLocalPort)
     val q = stream.ds.writeStream.format("memory").queryName("sock_out").start()
     try {
-      val deadline = System.currentTimeMillis() + 20000
+      val deadline = System.currentTimeMillis() + 30000
       def n() = spark.sql("SELECT * FROM sock_out").count()
       while (n() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
       val rows = spark.sql("SELECT value FROM sock_out").collect()

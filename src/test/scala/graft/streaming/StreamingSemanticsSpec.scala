@@ -179,8 +179,9 @@ class StreamingSemanticsSpec extends SparkTestBase {
     try {
       input.addData(1L to 1000L)
       q.processAllAvailable()
-      // listener delivery is async — poll briefly
-      val deadline = System.currentTimeMillis() + 10000
+      // listener delivery is async — poll (generously: suites run in
+      // parallel under sbt and the bus can lag under load)
+      val deadline = System.currentTimeMillis() + 30000
       while (m.totalRows < 1000 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       assert(m.totalRows >= 1000)
