@@ -71,6 +71,48 @@ class KeyedStream[K, T](val stream: Stream[T], val keyFn: T => K)(
     new Stream(out, SourceConf[OUT]())
   }
 
+  /** T6/W6 modern path: custom operator with DECLARED state indexes
+    * (value/appender/map — arcon's `ArconState` index layer,
+    * `arcon/src/index/mod.rs:33-198`) and native multi-timers, running
+    * on `transformWithState` when streaming (indexes become
+    * engine-checkpointed state variables; event-time timers need
+    * [[Stream.withWatermark]]) or per-key ordered replay with in-memory
+    * indexes when bounded. */
+  def indexOperator[OUT](op: graft.operators.IndexOperator[K, T, OUT])(
+      implicit outEnc: Encoder[OUT]): Stream[OUT] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues}
+    val timeFn = stream.conf.timeExtractor
+    val out: Dataset[OUT] =
+      if (ds.isStreaming) {
+        val theOp = op
+        val proc = new StatefulProcessor[K, T, OUT] {
+          private def ctx(tv: TimerValues): graft.operators.TimerContext =
+            new graft.operators.TimerContext {
+              def scheduleAt(ts: Long): Unit = getHandle.registerTimer(ts)
+              def deleteTimer(ts: Long): Unit = getHandle.deleteTimer(ts)
+              def watermark: Long = tv.getCurrentWatermarkInMs()
+            }
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            theOp.open(new TwsIndexState(getHandle))
+          override def handleInputRows(key: K, rows: Iterator[T],
+              timerValues: TimerValues): Iterator[OUT] = {
+            val c = ctx(timerValues)
+            rows.flatMap(r => theOp.handleElement(key, r, timeFn.map(f => f(r)), c))
+          }
+          override def handleExpiredTimer(key: K, timerValues: TimerValues,
+              expiredTimerInfo: ExpiredTimerInfo): Iterator[OUT] =
+            theOp.handleTimer(key, expiredTimerInfo.getExpiryTimeInMs(), ctx(timerValues))
+        }
+        val timeMode =
+          if (stream.watermarked) TimeMode.EventTime() else TimeMode.None()
+        ds.groupByKey(keyFn).transformWithState(proc, timeMode, OutputMode.Append())
+      } else
+        ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
+          graft.operators.IndexOperator.runBounded(op, timeFn, k, it)
+        }
+    new Stream(out, SourceConf[OUT]())
+  }
+
   /** W1 window assigner entry point
     * (arcon/src/stream/operator/window/assigner.rs): tumbling/sliding
     * event-time windows over this keyed stream. Requires a timestamp

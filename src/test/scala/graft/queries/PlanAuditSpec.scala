@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape audits: the properties that make these queries survive a
+  * 100× scale-up, asserted against the actual physical plans so a
+  * regression (a filter that stops pushing, a broadcast that becomes a
+  * shuffle join, an aggregation that loses its map-side partial) fails
+  * the build — not just a slower benchmark.
+  */
+class PlanAuditSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("t1_filter: predicates push into the parquet scan (row-group pruning at scale)") {
+    val p = plan("t1_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(l_quantity"))
+  }
+
+  test("j2_join_broadcast: dimension join is a broadcast, not a shuffle of the fact table") {
+    val p = plan("j2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q1_agg: aggregation runs partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("Partial"))
+  }
+
+  test("t2_map: computed projection stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("t2_map")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("[codegen id"), formatted) // WSCG stage markers
+  }
+
+  test("dd2_minhash_lsh: the band self-join exchange carries no shingle arrays") {
+    // the only array column is `sh`; it must not appear in any Exchange's
+    // output — the band join ships (band, band_key, id) scalars only.
+    val p = plan("dd2_minhash_lsh")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning(band"))
+    assert(exchanges.forall(l => !l.contains("sh#")), p)
+  }
+
+  test("sim1_topk_bruteforce: queries broadcast; no global per-query sort of the corpus") {
+    val p = plan("sim1_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
