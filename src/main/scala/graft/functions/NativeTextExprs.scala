@@ -99,23 +99,34 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 61-bit SimHash: majority vote of each bit over all token hashes. */
+/** 61-bit SimHash: majority vote of each bit over all token hashes.
+  * Single pass over the characters — token hashes accumulate inline at
+  * each space boundary, so no token array or substring is ever
+  * allocated (identical values to hashing `split(s, " ", -1)` segments:
+  * empty segments hash to 0, contributing count but no bits). */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
-    val toks = NativeText.splitSpaces(input.asInstanceOf[UTF8String].toString)
-    val n = toks.length
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
     val counts = new Array[Int](61)
-    var t = 0
-    while (t < n) {
-      val h = NativeText.polyHash(toks(t))
-      var j = 0
-      while (j < 61) {
-        counts(j) += ((h >> j) & 1L).toInt
-        j += 1
-      }
-      t += 1
+    var n = 0
+    var acc = 0L
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        n += 1
+        if (acc != 0L) {
+          var j = 0
+          while (j < 61) {
+            counts(j) += ((acc >> j) & 1L).toInt
+            j += 1
+          }
+        }
+        acc = 0L
+      } else acc = (acc * 31L + s.charAt(i)) % NativeText.P
+      i += 1
     }
     var sig = 0L
     var j = 0

@@ -72,6 +72,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nCells`
+    * coarse cells by nearest-centroid assignment; each query probes only
+    * its `nProbe` nearest cells. Centroid "training" is a deterministic
+    * stub — the first `nCells` corpus vectors — so every engine (and the
+    * DuckDB oracle) reproduces the cells bit-for-bit; production swaps
+    * in k-means centroids and nothing else changes. The shape is what
+    * scales: centroids broadcast, the candidate join shuffles on the
+    * cell id, and per-query work drops by ~nProbe/nCells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("cv"), col("centroid")))
+    // argmax centroid per vector (ties break by cell id) — the window
+    // ranks nCells rows per vector, not the corpus
+    val wA = Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("cell"))
+    val cells = assigned.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1).select(col("cell"), col("neighbor_id"), col("cv"))
+    val qa = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("qv"), col("centroid")))
+    val wQ = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
+    val probes = qa.withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nProbe).select(col("cell"), col("query_id"), col("qv"))
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {

@@ -108,6 +108,12 @@ object TrainingDataQueries extends QueryModule {
         "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64)
     }),
 
+    "sim3_topk_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2)
+    }),
+
     // ---- Multimodal plumbing: opaque binary + derived metadata ----
     "mm1_media_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -325,6 +331,29 @@ object TrainingDataQueries extends QueryModule {
          |scored AS (
          |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
          |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    "sim3_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |cells AS (
+         |  SELECT cell, neighbor_id, cv FROM (
+         |    SELECT c.cell, e.vec_id AS neighbor_id, e.embedding AS cv,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cell, query_id, qv FROM (
+         |    SELECT c.cell, q.vec_id AS query_id, q.embedding AS qv,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+         |  FROM probes JOIN cells USING (cell) WHERE neighbor_id <> query_id)
          |SELECT query_id, neighbor_id, cosine, "rank" FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"

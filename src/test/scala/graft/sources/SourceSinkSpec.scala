@@ -24,6 +24,17 @@ class SourceSinkSpec extends SparkTestBase {
     assert(out == Set((1L, "x"), (2L, "y")))
   }
 
+  test("json decode tolerates schema evolution: added/removed/rearranged fields (flight_serde.rs analog)") {
+    val frames = Seq(
+      """{"a":1,"b":"x","new_field":99}""", // producer added a field: ignored
+      """{"b":"y","a":2}""",                // rearranged: order-independent
+      """{"a":3}"""                         // producer removed b: null
+    ).toDF("value")
+    val out = SourceSchemas.decoded(frames, schema).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(out == Set((1L, "x"), (2L, "y"), (3L, null)))
+  }
+
   test("csv decode parses delimited lines") {
     val out = Seq("7,hello").toDF("value")
       .select(SourceSchemas.csvValue(col("value"), schema).as("r"))

@@ -171,6 +171,38 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("watermark is the MIN over sources — a silent source holds it back (node watermark alignment)") {
+    // The reference's node watermark = min over senders
+    // (arcon/src/stream/node/mod.rs:350-404): one slow sender gates
+    // every downstream trigger. Spark: the query watermark is the min
+    // over all sources; a source that has seen no data keeps it at 0.
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, Long)]
+    val b = MemoryStream[(Timestamp, Long)]
+    // one watermark node per source branch: the query watermark is the
+    // MIN across them (multipleWatermarkPolicy=min, the default)
+    val wa = a.toDF().toDF("ts", "v").withWatermark("ts", "0 seconds")
+    val wb = b.toDF().toDF("ts", "v").withWatermark("ts", "0 seconds")
+    val agg = wa.union(wb)
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("window.start").cast("long").as("ws"), col("sv"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("align_out").start()
+    try {
+      a.addData((ts(5), 1L))
+      a.addData((ts(100), 1L)) // source A far ahead
+      q.processAllAvailable()
+      // B silent -> combined watermark still 0 -> window [0,10) not emitted
+      assert(spark.sql("SELECT * FROM align_out").count() == 0)
+      b.addData((ts(50), 2L)) // B catches up -> watermark min(100,50)=50
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, sv FROM align_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((0L, 1L))) // [0,10) emitted; [40,50)/[100,110) still open
+    } finally q.stop()
+  }
+
   test("measure listener counts engine progress (sink/measure.rs analog)") {
     implicit val sqlCtx = spark.sqlContext
     val m = Measure.attach(spark)
