@@ -121,6 +121,41 @@ object Dedup {
         jaccardShingles(col("sh_a"), col("sh_b")).as("jaccard")): _*)
   }
 
+  /** Connected components over a near-duplicate pair list: every doc
+    * gets its cluster's minimum doc id as `cluster_id` (the canonical
+    * "keeper"), turning pairwise dedup output into per-cluster keep/drop
+    * decisions — the step after [[minHashLsh]]/[[simHashDup]] in a real
+    * pipeline.
+    *
+    * Iterative min-label propagation: labels flow along edges until
+    * fixpoint; iterations = component diameter (near-dup clusters are
+    * shallow — duplicates of a common source — so this is a handful of
+    * bounded shuffles, each keyed on doc id). Lineage is truncated per
+    * iteration (`localCheckpoint`), the standard guard against plan
+    * blow-up in iterative Spark. Isolated docs (no edges) are not
+    * emitted; callers left-join and coalesce to self. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels, edges("b") === labels("doc_id"))
+        .select(col("a").as("doc_id"), col("cluster_id"))
+        .union(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = prop.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") < col("old")).count()
+      labels = prop
+    }
+    labels
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * restricted to equal random-hyperplane LSH buckets (collision prob.
     * for cosine ≥ 0.95 with 8 planes ≈ (1 - 0.102)^8 ≈ 0.42 per table;

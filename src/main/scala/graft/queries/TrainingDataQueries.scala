@@ -87,6 +87,14 @@ object TrainingDataQueries extends QueryModule {
     "dd3_simhash" -> ((s, d) =>
       Dedup.simHashDup(exactDupDocs(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // Near-dup pairs → connected components → canonical keeper per
+    // cluster (min doc id) — the keep/drop decision step.
+    "dd6_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.minHashLsh(nearDupDocs(s, d), "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5),
+        "doc_a", "doc_b")),
+
     "dd4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         blockCols = Seq("lang", "source"), n = 3)),
@@ -209,6 +217,27 @@ object TrainingDataQueries extends QueryModule {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents
       |WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Full dd2 oracle query — also embedded as a CTE by dd6's recursive
+    * connected-components oracle. */
+  private lazy val dd2Sql: String =
+    s"""WITH cand AS ($nearDupDocsSql),
+       |sig AS (
+       |  SELECT doc_id AS id, ${sh3("text")} AS shs,
+       |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
+       |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
+       |  FROM cand),
+       |banded AS (
+       |  SELECT id, shs, t.b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
+       |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
+       |  FROM sig CROSS JOIN range(8) AS t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
+       |    ${jac("l.shs", "r.shs")} AS jaccard
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
   private val nearDupEmbSql =
     """SELECT vec_id, embedding FROM embeddings
       |UNION ALL
@@ -266,24 +295,20 @@ object TrainingDataQueries extends QueryModule {
       s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM ($exactDupDocsSql) GROUP BY text""".stripMargin,
 
-    "dd2_minhash_lsh" ->
-      s"""WITH cand AS ($nearDupDocsSql),
-         |sig AS (
-         |  SELECT doc_id AS id, ${sh3("text")} AS shs,
-         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
-         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
-         |  FROM cand),
-         |banded AS (
-         |  SELECT id, shs, t.b AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
-         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
-         |  FROM sig CROSS JOIN range(8) AS t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
-         |    ${jac("l.shs", "r.shs")} AS jaccard
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id)
-         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    "dd2_minhash_lsh" -> dd2Sql,
+
+    "dd6_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |$dd2Sql
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM reach r JOIN edges e ON e.b = r.n)
+         |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
 
     "dd3_simhash" ->
       s"""WITH cand AS ($exactDupDocsSql),

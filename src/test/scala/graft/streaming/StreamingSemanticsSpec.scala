@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * watermark-driven tumbling windows in append mode, late-data discard
   * with allowed lateness, and the epoch snapshot (TSS) export.
   */
+/** JVM-wide row collector for foreachBatch assertions (local-mode
+  * executors share the JVM). */
+object RestoreProbe {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+  def reset(): Unit = buf.clear()
+  def add(rows: Array[(Int, Long)]): Unit = rows.foreach(buf.add)
+  def rows(): Set[(Int, Long)] = {
+    val it = buf.iterator()
+    val out = Set.newBuilder[(Int, Long)]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+}
+
 class StreamingSemanticsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -168,6 +182,51 @@ class StreamingSemanticsSpec extends SparkTestBase {
       // 8 = 5 (restored state) + 3 (new) — 13 would mean replayed batch
       // (duplication), 3 would mean lost state.
       assert(rows == Map(1 -> 8L, 2 -> 7L))
+    } finally q2.stop()
+  }
+
+  test("custom operator state AND pending timers survive checkpoint restart") {
+    import graft.api.Stream
+    import graft.operators.{OperatorContext, StatefulOperator}
+    import org.apache.spark.sql.Encoders
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-op-restore").toString
+    val input = MemoryStream[(Timestamp, Int, Long)]
+    val op = new StatefulOperator[Int, (Timestamp, Int, Long), Long, (Int, Long)] {
+      def initialState: Long = 0L
+      def handleElement(key: Int, e: (Timestamp, Int, Long), ts: Option[Long],
+          state: Long, ctx: OperatorContext): (Long, Iterator[(Int, Long)]) = {
+        if (state == 0L) ctx.scheduleAt(ts.get + 5000)
+        (state + e._3, Iterator.empty)
+      }
+      override def handleTimeout(key: Int, state: Long,
+          ctx: OperatorContext): (Long, Iterator[(Int, Long)]) =
+        (state, Iterator((key, state)))
+    }
+    RestoreProbe.reset()
+    def startQuery() = {
+      val stream = new Stream(input.toDS(), graft.api.SourceConf[(Timestamp, Int, Long)]())
+        .withWatermark("_1", "0 seconds")
+        .withTimestampExtractor(_._1.getTime)
+      stream.keyBy(_._2).operator(op)(
+        Encoders.scalaLong, Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+        .ds.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        // memory sink can't recover from a checkpoint; foreachBatch can
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, Long)], _: Long) =>
+          RestoreProbe.add(batch.collect())
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    input.addData((ts(1), 1, 10L)) // state 10, timer armed at 6s
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery() // state + packed timers must come back from ckpt
+    try {
+      input.addData((ts(20), 2, 1L)) // watermark → 20s: restored timer fires
+      q2.processAllAvailable()
+      assert(RestoreProbe.rows().contains((1, 10L)))
     } finally q2.stop()
   }
 
