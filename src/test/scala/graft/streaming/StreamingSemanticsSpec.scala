@@ -262,6 +262,54 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("operator-built tumbling windows ≡ built-in window() aggregation (assigner.rs construction)") {
+    import graft.api.Stream
+    import org.apache.spark.sql.Encoders
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts(1), 1, 10L), (ts(5), 1, 2L), (ts(9), 2, 4L),
+      (ts(12), 1, 7L), (ts(15), 2, 1L), (ts(23), 1, 3L))
+    val flush = (ts(100), 9, 0L) // pushes the watermark past every window
+
+    // path A: windows built ON the custom-operator contract
+    val inA = MemoryStream[(Timestamp, Int, Long)]
+    val op = new OperatorWindows.TumblingSumOp[Int, (Timestamp, Int, Long)](10000L, _._3)
+    val outA = new Stream(inA.toDS(), graft.api.SourceConf[(Timestamp, Int, Long)]())
+      .withWatermark("_1", "0 seconds")
+      .withTimestampExtractor(_._1.getTime)
+      .keyBy(_._2)
+      .operator(op)(Encoders.BINARY,
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+    val qA = outA.ds.writeStream.outputMode("append")
+      .format("memory").queryName("opwin_out").start()
+
+    // path B: the built-in window() aggregation
+    val inB = MemoryStream[(Timestamp, Int, Long)]
+    val aggB = inB.toDF().toDF("ts", "key", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("key"), (col("window.start").cast("long") * 1000).as("ws"), col("sv"))
+    val qB = aggB.writeStream.outputMode("append")
+      .format("memory").queryName("binwin_out").start()
+
+    try {
+      inA.addData(data); inB.addData(data)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      inA.addData(flush); inB.addData(flush)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      val a = spark.sql("SELECT * FROM opwin_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val b = spark.sql("SELECT * FROM binwin_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a.nonEmpty)
+      // built-in emits the flush row's own (still-open) window only after
+      // later watermarks; both sides exclude windows that never closed,
+      // so the emitted sets must be identical
+      assert(a == b)
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("measure listener counts engine progress (sink/measure.rs analog)") {
     implicit val sqlCtx = spark.sqlContext
     val m = Measure.attach(spark)
