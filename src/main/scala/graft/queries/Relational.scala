@@ -185,6 +185,9 @@ object Relational extends QueryModule {
     // T5 stateful-map analog (arcon Map::stateful running aggregate,
     // examples/stateful.rs): deterministic running sum per key — a single
     // shuffle+sort, streams through the window operator at any scale.
+    // One task per key: if a key goes hot at 100×, switch to the
+    // bucketed two-phase form (graft.operators.ScalableWindows
+    // .runningSum — equivalence-tested).
     "t5_stateful_running" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
