@@ -183,6 +183,13 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
   def toParquet(path: String): Unit =
     ds.write.mode("overwrite").parquet(path)
 
+  /** K8 Arrow IPC stream-file export (`write_arrow_file`,
+    * arcon/src/table/mod.rs:334-341): one standard Arrow IPC file any
+    * Arrow reader opens. For bounded state-table snapshots; parquet is
+    * the at-scale path. Read back with [[Stream.fromArrowFile]]. */
+  def toArrowFile(path: String): Unit =
+    org.apache.spark.sql.graftbridge.ArrowBridge.writeArrowFile(ds.toDF(), path)
+
   def toDF: DataFrame = ds.toDF()
 }
 
@@ -210,6 +217,13 @@ object Stream {
   /** Untyped parquet source. */
   def fromParquetDF(spark: SparkSession, path: String): Stream[Row] =
     new Stream(spark.read.parquet(path), SourceConf[Row]())
+
+  /** Arrow IPC stream-file source (`read_arrow_file`,
+    * arcon/src/table/mod.rs:295-311 analog). */
+  def fromArrowFile(spark: SparkSession, path: String): Stream[Row] =
+    new Stream(
+      org.apache.spark.sql.graftbridge.ArrowBridge.readArrowFile(spark, path),
+      SourceConf[Row]())
 
   /** S4 Kafka source (arcon/src/stream/source/kafka.rs) — offsets,
     * partition assignment and replay are Spark's built-ins. Returns the

@@ -54,6 +54,20 @@ class StreamDslSpec extends SparkTestBase {
     assert(lines == Seq("15", "2", "6"))
   }
 
+  test("arrow IPC file round-trip (table/mod.rs:343-418 round-trip tests)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-arrow").toString + "/t.arrow"
+    val df = spark.range(100).selectExpr("id", "concat('v', id) AS s",
+      "CAST(id * 1.5 AS DOUBLE) AS d")
+    new Stream(df.toDF(), SourceConf[org.apache.spark.sql.Row]()).toArrowFile(path)
+    val back = Stream.fromArrowFile(spark, path).debug()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val orig = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == orig)
+    // any Arrow reader opens it: check the stream magic is parseable by
+    // re-reading through the converters (done above) and non-empty file
+    assert(new java.io.File(path).length() > 0)
+  }
+
   test("print and ignore sinks materialize without error (K1/K2)") {
     val s = Stream.fromCollection(spark, (0L until 5L))
     assert(s.print().isEmpty)  // batch: console show, no query handle
