@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the Spark-idiomatic equivalent of that "hash in compiled code, not in
   * the query interpreter" stance. DuckDB-oracle parity is bit-exact:
   * integer-only arithmetic, ordered folds.
+  *
+  * All hot-path expressions implement `doGenCode` (a static call into
+  * this object's forwarders), so projections using them stay INSIDE
+  * whole-stage codegen instead of falling back to interpreted rows.
   */
 object NativeText {
   /** Modulus shared with [[TextFunctions.P]]. */
@@ -76,39 +80,12 @@ object NativeText {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     out
   }
-}
 
-/** `polyHash(text)` as one compiled loop. */
-case class PolyHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any =
-    NativeText.polyHash(input.asInstanceOf[UTF8String].toString)
-  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
-    copy(child = newChild)
-}
-
-/** Distinct k-shingle polynomial hashes (MinHash / Jaccard input). */
-case class ShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      NativeText.shingleHashes(input.asInstanceOf[UTF8String].toString, k))
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
-    copy(child = newChild)
-}
-
-/** 61-bit SimHash: majority vote of each bit over all token hashes.
-  * Single pass over the characters — token hashes accumulate inline at
-  * each space boundary, so no token array or substring is ever
-  * allocated (identical values to hashing `split(s, " ", -1)` segments:
-  * empty segments hash to 0, contributing count but no bits). */
-case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** SimHash body shared by eval and generated code: single char scan,
+    * token hashes accumulate inline at space boundaries (identical to
+    * hashing `split(s, " ", -1)` segments; empty segments hash to 0 —
+    * count but no bits). */
+  def simHash(s: String): Long = {
     val len = s.length
     val counts = new Array[Int](61)
     var n = 0
@@ -125,7 +102,7 @@ case class SimHashExpr(child: Expression)
           }
         }
         acc = 0L
-      } else acc = (acc * 31L + s.charAt(i)) % NativeText.P
+      } else acc = (acc * 31L + s.charAt(i)) % P
       i += 1
     }
     var sig = 0L
@@ -136,6 +113,68 @@ case class SimHashExpr(child: Expression)
     }
     sig
   }
+
+  /** Jaccard of two distinct-hash arrays (|A∩B| / |A∪B|). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val aa = a.toLongArray()
+    val bb = b.toLongArray()
+    val union = aa.length + bb.length
+    if (union == 0) return 0.0
+    val set = new java.util.HashSet[java.lang.Long](aa.length * 2)
+    var i = 0
+    while (i < aa.length) { set.add(aa(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < bb.length) {
+      if (set.contains(bb(j))) inter += 1
+      j += 1
+    }
+    inter.toDouble / (union - inter).toDouble
+  }
+
+  /** Shingle hashes boxed for generated code. */
+  def shingleArray(s: String, k: Int): GenericArrayData =
+    new GenericArrayData(shingleHashes(s, k))
+}
+
+/** `polyHash(text)` as one compiled loop, fused into WSCG. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.polyHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.polyHash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** Distinct k-shingle polynomial hashes (MinHash / Jaccard input).
+  *
+  * Deliberately CodegenFallback: this expression feeds join-side
+  * projections (dd2/dd4), and whole-stage codegen evaluates stream-side
+  * expressions LAZILY inside the join's match loop — fusing it would
+  * recompute the shingles once per matched pair (~200×/row in dd4,
+  * measured 2.4× slower end-to-end). The fallback keeps an interpreted
+  * Project that materializes the array once per input row before the
+  * join; the eval itself is still the native single-pass loop. */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.shingleArray(input.asInstanceOf[UTF8String].toString, k)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** 61-bit SimHash: majority vote of each bit over all token hashes —
+  * the single-char-scan body in [[NativeText.simHash]], fused into
+  * WSCG. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.simHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.simHash($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
@@ -183,26 +222,13 @@ case class MinHashBandKeysExpr(child: Expression, k: Int, numHashes: Int, bands:
 }
 
 /** Jaccard of two distinct-hash arrays:
-  * |A∩B| / |A∪B| with |A∪B| = |A|+|B|-|A∩B| (inputs are distinct). */
+  * |A∩B| / |A∪B| with |A∪B| = |A|+|B|-|A∩B| (inputs are distinct).
+  * Fused into WSCG. */
 case class JaccardShinglesExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData].toLongArray()
-    val bb = b.asInstanceOf[ArrayData].toLongArray()
-    val union = aa.length + bb.length
-    if (union == 0) return 0.0
-    val set = new java.util.HashSet[java.lang.Long](aa.length * 2)
-    var i = 0
-    while (i < aa.length) { set.add(aa(i)); i += 1 }
-    var inter = 0
-    var j = 0
-    while (j < bb.length) {
-      if (set.contains(bb(j))) inter += 1
-      j += 1
-    }
-    inter.toDouble / (union - inter).toDouble
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeText.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardShinglesExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -1,15 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the embedding hot path — same ordered
   * double-precision left folds as the `zip_with`/`aggregate`
   * formulations in [[VectorFunctions]] (bit-identical results, the
-  * similarity oracles stay green), as one compiled loop per row instead
-  * of interpreted per-element lambda evaluation. */
+  * similarity oracles stay green), as one compiled loop per row with
+  * `doGenCode` fusing the call into whole-stage codegen. */
 object NativeVector {
   /** Ordered left-fold dot product of two float vectors in double. */
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -22,32 +22,15 @@ object NativeVector {
     }
     acc
   }
-}
 
-/** cosine(a, b) = dot/(sqrt(selfdot_a) * sqrt(selfdot_b)), each sum an
-  * ordered left fold — the [[VectorFunctions.cosine]] contract. */
-case class CosineExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData]
-    val bb = b.asInstanceOf[ArrayData]
-    NativeVector.dot(aa, bb) /
-      (math.sqrt(NativeVector.dot(aa, aa)) * math.sqrt(NativeVector.dot(bb, bb)))
-  }
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
-    copy(left = newLeft, right = newRight)
-}
+  /** cosine = dot / (sqrt(selfdot_a) * sqrt(selfdot_b)), ordered folds. */
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
-/** Random-hyperplane LSH signature: plane p's component j is the Weyl
-  * sequence value ((p*dim + j) * 2654435761 mod 1000003)/1000003 - 0.5;
-  * bit p = [dot(a, plane_p) > 0]; bits packed little-endian — exactly
-  * [[VectorFunctions.lshSignature]] (ordered j-fold per plane). */
-case class LshSignatureExpr(child: Expression, nPlanes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  /** Random-hyperplane LSH signature: plane p's component j is the Weyl
+    * value ((p*dim + j) * 2654435761 mod 1000003)/1000003 - 0.5; bit p =
+    * [dot(a, plane_p) > 0], packed little-endian (ordered j-fold). */
+  def lshSignature(a: ArrayData, nPlanes: Int, dim: Int): Long = {
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
@@ -63,6 +46,30 @@ case class LshSignatureExpr(child: Expression, nPlanes: Int, dim: Int)
     }
     sig
   }
+}
+
+/** [[VectorFunctions.cosine]] as a fused compiled loop. */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeVector.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[VectorFunctions.lshSignature]] as a fused compiled loop. */
+case class LshSignatureExpr(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVector.lshSignature(input.asInstanceOf[ArrayData], nPlanes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeVector.lshSignature($c, $nPlanes, $dim)")
   override protected def withNewChildInternal(newChild: Expression): LshSignatureExpr =
     copy(child = newChild)
 }
