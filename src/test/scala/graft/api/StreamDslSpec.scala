@@ -91,6 +91,25 @@ class StreamDslSpec extends SparkTestBase {
     assert(Application.run(s, conf).isEmpty) // bounded: executed + discarded
   }
 
+  test("keyed partitioning: all elements of a key land in one partition (channel/strategy/keyed.rs:148-225)") {
+    // the Keyed channel strategy's contract: hash routing sends every
+    // element of a key to the same downstream instance, and keys spread
+    // across instances. Spark analog: repartition by key column.
+    val n = 1000
+    val parts = 8
+    val byPartition = Stream.fromCollection(spark, (0L until n))
+      .parallelism(parts, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("value"), org.apache.spark.sql.functions.lit(64L)))
+      .ds.mapPartitions { it => Iterator(it.map(_ % 64).toSet) }
+      .collect()
+    // each key appears in exactly one partition
+    val all = byPartition.flatten
+    assert(all.size == all.toSet.size, "a key appeared in two partitions")
+    assert(all.toSet == (0L until 64L).toSet)
+    // and keys spread across more than one instance
+    assert(byPartition.count(_.nonEmpty) > 1)
+  }
+
   test("keyBy + reduce: per-key reduction (ReducerState analog)") {
     val out = Stream.fromCollection(spark, (0L until 10L))
       .keyBy(_ % 2)
