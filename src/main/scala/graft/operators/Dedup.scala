@@ -99,8 +99,12 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming is two ALU ops — filter BEFORE the distinct so the
+      // dedup shuffle carries only surviving near-dup pairs, not every
+      // chunk-collision candidate (identical rows: hamming is a
+      // function of the pair)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact pairwise n-gram Jaccard within blocking groups. Emits every
