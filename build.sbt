@@ -14,6 +14,11 @@ Test / fork := true
 // streaming listener bus / query manager and flake — run serially.
 Test / parallelExecution := false
 run / fork := true
+// Send forked-run output straight to stdout: sbt's logger prefixes every
+// line with [info]/[error], which mangles Bench's one-line JSON for any
+// harness that parses the process output (BENCH_r0{1,2,3}.json all show
+// "parsed": null). StdoutOutput emits the line verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

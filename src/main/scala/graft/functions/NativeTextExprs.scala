@@ -114,22 +114,29 @@ object NativeText {
     sig
   }
 
-  /** Jaccard of two distinct-hash arrays (|A∩B| / |A∪B|). */
+  /** Set Jaccard |A∩B| / |A∪B| of two hash arrays. Duplicates inside
+    * either input are deduplicated first (the `array_intersect` /
+    * `array_distinct` semantics of the HOF twin), so the result is
+    * correct for any input, not just pre-distinct ones. 0.0 when both
+    * sides are empty. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val aa = a.toLongArray()
     val bb = b.toLongArray()
-    val union = aa.length + bb.length
-    if (union == 0) return 0.0
-    val set = new java.util.HashSet[java.lang.Long](aa.length * 2)
+    val setA = new java.util.HashSet[java.lang.Long](aa.length * 2)
     var i = 0
-    while (i < aa.length) { set.add(aa(i)); i += 1 }
+    while (i < aa.length) { setA.add(aa(i)); i += 1 }
+    val seenB = new java.util.HashSet[java.lang.Long](bb.length * 2)
     var inter = 0
+    var onlyB = 0
     var j = 0
     while (j < bb.length) {
-      if (set.contains(bb(j))) inter += 1
+      if (seenB.add(bb(j))) {
+        if (setA.contains(bb(j))) inter += 1 else onlyB += 1
+      }
       j += 1
     }
-    inter.toDouble / (union - inter).toDouble
+    val union = setA.size + onlyB
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** Shingle hashes boxed for generated code. */
@@ -221,14 +228,17 @@ case class MinHashBandKeysExpr(child: Expression, k: Int, numHashes: Int, bands:
     copy(child = newChild)
 }
 
-/** Jaccard of two distinct-hash arrays:
-  * |A∩B| / |A∪B| with |A∪B| = |A|+|B|-|A∩B| (inputs are distinct).
-  * Fused into WSCG. */
+/** Set Jaccard |A∩B| / |A∪B| of two hash arrays (duplicate-safe — see
+  * [[NativeText.jaccard]]). Fused into WSCG: it only ever runs per
+  * candidate PAIR (post-join verify), so the codegen lazy-eval hazard
+  * that keeps [[ShingleHashesExpr]] interpreted does not apply here. */
 case class JaccardShinglesExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeText.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeText.jaccard($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardShinglesExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -198,9 +198,10 @@ object TextFunctions {
         .otherwise(lit(null).cast("array<bigint>")))
   }
 
-  /** Jaccard similarity of two distinct-hash arrays (set sizes are exact
-    * ints; the division is exact double math). Native expression
-    * ([[JaccardShinglesExpr]]). */
+  /** Set Jaccard similarity of two hash arrays (duplicates inside either
+    * input are deduplicated, matching the HOF twin's `array_intersect`/
+    * `array_distinct` semantics; set sizes are exact ints, the division
+    * exact double math). Native expression ([[JaccardShinglesExpr]]). */
   def jaccardShingles(aHashes: Column, bHashes: Column): Column =
     ncol(JaccardShinglesExpr(nexpr(aHashes), nexpr(bHashes)))
 

@@ -10,6 +10,12 @@ import graft.api.{IndexState, LocalIndexState}
   * `StatefulProcessorHandle.registerTimer/deleteTimer`; bounded replay
   * keeps a sorted set. */
 trait TimerContext {
+  /** Arm a timer at `ts`. SET semantics, deliberately: timers here are
+    * keyed by timestamp (scheduling the same instant twice coalesces to
+    * one firing, and [[deleteTimer]] disarms by timestamp), mirroring
+    * the engine's native `registerTimer`/`deleteTimer` surface that the
+    * streaming binding maps onto. [[StatefulOperator]]'s `scheduleAt`
+    * is the multiset/per-entry variant for reference-exact firing. */
   def scheduleAt(ts: Long): Unit
   def deleteTimer(ts: Long): Unit
   /** Current event-time watermark (Long.MinValue when unknown). */

@@ -44,8 +44,10 @@ object ScalableWindows {
       coalesce(sum(col("__tot")).over(byKey), lit(0)))
       .select(col("__k"), col("__b"), col("__off"))
 
+    // drop every internal helper: callers get the input columns plus
+    // exactly one new column, __running
     withinRunning.join(offsets, Seq("__k", "__b"))
       .withColumn("__running", col("__run_in") + col("__off"))
-      .drop("__run_in")
+      .drop("__run_in", "__k", "__b", "__off")
   }
 }

@@ -4,6 +4,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -30,7 +31,10 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Phase 1: per-partition top-k per query via bounded heaps (heap head
-    * = the worst kept candidate under (cosine desc, neighbor_id asc)). */
+    * = the worst kept candidate under (cosine desc, neighbor_id asc)).
+    * The heap phase encodes ids as longs, so it only runs for integral
+    * id columns (where the cast is lossless and the tie-break order is
+    * the id order); [[rankTopK]] checks and skips it otherwise. */
   private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     val typed = scored.select(
@@ -53,11 +57,20 @@ object Similarity {
     pruned.toDF("query_id", "neighbor_id", "cosine")
   }
 
-  /** Phase 2: exact global rank over the pruned survivors. */
+  /** Phase 2: exact global rank over the pruned survivors. Non-integral
+    * id columns (strings, uuids, …) skip the heap phase — the rank alone
+    * is still correct for any id type, just without the pre-prune. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val integralIds = Seq("query_id", "neighbor_id").forall { n =>
+      scored.schema(n).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val pruned = if (integralIds) partitionTopK(scored, k) else scored
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    partitionTopK(scored, k)
+    pruned
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

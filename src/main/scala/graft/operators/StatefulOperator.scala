@@ -17,8 +17,10 @@ final class OperatorContext(val currentTime: Option[Long]) {
     * passes `ts` — `ProcessorContext::schedule_at`. Multiple live timers
     * per key are supported, as in the reference's quad-wheel
     * (arcon/src/stream/node/timer.rs:61-274): the framework keeps the
-    * pending set in state and arms Spark's single per-group timeout at
-    * the earliest entry, re-arming as timers fire. */
+    * pending MULTISET in state (two timers at the same instant fire
+    * twice, like the reference's per-entry firing) and arms Spark's
+    * single per-group timeout at the earliest entry, re-arming as
+    * timers fire. */
   def scheduleAt(ts: Long): Unit = scheduled += ts
 }
 
@@ -45,20 +47,40 @@ trait StatefulOperator[K, IN, S, OUT] extends Serializable {
 
 object StatefulOperator {
 
+  /** Pending timers as a sorted MULTISET (timestamp → count): two timers
+    * scheduled at the same instant for a key fire as two `handleTimeout`
+    * invocations, exactly like the reference quad-wheel, which fires
+    * each scheduled entry (timer.rs:61-274). */
+  private[operators] final class TimerQueue {
+    private val m = mutable.TreeMap.empty[Long, Int]
+    def nonEmpty: Boolean = m.nonEmpty
+    def head: Long = m.firstKey
+    def removeOne(t: Long): Unit = m.get(t) match {
+      case Some(1) => m.remove(t)
+      case Some(n) => m.update(t, n - 1)
+      case None    =>
+    }
+    def add(t: Long): Unit = m.update(t, m.getOrElse(t, 0) + 1)
+    def addAll(ts: Iterable[Long]): Unit = ts.foreach(add)
+    def size: Int = m.valuesIterator.sum
+    def iterator: Iterator[Long] =
+      m.iterator.flatMap { case (t, n) => Iterator.fill(n)(t) }
+  }
+
   /** Pending timers ride the group state as packed bytes so any `S` works
     * without extra encoders (the reference persists timer entries in its
     * state backend the same way — timer.rs:91-127). */
-  private[operators] def packTimers(ts: Iterable[Long]): Array[Byte] = {
+  private[operators] def packTimers(ts: TimerQueue): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(ts.size * 8)
-    ts.foreach(bb.putLong)
+    ts.iterator.foreach(bb.putLong)
     bb.array()
   }
 
-  private[operators] def unpackTimers(b: Array[Byte]): mutable.SortedSet[Long] = {
-    val s = mutable.SortedSet.empty[Long]
+  private[operators] def unpackTimers(b: Array[Byte]): TimerQueue = {
+    val s = new TimerQueue
     if (b != null) {
       val bb = java.nio.ByteBuffer.wrap(b)
-      while (bb.hasRemaining) s += bb.getLong
+      while (bb.hasRemaining) s.add(bb.getLong)
     }
     s
   }
@@ -85,12 +107,12 @@ object StatefulOperator {
         val wm = gstate.getCurrentWatermarkMs()
         while (timers.nonEmpty && timers.head <= wm) {
           val t = timers.head
-          timers -= t
+          timers.removeOne(t)
           val ctx = new OperatorContext(Some(t))
           val (s2, out) = op.handleTimeout(key, state, ctx)
           state = s2
           buf ++= out
-          timers ++= ctx.scheduled
+          timers.addAll(ctx.scheduled)
         }
       } else {
         elems.foreach { e =>
@@ -99,7 +121,7 @@ object StatefulOperator {
           val (s2, out) = op.handleElement(key, e, ts, state, ctx)
           state = s2
           buf ++= out
-          timers ++= ctx.scheduled
+          timers.addAll(ctx.scheduled)
         }
       }
       gstate.update((state, packTimers(timers)))
@@ -123,18 +145,18 @@ object StatefulOperator {
       case None => elems.toSeq
     }
     var state = op.initialState
-    val timers = mutable.SortedSet.empty[Long]
+    val timers = new TimerQueue
     val buf = mutable.ArrayBuffer.empty[OUT]
 
     def fireDue(now: Long): Unit =
       while (timers.nonEmpty && timers.head <= now) {
         val t = timers.head
-        timers -= t
+        timers.removeOne(t)
         val ctx = new OperatorContext(Some(t))
         val (s2, out) = op.handleTimeout(key, state, ctx)
         state = s2
         buf ++= out
-        timers ++= ctx.scheduled
+        timers.addAll(ctx.scheduled)
       }
 
     ordered.foreach { e =>
@@ -144,7 +166,7 @@ object StatefulOperator {
       val (s2, out) = op.handleElement(key, e, ts, state, ctx)
       state = s2
       buf ++= out
-      timers ++= ctx.scheduled
+      timers.addAll(ctx.scheduled)
     }
     // end of stream: watermark -> +inf, fire everything left
     fireDue(Long.MaxValue)

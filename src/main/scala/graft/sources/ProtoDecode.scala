@@ -63,6 +63,9 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
         var res = 0L
         var b = 0
         do {
+          // protobuf caps varints at 10 bytes (shift 63); an overlong
+          // encoding is malformed, not a mod-64 wraparound
+          if (shift > 63) throw ProtoDecodeExpr.Malformed
           b = bytes(pos) & 0xFF
           pos += 1
           res |= (b & 0x7FL) << shift
@@ -134,11 +137,18 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       if (bad) null else new GenericInternalRow(values)
     } catch {
       case _: ArrayIndexOutOfBoundsException => null // truncated message
+      case ProtoDecodeExpr.Malformed => null // overlong varint
     }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ProtoDecodeExpr =
     copy(child = newChild)
+}
+
+object ProtoDecodeExpr {
+  /** Stackless control-flow signal for malformed wire bytes. */
+  private[sources] object Malformed
+      extends RuntimeException with scala.util.control.NoStackTrace
 }
 
 object ProtoDecode {
