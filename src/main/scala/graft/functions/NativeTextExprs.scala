@@ -142,6 +142,34 @@ object NativeText {
   /** Shingle hashes boxed for generated code. */
   def shingleArray(s: String, k: Int): GenericArrayData =
     new GenericArrayData(shingleHashes(s, k))
+
+  /** Fraction of token-bigram occurrences held by the most frequent
+    * bigram (Gopher-style repetition signal; "top 2-gram fraction").
+    * Bigrams are compared by their polynomial hash — the same "w1 w2"
+    * fold as [[shingleHashes]] with k=2, occurrences kept (no distinct).
+    * 0.0 when the text has fewer than two tokens. */
+  def topBigramFrac(s: String): Double = {
+    val toks = splitSpaces(s)
+    val n = toks.length - 1
+    if (n <= 0) return 0.0
+    val counts = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var max = 0
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      val t0 = toks(i)
+      var c = 0
+      while (c < t0.length) { acc = (acc * 31L + t0.charAt(c)) % P; c += 1 }
+      acc = (acc * 31L + ' ') % P
+      val t1 = toks(i + 1)
+      c = 0
+      while (c < t1.length) { acc = (acc * 31L + t1.charAt(c)) % P; c += 1 }
+      val cnt = counts.merge(acc, 1, (a, b) => a + b)
+      if (cnt > max) max = cnt
+      i += 1
+    }
+    max.toDouble / n.toDouble
+  }
 }
 
 /** `polyHash(text)` as one compiled loop, fused into WSCG. */
@@ -225,6 +253,20 @@ case class MinHashBandKeysExpr(child: Expression, k: Int, numHashes: Int, bands:
     new GenericArrayData(keys)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashBandKeysExpr =
+    copy(child = newChild)
+}
+
+/** Top-bigram occurrence fraction ([[NativeText.topBigramFrac]]): one
+  * compiled pass + hash-count per row, fused into WSCG (scan-side
+  * scalar — no join-side lazy-eval hazard). The HOF twin is O(n²) per
+  * row and exists only as the parity-test specification. */
+case class TopBigramFracExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.topBigramFrac(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.topBigramFrac($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): TopBigramFracExpr =
     copy(child = newChild)
 }
 

@@ -198,6 +198,30 @@ object TextFunctions {
         .otherwise(lit(null).cast("array<bigint>")))
   }
 
+  /** Fraction of tokens that are repeats of an earlier token
+    * (1 − distinct/total) — the Gopher-style duplicate-token repetition
+    * signal. Exact double division of integer counts. */
+  def dupTokenFrac(text: Column): Column = {
+    val ts = tokens(text)
+    lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts).cast("double")
+  }
+
+  /** Fraction of bigram occurrences held by the most frequent bigram
+    * (Gopher "top 2-gram fraction"; high values flag boilerplate /
+    * degenerate repetition). Native expression ([[TopBigramFracExpr]]:
+    * one compiled pass per row). */
+  def topBigramFrac(text: Column): Column = ncol(TopBigramFracExpr(nexpr(text)))
+
+  /** Declarative twin of [[topBigramFrac]] — O(n²) per row, parity-test
+    * specification only. */
+  def topBigramFracHof(text: Column): Column =
+    bind(transform(shingles(text, 2), s => polyHashHof(s)), { bg =>
+      when(size(bg) === 0, lit(0.0)).otherwise(
+        aggregate(array_distinct(bg), lit(0),
+          (m, x) => greatest(m, size(filter(bg, y => y === x))))
+          .cast("double") / size(bg).cast("double"))
+    })
+
   /** Set Jaccard similarity of two hash arrays (duplicates inside either
     * input are deduplicated, matching the HOF twin's `array_intersect`/
     * `array_distinct` semantics; set sizes are exact ints, the division

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination: flag training documents whose n-gram
+  * content overlaps a (small) evaluation/benchmark set — the standard
+  * guard against test-set leakage in a training-data pipeline.
+  *
+  * Plan shape, designed for the 100 TB asymmetry (training corpus huge,
+  * benchmark tiny):
+  *
+  *  1. the benchmark side collapses to its DISTINCT shingle hashes —
+  *     thousands of longs, broadcast to every executor;
+  *  2. the training side explodes its shingles and joins the broadcast
+  *     set — a narrow map-side hash probe, NO shuffle of the corpus;
+  *  3. overlap counts aggregate per doc (partial map-side combine), and
+  *     a final left join restores zero-overlap docs.
+  *
+  * The only shuffle is the per-doc count aggregation of MATCHED shingles
+  * — for a clean corpus that is a near-empty exchange. Compare the naive
+  * corpus×benchmark join-on-text, which ships the whole corpus.
+  */
+object Decontaminate {
+
+  /** Shingle-overlap report: one row per training doc with its shingle
+    * count, the number of shingles also present anywhere in `bench`, and
+    * a contamination flag (strictly more than `threshold` of the doc's
+    * shingles overlap). Shingle-less docs are never contaminated.
+    *
+    * @return (idCol, n_shingles, n_overlap, contaminated)
+    */
+  def shingleOverlap(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val trainSh = train.select(col(idCol), shingleHashes(col(textCol), k).as("__sh"))
+    val benchSh = bench
+      .select(explode(shingleHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val overlaps = trainSh
+      .select(col(idCol), explode(col("__sh")).as("h"))
+      .join(broadcast(benchSh), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    // threshold compare in exact integer math when possible (0.5 -> 2x)
+    val contaminated =
+      if (threshold == 0.5) col("n_overlap") * 2 > col("n_shingles")
+      else col("n_overlap").cast("double") > col("n_shingles").cast("double") * threshold
+    trainSh
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(overlaps, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", contaminated)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -74,6 +74,49 @@ object TrainingDataQueries extends QueryModule {
         col("doc_id"),
         T.polyHash(col("text")).as("fp"),
         T.simHash(col("text")).as("simhash"))),
+
+    // Gopher-style repetition signals: duplicate-token fraction +
+    // top-bigram occurrence fraction (both narrow, one compiled pass).
+    "x5_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        T.dupTokenFrac(col("text")).as("dup_token_frac"),
+        T.topBigramFrac(col("text")).as("top_bigram_frac"))),
+
+    // Deterministic text normalization: lowercase → non-alphanumerics to
+    // spaces → collapse runs → trim, plus the normalized fingerprint
+    // (the canonical key for cross-corpus exact dedup).
+    "x6_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"), norm.as("norm_text"), T.polyHash(norm).as("norm_fp"))
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    // the held-out benchmark; every other doc is scored for 3-shingle
+    // overlap against the broadcast benchmark shingle set.
+    "x7_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.shingleOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3, threshold = 0.5)
+    }),
+
+    // ---- Deterministic splitting / sampling ----
+    "sp1_split" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Splits.assign(col("text"), trainPct = 80, valPct = 10).as("split"),
+        Splits.shard(col("text"), 16).as("shard"))),
+
+    "sp2_sample" -> ((s, d) =>
+      Splits.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        strata = Seq("lang"), on = col("text"), tieBreak = col("doc_id"),
+        perStratum = 25)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))),
 
     // ---- Deduplication ----
     "dd1_exact_dedup" -> ((s, d) =>
@@ -168,6 +211,14 @@ object TrainingDataQueries extends QueryModule {
       s"range(1, greatest(len(string_split($text, ' ')) - 2, 0) + 1), " +
       s"i -> array_to_string(list_slice(string_split($text, ' '), i, i + 2), ' ')), " +
       s"s -> ${ph("s")}))"
+
+  /** Token-bigram polynomial hashes of a text column, occurrences kept
+    * (no distinct) — the top-bigram-fraction input. */
+  private def bg2(text: String): String =
+    s"list_transform(list_transform(" +
+      s"range(1, greatest(len(string_split($text, ' ')) - 1, 0) + 1), " +
+      s"i -> array_to_string(list_slice(string_split($text, ' '), i, i + 1), ' ')), " +
+      s"s -> ${ph("s")})"
 
   /** Jaccard of two distinct-hash lists with empty-union guard. */
   private def jac(a: String, b: String): String =
@@ -290,6 +341,52 @@ object TrainingDataQueries extends QueryModule {
     "x4_fingerprint" ->
       s"""SELECT doc_id, ${ph("text")} AS fp, ${simhash("text")} AS simhash
          |FROM documents""".stripMargin,
+
+    "x5_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts, ${bg2("text")} AS bg
+         |  FROM documents)
+         |SELECT doc_id,
+         |  1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+         |    AS dup_token_frac,
+         |  CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+         |      / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac
+         |FROM t""".stripMargin,
+
+    "x6_normalize" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |    ' +', ' ', 'g')) AS norm_text
+         |  FROM documents)
+         |SELECT doc_id, norm_text, ${ph("norm_text")} AS norm_fp FROM t""".stripMargin,
+
+    "x7_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),
+         |bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, shs FROM sh WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT doc_id, unnest(shs) AS h FROM train),
+         |ov AS (SELECT ex.doc_id, count(*) AS n_overlap
+         |       FROM ex JOIN bench USING (h) GROUP BY ex.doc_id)
+         |SELECT t.doc_id, CAST(len(t.shs) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(o.n_overlap, 0) * 2 > len(t.shs) AS contaminated
+         |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
+
+    "sp1_split" ->
+      s"""WITH t AS (SELECT doc_id, ${ph("text")} % 100 AS h100,
+         |  ${ph("text")} % 16 AS shard FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h100 < 80 THEN 'train' WHEN h100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  shard
+         |FROM t""".stripMargin,
+
+    "sp2_sample" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${ph("text")}, doc_id) AS BIGINT) AS sample_rank
+         |  FROM documents) WHERE sample_rank <= 25""".stripMargin,
 
     "dd1_exact_dedup" ->
       s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

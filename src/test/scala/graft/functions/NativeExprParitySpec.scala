@@ -36,6 +36,13 @@ class NativeExprParitySpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("native topBigramFrac ≡ HOF twin (incl. <2-token and repeat edges)") {
+    val df = corpus.select(
+      T.topBigramFrac(col("text")).as("n"),
+      T.topBigramFracHof(col("text")).as("h"))
+    assert(df.filter(!(col("n") <=> col("h"))).count() == 0)
+  }
+
   test("native jaccard ≡ HOF twin (incl. empty-set edge)") {
     val pairs = corpus.as("a").crossJoin(corpus.limit(5).as("b"))
       .select(T.shingleHashes(col("a.text"), 3).as("sa"),

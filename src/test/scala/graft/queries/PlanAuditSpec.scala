@@ -49,4 +49,17 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("sim1_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("x7_decontaminate: benchmark shingle set broadcasts; corpus is never shuffled on text") {
+    val p = plan("x7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-side probe must not exchange raw text or shingle arrays
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#") && !l.contains("__sh#")), p)
+  }
+
+  test("sp1_split: hash split assignment is a narrow projection — zero exchanges") {
+    val p = plan("sp1_split")
+    assert(!p.contains("Exchange"), p)
+  }
 }
