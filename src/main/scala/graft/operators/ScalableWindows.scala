@@ -50,4 +50,45 @@ object ScalableWindows {
       .withColumn("__running", col("__run_in") + col("__off"))
       .drop("__run_in", "__k", "__b", "__off")
   }
+
+  /** Skew-safe gap sessionization: per `key` in `(time, tieBreak)` order,
+    * a row starts a new session when it is the key's first event or its
+    * gap to the previous event exceeds `gapSeconds`. Emits the input
+    * plus `session_no` (1-based running session index per key) —
+    * identical to the single-partition
+    * `lag` + `sum(is_new) over (partition by key)` formulation
+    * (w3_sessionize), but a hot key runs as many tasks as buckets it
+    * spans instead of one:
+    *
+    *  - the gap flag needs only the PREVIOUS event's time: within a
+    *    bucket that is `lag` over (key, bucket); across the boundary it
+    *    is the previous non-empty bucket's max(time), a one-row-per-
+    *    bucket join — never a whole-key sort;
+    *  - the running session index is [[runningSum]] of the flag, the
+    *    two-phase prefix.
+    *
+    * `bucket` must be monotone in the per-key ordering (e.g.
+    * `floor(epoch(ts)/86400)`). Integer flags ⇒ bit-exact equivalence.
+    */
+  def sessionize(df: DataFrame, key: Column, bucket: Column, time: Column,
+      tieBreak: Column, gapSeconds: Long): DataFrame = {
+    val t = time.cast("long")
+    val base = df.withColumn("__k", key).withColumn("__b", bucket)
+    val inB = Window.partitionBy(col("__k"), col("__b")).orderBy(time, tieBreak)
+    val flagged0 = base.withColumn("__prev_in", lag(t, 1).over(inB))
+    // previous non-empty bucket's last event time: one row per
+    // (key, bucket) — the tiny table, never the events
+    val byB = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val prevB = base.groupBy(col("__k"), col("__b")).agg(max(t).as("__last"))
+      .withColumn("__prev_last", lag(col("__last"), 1).over(byB))
+      .select(col("__k"), col("__b"), col("__prev_last"))
+    val flagged = flagged0.join(prevB, Seq("__k", "__b"))
+      .withColumn("__prev", coalesce(col("__prev_in"), col("__prev_last")))
+      .withColumn("__is_new",
+        when(col("__prev").isNull || (t - col("__prev") > gapSeconds), lit(1L))
+          .otherwise(lit(0L)))
+    runningSum(flagged, col("__k"), col("__b"), time, tieBreak, col("__is_new"))
+      .withColumn("session_no", col("__running"))
+      .drop("__running", "__prev_in", "__prev_last", "__prev", "__is_new")
+  }
 }

@@ -44,6 +44,9 @@ object EventTimeQueries extends QueryModule {
     // W8 session windows (absent in the reference — superset capability):
     // gap-based sessionization, 30-minute inactivity gap, via ordered
     // window + cumulative session counter (one shuffle+sort per key).
+    // Hot-key escape hatch at 100×: graft.operators.ScalableWindows
+    // .sessionize — same semantics two-phase over time buckets, many
+    // tasks per key (equivalence-tested in ScalableWindowsSpec).
     "w3_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val newSess = when(

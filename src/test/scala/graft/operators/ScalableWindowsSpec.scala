@@ -26,4 +26,27 @@ class ScalableWindowsSpec extends SparkTestBase {
     assert(joined.filter(col("expected") =!= col("__running")).count() == 0)
     assert(joined.count() == events.count())
   }
+
+  test("two-phase sessionize ≡ single-partition lag+running-sum sessionize") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // single-partition formulation (the w3_sessionize shape)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val isNew = when(col("ts").cast("long") -
+        lag(col("ts").cast("long"), 1).over(byUser) > 1800, 1L).otherwise(lit(0L))
+    val single = events
+      .withColumn("f",
+        when(lag(col("ts"), 1).over(byUser).isNull, lit(1L)).otherwise(isNew))
+      .withColumn("expected", sum(col("f")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("expected"))
+    val bucketed = ScalableWindows.sessionize(
+      events,
+      key = col("user_id"),
+      bucket = floor(col("ts").cast("long") / 86400),
+      time = col("ts"), tieBreak = col("event_id"), gapSeconds = 1800)
+      .select(col("event_id"), col("session_no"))
+    val joined = single.join(bucketed, "event_id")
+    assert(joined.filter(col("expected") =!= col("session_no")).count() == 0)
+    assert(joined.count() == events.count())
+  }
 }
