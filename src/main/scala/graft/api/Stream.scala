@@ -91,6 +91,23 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
   def broadcastHint: Stream[T] =
     new Stream(org.apache.spark.sql.functions.broadcast(ds), conf, watermarked)
 
+  /** Exact dedup on the given columns (all columns when none given) —
+    * the streaming face of [[graft.operators.Dedup.exact]]. On a
+    * watermarked stream this uses `dropDuplicatesWithinWatermark`, so
+    * dedup state is BOUNDED: a key's fingerprint expires once the
+    * watermark passes it, which is what makes continuous dedup viable at
+    * 100 TB/day (an unbounded exact-dedup state grows forever). Batch
+    * datasets dedup directly. */
+  def dedup(cols: String*): Stream[T] = {
+    val out =
+      if (ds.isStreaming && watermarked)
+        if (cols.isEmpty) ds.dropDuplicatesWithinWatermark()
+        else ds.dropDuplicatesWithinWatermark(cols)
+      else if (cols.isEmpty) ds.dropDuplicates()
+      else ds.dropDuplicates(cols)
+    new Stream(out, conf, watermarked)
+  }
+
   def withTimestampExtractor(f: T => Long): Stream[T] =
     new Stream(ds, conf.withTimestampExtractor(f), watermarked)
 

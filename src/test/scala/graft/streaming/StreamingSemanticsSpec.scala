@@ -63,6 +63,30 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits first occurrence only, with bounded state (DSL dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val ds = input.toDF().toDF("ts", "key").as[(Timestamp, Long)]
+    val st = new graft.api.Stream(ds, graft.api.SourceConf[(Timestamp, Long)]())
+      .withWatermark("ts", "5 seconds")
+      .dedup("key")
+    val q = st.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((ts(1), 10L), (ts(2), 10L), (ts(3), 20L))
+      q.processAllAvailable()
+      // in-batch duplicate of 10 dropped
+      assert(spark.sql("SELECT key FROM dedup_out").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+      // cross-batch duplicates (10, 20) dropped while inside the
+      // watermark horizon; new key 30 passes
+      input.addData((ts(4), 10L), (ts(5), 20L), (ts(6), 30L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT key FROM dedup_out").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+    } finally q.stop()
+  }
+
   test("allowed lateness admits in-horizon late data (assigner.rs late-arrival test)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
