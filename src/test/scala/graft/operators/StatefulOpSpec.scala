@@ -67,6 +67,27 @@ class StatefulOpSpec extends SparkTestBase {
     assert(byKind("timeout") == 2) // one per key at end-of-stream flush
   }
 
+  test("two timers at the same instant fire twice (per-entry multiset, timer.rs)") {
+    val op = new StatefulOperator[Int, KeyedEvent, Long, TimerOut] {
+      def initialState: Long = 0L
+      def handleElement(key: Int, e: KeyedEvent, ts: Option[Long], state: Long,
+          ctx: OperatorContext): (Long, Iterator[TimerOut]) = {
+        if (state == 0L) { ctx.scheduleAt(ts.get + 1000); ctx.scheduleAt(ts.get + 1000) }
+        (state + 1, Iterator.empty)
+      }
+      override def handleTimeout(key: Int, state: Long,
+          ctx: OperatorContext): (Long, Iterator[TimerOut]) =
+        (state, Iterator(TimerOut(key, "timeout", ctx.currentTime.get)))
+    }
+    val out = Stream.fromCollection(spark, Seq(KeyedEvent(1, 1)))
+      .withTimestampExtractor(e => e.data * 1000)
+      .keyBy(_.key)
+      .operator(op)(Encoders.scalaLong, Encoders.product[TimerOut])
+      .debug()
+    assert(out.count(_.kind == "timeout") == 2)
+    assert(out.map(_.at).distinct == Seq(2000L))
+  }
+
   test("bounded replay is event-time ordered, timers interleave") {
     // Elements arrive out of order; timer set at first (by event time)
     // element +1500ms must fire BETWEEN elements, not at the end.

@@ -80,6 +80,17 @@ class SourceSinkSpec extends SparkTestBase {
     assert(byN(42L) == (("", 0.0, 0.0f, false))) // proto3 defaults
   }
 
+  test("overlong varint (>10 bytes) is malformed and dropped, not wrapped mod 64") {
+    val fields = Seq(ProtoField(1, "n", LongType))
+    // 10-byte varint: the legal maximum; decodes to -1
+    val maxLegal = (Array[Byte](0x08) ++ Array.fill[Byte](9)(0xFF.toByte)) :+ 0x01.toByte
+    // 11-byte varint: shift would pass 63 — malformed per the spec
+    val overlong = (Array[Byte](0x08) ++ Array.fill[Byte](10)(0x80.toByte)) :+ 0x01.toByte
+    val out = SourceSchemas.decodedProto(
+      Seq(maxLegal, overlong).toDF("value"), fields).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(-1L))
+  }
+
   test("socket source streams lines from a live TCP server (S6)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
