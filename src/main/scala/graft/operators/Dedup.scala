@@ -142,19 +142,26 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever DECREASE (min propagation), so Σ(cluster_id)
+    // strictly decreases on any change — a single cheap aggregate over
+    // the just-materialized labels replaces a per-iteration change join.
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = edges
         .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("cluster_id"))
         .union(labels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      changed = prop.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") < col("old")).count()
+      val s = labelSum(prop)
+      converged = s == prevSum
+      prevSum = s
       labels = prop
     }
     labels

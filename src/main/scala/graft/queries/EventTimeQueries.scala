@@ -87,6 +87,27 @@ object EventTimeQueries extends QueryModule {
           col("_4._4").as("max_id"))
     }),
 
+    // Interval (range) join — the other half of SURVEY §2.6's
+    // "as-of/interval" row: re-orders within 7 days by the same customer
+    // (each later order paired with every order of that customer in the
+    // preceding week). Equi-join on the customer key carries the
+    // shuffle; the range predicate evaluates inside the join — at 100×
+    // the key-hash exchange is the plan's only wide edge, and AQE's
+    // skew handling covers hot customers.
+    "w6_interval_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("first_orderkey"), col("o_orderdate").as("first_date"))
+      val b = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("next_orderkey"), col("o_orderdate").as("next_date"))
+      a.join(b, Seq("custkey"))
+        .filter(col("first_orderkey") < col("next_orderkey") &&
+          col("next_date") >= col("first_date") &&
+          col("next_date") <= col("first_date") + expr("INTERVAL 7 DAYS"))
+        .select(col("custkey"), col("first_orderkey"), col("next_orderkey"),
+          col("first_date"), col("next_date"))
+    }),
+
     // As-of join (SURVEY §2.6 "as-of/interval" row): for every event, the
     // latest order of that user at-or-before the event time. Implemented as
     // merge-union + last(ignoreNulls) over an ordered window: right rows
@@ -159,6 +180,16 @@ object EventTimeQueries extends QueryModule {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "w6_interval_join" ->
+      """SELECT a.o_custkey AS custkey,
+        |  a.o_orderkey AS first_orderkey, b.o_orderkey AS next_orderkey,
+        |  a.o_orderdate AS first_date, b.o_orderdate AS next_date
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey
+        | AND a.o_orderkey < b.o_orderkey
+        | AND b.o_orderdate >= a.o_orderdate
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY""".stripMargin,
 
     "w4_asof_join" ->
       """WITH r AS (

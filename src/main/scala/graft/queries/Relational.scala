@@ -289,7 +289,16 @@ object Relational extends QueryModule {
     "h2_count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps")))
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // Fixed-width histogram: bucket index by floor division (identical
+    // IEEE op cross-engine), counts per (type, bucket) — one grouped
+    // aggregation with map-side partials, the shape that survives 100×.
+    "h3_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,6 +478,11 @@ object Relational extends QueryModule {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "h3_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
