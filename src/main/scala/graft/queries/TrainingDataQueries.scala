@@ -104,6 +104,36 @@ object TrainingDataQueries extends QueryModule {
         "doc_id", "text", k = 3, threshold = 0.5)
     }),
 
+    // ---- End-to-end pipeline composition ----
+    // The full training-data preparation flow in ONE plan: normalize →
+    // quality gate → exact dedup on the canonical fingerprint (keep the
+    // smallest doc id) → benchmark decontamination → deterministic
+    // split, reported as per-(lang, split) counts. Every stage is one of
+    // this library's operators; Catalyst fuses the narrow stages into
+    // shared scans, and the wide edges are exactly: one groupBy for the
+    // dedup, one broadcast-probe + count agg for decontamination, one
+    // final count agg — the 100 TB shape.
+    "pl1_pipeline" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), norm.as("norm_text"))
+        .filter(size(split(col("norm_text"), " ")) >= 5) // quality gate
+      val keepers = docs.groupBy(col("norm_text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")) // exact dedup: canonical keeper per content
+      val deduped = docs.join(keepers, Seq("doc_id"))
+      val flags = Decontaminate.shingleOverlap(
+        deduped.filter(col("doc_id") % 97 =!= 0),
+        deduped.filter(col("doc_id") % 97 === 0),
+        "doc_id", "norm_text", k = 3, threshold = 0.5)
+      deduped.join(flags.filter(!col("contaminated")).select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          Splits.assign(col("norm_text"), trainPct = 80, valPct = 10).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- Deterministic splitting / sampling ----
     "sp1_split" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -372,6 +402,30 @@ object TrainingDataQueries extends QueryModule {
          |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) * 2 > len(t.shs) AS contaminated
          |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
+
+    "pl1_pipeline" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS nt
+         |  FROM documents),
+         |filt AS (SELECT * FROM norm WHERE len(string_split(nt, ' ')) >= 5),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY nt),
+         |ded AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
+         |sh AS (SELECT doc_id, lang, nt, ${sh3("nt")} AS shs FROM ded),
+         |bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT doc_id, unnest(shs) AS h FROM train),
+         |ov AS (SELECT ex.doc_id, count(*) AS n_overlap
+         |       FROM ex JOIN bench USING (h) GROUP BY ex.doc_id),
+         |clean AS (
+         |  SELECT t.doc_id, t.lang, t.nt FROM train t LEFT JOIN ov o USING (doc_id)
+         |  WHERE NOT (coalesce(o.n_overlap, 0) * 2 > len(t.shs))),
+         |asg AS (SELECT lang,
+         |  CASE WHEN ${ph("nt")} % 100 < 80 THEN 'train'
+         |       WHEN ${ph("nt")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM clean)
+         |SELECT lang, split, count(*) AS n_docs FROM asg GROUP BY 1, 2""".stripMargin,
 
     "sp1_split" ->
       s"""WITH t AS (SELECT doc_id, ${ph("text")} % 100 AS h100,

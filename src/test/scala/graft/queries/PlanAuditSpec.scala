@@ -62,4 +62,9 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("sp1_split")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("pl1_pipeline: composed pipeline keeps the decontamination probe a broadcast") {
+    val p = plan("pl1_pipeline")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
