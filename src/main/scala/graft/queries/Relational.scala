@@ -233,6 +233,33 @@ object Relational extends QueryModule {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize).
+    "g4_grouping_sets" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupingSets(
+          Seq(Seq(col("c_nationkey")), Seq(col("c_mktsegment"))),
+          col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("total_bal"))),
+
+    // Exact median WITHOUT interpolation arithmetic: the two middle
+    // elements by (value, id) order, combined as (lo+hi)/2 — one add and
+    // one divide, bit-identical cross-engine (odd groups give lo = hi).
+    // One window sort per event_type (few, large groups — the two-phase
+    // bucketed form is the hot-key escape hatch as everywhere).
+    "o2_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2")) // div: integer division
+        .groupBy(col("event_type"))
+        .agg(((min(col("value")) + max(col("value"))) / 2.0).as("median"),
+          min(col("cnt")).as("n_events"))
+    }),
+
     // Pivot (wide aggregation).
     "g3_pivot" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("user_id"))
@@ -429,6 +456,23 @@ object Relational extends QueryModule {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  sum(o_totalprice) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "g4_grouping_sets" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  sum(c_acctbal) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))""".stripMargin,
+
+    "o2_median" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, (min(value) + max(value)) / 2.0 AS median,
+        |  CAST(min(cnt) AS BIGINT) AS n_events
+        |FROM t WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY event_type""".stripMargin,
 
     "g3_pivot" ->
       """SELECT user_id,

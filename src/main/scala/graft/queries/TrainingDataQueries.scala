@@ -93,6 +93,23 @@ object TrainingDataQueries extends QueryModule {
         col("doc_id"), norm.as("norm_text"), T.polyHash(norm).as("norm_fp"))
     }),
 
+    // PII redaction: plant a deterministic email into every 5th doc,
+    // redact by pattern, report the redaction count — narrow regex work
+    // that stays inside codegen (the synthetic corpus has no organic
+    // PII, so the planting makes the check prove redaction, not a no-op).
+    "x8_pii" -> ((s, d) => {
+      val email = "[a-z0-9._-]+@[a-z0-9.-]+"
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"),
+        regexp_replace(col("text"), email, "<email>").as("redacted"),
+        size(call_function("regexp_extract_all", col("text"),
+          lit(email), lit(0))).cast("long").as("n_emails"))
+    }),
+
     // Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
     // the held-out benchmark; every other doc is scored for 3-shingle
     // overlap against the broadcast benchmark shingle set.
@@ -401,6 +418,19 @@ object TrainingDataQueries extends QueryModule {
          |    ' +', ' ', 'g')) AS norm_text
          |  FROM documents)
          |SELECT doc_id, norm_text, ${ph("norm_text")} AS norm_fp FROM t""".stripMargin,
+
+    "x8_pii" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com now'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<email>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+')) AS BIGINT)
+        |    AS n_emails
+        |FROM t""".stripMargin,
 
     "x7_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),
