@@ -15,6 +15,16 @@ class CoLocateSpec extends SparkTestBase {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val customer = graft.Tables.customer(spark, "/root/testdata/sf0.001")
       .select(col("c_custkey"), col("c_nationkey"))
+    // a fresh (forked) JVM has an empty in-memory catalog, but the
+    // warehouse dirs persist across runs — clear stale locations first
+    Seq("bkt_orders", "bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     CoLocate.writeBucketed(orders, "bkt_orders", "o_custkey", 4)
     CoLocate.writeBucketed(
       customer.withColumnRenamed("c_custkey", "o_custkey"), "bkt_customer", "o_custkey", 4)
