@@ -61,6 +61,20 @@ object EventTimeQueries extends QueryModule {
           count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
     }),
 
+    // The skew-safe two-phase sessionize producing the SAME session
+    // aggregate as w3 — per-key work splits across day buckets (many
+    // tasks per key), equivalence additionally pinned by the shared
+    // oracle SQL.
+    "w7_sessionize_twophase" -> ((s, d) =>
+      graft.operators.ScalableWindows.sessionize(
+        Tables.events(s, d),
+        key = col("user_id"),
+        bucket = floor(col("ts").cast("long") / 86400),
+        time = col("ts"), tieBreak = col("event_id"), gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))),
+
     // W3 AppenderWindow (arcon/src/index/window/appender.rs:10-91), run
     // through the actual DSL appender path: buffer the whole (user, hour)
     // window, materialize order-insensitive stats from the buffered
@@ -138,6 +152,25 @@ object EventTimeQueries extends QueryModule {
     })
   )
 
+  /** Shared by w3 (single-partition window) and w7 (two-phase skew-safe)
+    * — same sessions by construction. */
+  private val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, sum(value) AS sum_value
+      |FROM numbered GROUP BY user_id, session_no""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "w1_tumbling" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
@@ -155,22 +188,10 @@ object EventTimeQueries extends QueryModule {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
 
-    "w3_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), numbered AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
-        |  FROM flagged)
-        |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, sum(value) AS sum_value
-        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+    "w3_sessionize" -> sessionizeSql,
+
+    // identical sessions must fall out of the two-phase plan
+    "w7_sessionize_twophase" -> sessionizeSql,
 
     "w5_appender" ->
       """SELECT user_id,

@@ -145,7 +145,12 @@ object TrainingDataQueries extends QueryModule {
           length(col("norm_text")).as("ln"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")) // canonical keeper per content
-      val deduped = docs.join(keepers, Seq("doc_id"))
+      // deduped fans out to THREE consumers (decontamination train +
+      // bench sides, final join); materialize it once instead of
+      // recomputing scan→normalize→dedup per branch — the single-DAG
+      // analog of the stage boundary a production pipeline would
+      // checkpoint at between dedup and decontamination.
+      val deduped = docs.join(keepers, Seq("doc_id")).localCheckpoint()
       val flags = Decontaminate.shingleOverlap(
         deduped.filter(col("doc_id") % 97 =!= 0),
         deduped.filter(col("doc_id") % 97 === 0),
