@@ -96,11 +96,17 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
     * watermarked stream this uses `dropDuplicatesWithinWatermark`, so
     * dedup state is BOUNDED: a key's fingerprint expires once the
     * watermark passes it, which is what makes continuous dedup viable at
-    * 100 TB/day (an unbounded exact-dedup state grows forever). Batch
-    * datasets dedup directly. */
+    * 100 TB/day (an unbounded exact-dedup state grows forever). A
+    * streaming input WITHOUT a watermark is rejected rather than
+    * silently falling back to unbounded `dropDuplicates` state — call
+    * [[withWatermark]] first. Batch datasets dedup directly. */
   def dedup(cols: String*): Stream[T] = {
+    if (ds.isStreaming && !watermarked)
+      throw new IllegalStateException(
+        "Stream.dedup on a streaming source requires a watermark " +
+          "(state would grow without bound); call withWatermark(tsCol, delay) first")
     val out =
-      if (ds.isStreaming && watermarked)
+      if (ds.isStreaming)
         if (cols.isEmpty) ds.dropDuplicatesWithinWatermark()
         else ds.dropDuplicatesWithinWatermark(cols)
       else if (cols.isEmpty) ds.dropDuplicates()

@@ -13,8 +13,9 @@ import graft.functions.VectorFunctions
   *                  → shuffle on band key → pairs only within buckets →
   *                  exact Jaccard verify. Candidate count is governed by
   *                  the (bands, rowsPerBand) S-curve, not by corpus size².
-  *  - SimHash:      per-row 61-bit signature (narrow) → 4-chunk banding
-  *                  (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal) →
+  *  - SimHash:      per-row 61-bit signature (narrow) → Manku-style
+  *                  combinatorial block banding (hamming ≤ h ⇒ some
+  *                  3-block combination fully equal, key ~31 bits) →
   *                  hamming verify within buckets.
   *  - n-gram Jaccard: exact pairwise, but only within caller-supplied
   *                  blocking keys (never global n²).
@@ -79,23 +80,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Band keys for [[simHashDup]] — the Manku-style combinatorial
+    * blocking scheme (Manku, Jain & Das Sarma, WWW'07 §3): split the
+    * 61-bit signature into `maxHamming + 3` blocks; with ≤ maxHamming
+    * dirty bits at least 3 blocks are clean, so every true pair shares
+    * ALL blocks of at least one 3-block combination. Each combination is
+    * one "table": the join key packs its 3 block values (~31 bits for
+    * maxHamming = 3) instead of a single 16-bit chunk, so random bucket
+    * collisions fall from 4·2⁻¹⁶ to C(6,3)·2⁻³¹ per pair — the
+    * difference between ~3×10¹³ and ~10⁷ junk candidates at N = 10⁹
+    * docs. Explode factor C(maxHamming+3, 3) is a constant (20 for
+    * hamming ≤ 3). Returns one packed key per table, table id = index. */
+  private[operators] def simHashBandKeys(sig: Column, maxHamming: Int): Column = {
+    val nBlocks = maxHamming + 3
+    val sizes = Array.tabulate(nBlocks)(i => 61 / nBlocks + (if (i < 61 % nBlocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(sig, offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    val keys = (0 until nBlocks).combinations(3).map { c =>
+      block(c(0)) * lit(1L << (sizes(c(1)) + sizes(c(2)))) +
+        block(c(1)) * lit(1L << sizes(c(2))) + block(c(2))
+    }
+    array(keys.toSeq: _*)
+  }
+
   /** SimHash near-duplicate pairs: hamming(sig_a, sig_b) ≤ maxHamming,
-    * candidates found by exact match on one of four 16-bit chunks
-    * (pigeonhole-complete for maxHamming ≤ 3). */
+    * candidates found by exact match on one of C(maxHamming+3, 3)
+    * combinatorial block keys ([[simHashBandKeys]] — pigeonhole-complete
+    * for any maxHamming, bucket population bounded at corpus scale). */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
       simHash(col(textCol)).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_key")
-    val l = chunked.select(col("chunk"), col("chunk_key"),
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(simHashBandKeys(col("sig"), maxHamming)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "band_key")
+    val l = chunked.select(col("tbl"), col("band_key"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("chunk_key"),
+    val r = chunked.select(col("tbl"), col("band_key"),
       col("id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "chunk_key"))
+    l.join(r, Seq("tbl", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
@@ -134,37 +159,61 @@ object Dedup {
     * Iterative min-label propagation: labels flow along edges until
     * fixpoint; iterations = component diameter (near-dup clusters are
     * shallow — duplicates of a common source — so this is a handful of
-    * bounded shuffles, each keyed on doc id). Lineage is truncated per
-    * iteration (`localCheckpoint`), the standard guard against plan
-    * blow-up in iterative Spark. Isolated docs (no edges) are not
-    * emitted; callers left-join and coalesce to self. */
-  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint()
+    * bounded shuffles, each keyed on doc id). Isolated docs (no edges)
+    * are not emitted; callers left-join and coalesce to self.
+    *
+    * Lineage is truncated per iteration. Default `reliable = false`
+    * uses `localCheckpoint` (executor block storage — fast, but an
+    * executor loss mid-iteration is unrecoverable because the lineage
+    * is gone). For long multi-TB runs pass `reliable = true` to stage
+    * each iteration through the reliable checkpoint directory
+    * (`SparkContext.setCheckpointDir` must be set to a fault-tolerant
+    * FS) so the job survives executor loss — the classic
+    * speed-vs-resilience trade of iterative Spark. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+      reliable: Boolean = false): DataFrame =
+    clustersWithIters(pairs, aCol, bCol, reliable)._1
+
+  /** [[clusters]] plus the number of propagation rounds actually run —
+    * label propagation needs exactly `diameter` rounds to reach the far
+    * end of a component plus one round to observe the fixpoint, which
+    * the chain-cluster test pins down. */
+  private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
+      bCol: String, reliable: Boolean = false): (DataFrame, Int) = {
+    def stage(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = stage(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    // coalesce: sum() is NULL on an empty frame (no near-dup pairs at
+    // all — clean corpus / high threshold) and that must converge to an
+    // empty result, not NPE. Σ fits a Long while N·max(doc_id) < 2^63 —
+    // beyond that, swap in a change-count convergence check.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
+    var labels = stage(
+      edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     // Labels only ever DECREASE (min propagation), so Σ(cluster_id)
     // strictly decreases on any change — a single cheap aggregate over
     // the just-materialized labels replaces a per-iteration change join.
     var prevSum = labelSum(labels)
     var converged = false
+    var iters = 0
     while (!converged) {
-      val prop = edges
-        .join(labels, edges("b") === labels("doc_id"))
-        .select(col("a").as("doc_id"), col("cluster_id"))
-        .union(labels)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val prop = stage(
+        edges
+          .join(labels, edges("b") === labels("doc_id"))
+          .select(col("a").as("doc_id"), col("cluster_id"))
+          .union(labels)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       val s = labelSum(prop)
       converged = s == prevSum
       prevSum = s
       labels = prop
+      iters += 1
     }
-    labels
+    (labels, iters)
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
@@ -179,6 +228,36 @@ object Dedup {
     val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Multi-probe variant of [[embeddingNearDup]]: one side additionally
+    * probes every 1-bit-flip neighbor of its bucket, so a true pair is
+    * found whenever the two signatures differ in AT MOST ONE plane —
+    * with 8 planes and cosine ≥ 0.95 that lifts per-pair recall from
+    * (1-q)⁸ ≈ 0.42 to (1-q)⁸ + 8q(1-q)⁷ ≈ 0.80 (q ≈ 0.102 flip prob.
+    * per plane) for the cost of a constant explode factor nPlanes+1 on
+    * ONE side — still a bucket equi-join, never n². Candidate pairs are
+    * made distinct before the single cosine verify per pair (a hamming-1
+    * pair is reachable through two probes). */
+  def embeddingNearDupMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.95): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.lshSignature(col(vecCol), nPlanes, dim).as("bucket"))
+    // probe 0 = the exact bucket; probe p = bucket with plane p-1 flipped
+    val probeBuckets = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+      .map(flip => col("bucket").bitwiseXOR(flip)): _*)
+    val l = sig.select(explode(probeBuckets).as("bucket"), col("id").as("id_a"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

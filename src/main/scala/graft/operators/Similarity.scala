@@ -101,17 +101,28 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("cv"), col("centroid")))
-    // argmax centroid per vector (ties break by cell id) — the window
-    // ranks nCells rows per vector, not the corpus
-    val wA = Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("cell"))
-    val cells = assigned.withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1).select(col("cell"), col("neighbor_id"), col("cv"))
+    // argmax centroid per vector as a grouped max_by — a hash aggregate
+    // with map-side partials, NOT a row_number window: a window would
+    // shuffle AND SORT the nCells×corpus intermediate, the aggregate
+    // only shuffles partial maxima. The sort key (sim, -cell) is unique
+    // per row, so ties break deterministically by smallest cell — the
+    // same order the previous window form used.
+    val argmaxKey = struct(col("sim"), -col("cell"))
+    val cells = assigned.groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell"), argmaxKey).as("cell"),
+        max_by(col("cv"), argmaxKey).as("cv"))
+      .select(col("cell"), col("neighbor_id"), col("cv"))
     val qa = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qv"), col("centroid")))
-    val wQ = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
-    val probes = qa.withColumn("rn", row_number().over(wQ))
-      .filter(col("rn") <= nProbe).select(col("cell"), col("query_id"), col("qv"))
+    // top-nProbe cells per query, same trick: nCells rows fold into one
+    // sorted array per query (bounded by nCells), then explode ≤ nProbe
+    val probes = qa.groupBy(col("query_id"))
+      .agg(max_by(col("qv"), argmaxKey).as("qv"),
+        slice(array_sort(collect_list(struct((-col("sim")).as("neg_sim"),
+          col("cell")))), 1, nProbe).as("cands"))
+      .select(col("query_id"), col("qv"), explode(col("cands")).as("cand"))
+      .select(col("cand.cell").as("cell"), col("query_id"), col("qv"))
     val scored = probes.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -119,13 +130,26 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** `multiProbe = true` additionally probes every 1-bit-flip neighbor
+    * of the QUERY's bucket (explode factor nPlanes+1, queries are the
+    * small side), so candidates include corpus vectors whose signature
+    * differs in at most one plane — per-candidate recall rises from
+    * (1-q)^nPlanes to +nPlanes·q·(1-q)^(nPlanes-1) more, at constant
+    * cost. A hamming-≤1 candidate is reachable through exactly one
+    * probe, so no dedup is needed. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
+    val exact = lshSignature(col(vecCol), nPlanes, dim)
+    val probed =
+      if (multiProbe)
+        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+          .map(flip => exact.bitwiseXOR(flip)): _*))
+      else exact
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), nPlanes, dim).as("bucket"))
+      probed.as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), nPlanes, dim).as("bucket"))
+      exact.as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -136,12 +136,16 @@ object TrainingDataQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), norm.as("norm_text"))
         .filter(size(split(col("norm_text"), " ")) >= 5) // quality gate
-      // Exact dedup keyed on (fingerprint, length), NOT the raw text:
+      // Exact dedup keyed on (fingerprint64, length), NOT the raw text:
       // the dedup exchange carries 16 bytes/row instead of the document
-      // — the shuffle that stays affordable at 100 TB. The oracle groups
-      // by the same pair, so results agree bit-for-bit by construction.
+      // — the shuffle that stays affordable at 100 TB. The key is the
+      // full 64-bit xxhash64 (a ~2^30 poly hash collides at birthday
+      // rate within ~46k same-length docs — silent false merges); with
+      // 64 bits + length the collision odds are negligible, so the
+      // oracle groups by the TEXT itself (the semantic truth) and the
+      // hashed plan must reproduce it exactly.
       val keepers = docs
-        .groupBy(T.polyHash(col("norm_text")).as("fp"),
+        .groupBy(T.fingerprint64(col("norm_text")).as("fp"),
           length(col("norm_text")).as("ln"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")) // canonical keeper per content
@@ -177,13 +181,13 @@ object TrainingDataQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("sample_rank"))),
 
     // ---- Deduplication ----
-    // Keyed on (fingerprint, length), not the raw text: the dedup
+    // Keyed on (fingerprint64, length), not the raw text: the dedup
     // shuffle carries 16 bytes/row — the formulation that holds at
-    // 100 TB. The oracle groups by the same pair, so the compare is
-    // exact by construction.
+    // 100 TB. The 64-bit key makes collisions negligible, so the oracle
+    // groups by the text itself and the hashed plan must match it.
     "dd1_exact_dedup" -> ((s, d) =>
       Dedup.exact(exactDupDocs(s, d),
-        struct(T.polyHash(col("text")), length(col("text"))), col("doc_id"))
+        struct(T.fingerprint64(col("text")), length(col("text"))), col("doc_id"))
         .select(col("keeper_id"), col("n_copies"))),
 
     "dd2_minhash_lsh" -> ((s, d) =>
@@ -209,6 +213,13 @@ object TrainingDataQueries extends QueryModule {
       Dedup.embeddingNearDup(nearDupEmb(s, d), "vec_id", "embedding",
         nPlanes = 8, dim = 64, threshold = 0.95)),
 
+    // dd5 with 1-bit-flip multi-probe: recovers the near-dup pairs whose
+    // signatures differ in exactly one plane (≈ doubles per-pair recall
+    // at 8 planes) — the production knob for LSH's recall/cost trade.
+    "dd7_embedding_multiprobe" -> ((s, d) =>
+      Dedup.embeddingNearDupMultiProbe(nearDupEmb(s, d), "vec_id", "embedding",
+        nPlanes = 8, dim = 64, threshold = 0.95)),
+
     // ---- Similarity search ----
     "sim1_topk_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -226,6 +237,12 @@ object TrainingDataQueries extends QueryModule {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2)
+    }),
+
+    "sim4_topk_lsh_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64, multiProbe = true)
     }),
 
     // ---- Multimodal plumbing: opaque binary + derived metadata ----
@@ -456,8 +473,7 @@ object TrainingDataQueries extends QueryModule {
          |      ' +', ' ', 'g')) AS nt
          |  FROM documents),
          |filt AS (SELECT * FROM norm WHERE len(string_split(nt, ' ')) >= 5),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM filt
-         |         GROUP BY ${ph("nt")}, length(nt)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY nt),
          |ded AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
          |sh AS (SELECT doc_id, lang, nt, ${sh3("nt")} AS shs FROM ded),
          |bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 97 = 0),
@@ -491,7 +507,7 @@ object TrainingDataQueries extends QueryModule {
 
     "dd1_exact_dedup" ->
       s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-         |FROM ($exactDupDocsSql) GROUP BY ${ph("text")}, length(text)""".stripMargin,
+         |FROM ($exactDupDocsSql) GROUP BY text""".stripMargin,
 
     "dd2_minhash_lsh" -> dd2Sql,
 
@@ -535,6 +551,28 @@ object TrainingDataQueries extends QueryModule {
          |SELECT l.id AS id_a, r.id AS id_b, ${cos("l.v", "r.v")} AS cosine
          |FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${cos("l.v", "r.v")} >= 0.95""".stripMargin,
+
+    "dd7_embedding_multiprobe" ->
+      s"""WITH cand AS ($nearDupEmbSql),
+         |sig AS (SELECT vec_id AS id, embedding AS v, ${bucket("embedding")} AS bucket FROM cand)
+         |SELECT l.id AS id_a, r.id AS id_b, ${cos("l.v", "r.v")} AS cosine
+         |FROM sig l JOIN sig r
+         |  ON bit_count(xor(l.bucket, r.bucket)) <= 1 AND l.id < r.id
+         |WHERE ${cos("l.v", "r.v")} >= 0.95""".stripMargin,
+
+    "sim4_topk_lsh_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |    ${bucket("embedding")} AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+         |  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+         |  WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
     "sim1_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -17,12 +17,18 @@ class CoLocateSpec extends SparkTestBase {
       .select(col("c_custkey"), col("c_nationkey"))
     // a fresh (forked) JVM has an empty in-memory catalog, but the
     // warehouse dirs persist across runs — clear stale locations first
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
     Seq("bkt_orders", "bkt_customer").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(s"spark-warehouse/$t")
       if (dir.exists()) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
+        // recursive: a leftover _temporary subdir from an aborted write
+        // would defeat a flat listFiles().foreach(_.delete())
+        rmTree(dir)
+        assert(!dir.exists(), s"stale warehouse dir $dir survived cleanup")
       }
     }
     CoLocate.writeBucketed(orders, "bkt_orders", "o_custkey", 4)

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics that the DuckDB oracles can't pin down:
+  * banding completeness for the SimHash scheme, connected-components
+  * edge cases (empty input, chain-shaped clusters, reliable
+  * checkpointing), and the multi-probe LSH recall gain.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- SimHash combinatorial banding ----
+
+  test("simHashBandKeys: complete for hamming <= 3 (every perturbed pair shares a table key)") {
+    // 500 deterministic (sig, sig-with-<=3-flipped-bits) pairs: the
+    // Manku pigeonhole guarantees at least one of the C(6,3)=20 block
+    // combinations is untouched, i.e. band keys match at the SAME index.
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.tabulate(500) { _ =>
+      val sig = rnd.nextLong() & ((1L << 61) - 1)
+      val nFlips = 1 + rnd.nextInt(3)
+      val flipped = (1 to nFlips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(61)))
+      (sig, flipped)
+    }
+    val df = pairs.toDF("sig_a", "sig_b")
+      .select(
+        Dedup.simHashBandKeys(col("sig_a"), 3).as("ka"),
+        Dedup.simHashBandKeys(col("sig_b"), 3).as("kb"))
+      .select(exists(zip_with(col("ka"), col("kb"), (x, y) => x === y),
+        identity).as("collides"))
+    assert(df.filter(!col("collides")).count() == 0)
+  }
+
+  test("simHashDup: band-join output equals brute-force hamming pairs on planted dups") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // plant exact duplicates (hamming 0) of every 5th doc
+    val docs = base.union(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val banded = Dedup.simHashDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.simHash(col("text")).as("sig"))
+    val brute = sig.as("l").join(sig.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id"), col("r.id"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty) // planted dups guarantee a non-vacuous check
+    assert(banded == brute)
+  }
+
+  // ---- connected components ----
+
+  test("clusters: empty pair input converges to an empty result (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty, "doc_a", "doc_b").count() == 0)
+  }
+
+  test("clusters: chain-shaped cluster labels in diameter+1 rounds, reliable checkpointing") {
+    // path 1-2-3-4-5-6: diameter 5 — the worst case for min-label
+    // propagation (near-dup clusters are usually star-shaped). The label
+    // needs exactly `diameter` rounds to reach the far end, plus one
+    // round to observe the fixpoint.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    for (reliable <- Seq(false, true)) {
+      val (labels, iters) =
+        Dedup.clustersWithIters(chain, "doc_a", "doc_b", reliable = reliable)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == (1L to 6L).map((_, 1L)).toSet, s"reliable=$reliable")
+      assert(iters == 6, s"reliable=$reliable: expected diameter+1=6 rounds, got $iters")
+    }
+  }
+
+  // ---- multi-probe LSH recall ----
+
+  test("embeddingNearDupMultiProbe finds strictly more true near-dup pairs than single-probe") {
+    // 300 deterministic (vector, noisy copy) pairs with cosine ~0.97:
+    // noise flips each hyperplane with prob ~0.1, so single-probe LSH
+    // keeps ~(1-q)^8 = 42% of pairs while 1-bit-flip multi-probe keeps
+    // ~80% — on 300 pairs the gap cannot vanish.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 300).flatMap { i =>
+      val v = vec()
+      val noisy = v.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.25f)
+      Seq((i.toLong, v), (i.toLong + 100000L, noisy))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def planted(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id_b") - col("id_a") === 100000L).count()
+    val single = planted(Dedup.embeddingNearDup(
+      emb, "vec_id", "embedding", nPlanes = 8, dim = 64, threshold = 0.9))
+    val multi = planted(Dedup.embeddingNearDupMultiProbe(
+      emb, "vec_id", "embedding", nPlanes = 8, dim = 64, threshold = 0.9))
+    assert(multi > single,
+      s"multi-probe recall ($multi) must beat single-probe ($single)")
+    // and multi-probe is a superset: same verify threshold, more candidates
+    assert(multi <= 300 && single <= 300)
+  }
+}

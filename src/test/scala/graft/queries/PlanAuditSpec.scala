@@ -45,6 +45,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.forall(l => !l.contains("sh#")), p)
   }
 
+  test("dd3_simhash: band join keys carry the Manku-extended bits, not a bare 16-bit chunk") {
+    // the packed 3-block key multiplies the leading block by 2^20
+    // (1048576) — the literal can only appear if the join key spans
+    // ~31 signature bits; a regression to 16-bit chunks (bucket count
+    // capped at 2^16 — the round-4 scale-killer) loses it.
+    val p = plan("dd3_simhash")
+    assert(p.contains("1048576"), p)
+    // the self-join equi-keys are (tbl, band_key) — at sf0.001 AQE
+    // broadcasts one side, at scale the same keys hash-partition both
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join [tbl#") && l.contains("band_key#")), p)
+  }
+
+  test("sim3_topk_ivf: centroid assignment is a partial-agg max_by, not a corpus-wide window sort") {
+    val p = plan("sim3_topk_ivf")
+    // no row_number window partitioned by the corpus id — that plan
+    // shuffled AND sorted the nCells×corpus intermediate
+    assert(!p.contains("windowspecdefinition(neighbor_id"), p)
+    assert(p.contains("max_by"), p)
+  }
+
   test("sim1_topk_bruteforce: queries broadcast; no global per-query sort of the corpus") {
     val p = plan("sim1_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))

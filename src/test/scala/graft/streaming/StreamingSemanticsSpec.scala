@@ -87,6 +87,15 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup without a watermark is rejected (unbounded state, not a silent fallback)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val ds = input.toDF().toDF("ts", "key").as[(Timestamp, Long)]
+    val st = new graft.api.Stream(ds, graft.api.SourceConf[(Timestamp, Long)]())
+    val e = intercept[IllegalStateException] { st.dedup("key") }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("allowed lateness admits in-horizon late data (assigner.rs late-arrival test)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
