@@ -85,6 +85,41 @@ object Relational extends QueryModule {
         .toDF.toDF("o_custkey", "o_orderkey", "running_keysum", "n_seen")
     }),
 
+    // T6/W6 modern path: the same custom-operator contract but through
+    // [[graft.api.KeyedStream.indexOperator]] — DECLARED state indexes
+    // (arcon's ArconState layer) executed by transformWithState when
+    // streaming and by per-key ordered replay here (bounded): a running
+    // max + count per customer in o_orderkey order. Gives the
+    // index/TWS path its own driver-checked correctness row, not just
+    // unit tests.
+    "t7_index_operator" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val ds = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      val op = new graft.operators.IndexOperator[Long, (Long, Long, Double), (Long, Long, Double, Long)] {
+        @transient private var mx: graft.api.ValueIndex[Double] = _
+        @transient private var n: graft.api.ValueIndex[Long] = _
+        def open(state: graft.api.IndexState): Unit = {
+          mx = state.value[Double]("mx")(Encoders.scalaDouble)
+          n = state.value[Long]("n")(Encoders.scalaLong)
+        }
+        def handleElement(key: Long, e: (Long, Long, Double), ts: Option[Long],
+            ctx: graft.operators.TimerContext): Iterator[(Long, Long, Double, Long)] = {
+          val m2 = mx.rmw(e._3)(prev => math.max(prev, e._3))
+          val n2 = n.rmw(0L)(_ + 1L)
+          Iterator((key, e._2, m2, n2))
+        }
+      }
+      new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long, Double)]())
+        .withTimestampExtractor(_._2) // replay order = o_orderkey
+        .keyBy(_._1)(Encoders.scalaLong)
+        .indexOperator(op)(Encoders.tuple(Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong))
+        .toDF.toDF("o_custkey", "o_orderkey", "running_max", "n_seen")
+    }),
+
     // T4 flat_map (arcon/src/dataflow/stream/map.rs:50-55) — 1→N via
     // explode (a Generator: pipelined, no shuffle).
     "t4_flatmap" -> ((s, d) =>

@@ -80,6 +80,48 @@ class SourceSinkSpec extends SparkTestBase {
     assert(byN(42L) == (("", 0.0, 0.0f, false))) // proto3 defaults
   }
 
+  test("protobuf decode: nested messages, repeated (packed+unpacked), optional struct (proto_derive Advanced/Point)") {
+    // the reference's Advanced { option: Option<u64>, bytes: Vec<u8>,
+    // repeated: Vec<Point> } with Point { x: i32, y: i32 }
+    // (/root/reference/arcon_tests/src/proto_derive_test.rs:29-60),
+    // plus a repeated int64 to exercise packed vs unpacked encodings
+    // and an absent nested message (NULL struct).
+    val point = Seq(ProtoField(1, "x", IntegerType), ProtoField(2, "y", IntegerType))
+    val fields = Seq(
+      ProtoField(1, "option", LongType),
+      ProtoField(2, "bytes", BinaryType),
+      ProtoField.message(3, "repeated", point, repeated = true),
+      ProtoField(4, "ids", LongType, repeated = true),
+      ProtoField.message(5, "loc", point))
+    val full = Array[Byte](
+      0x08, 0x01,                         // option = 1
+      0x12, 0x02, 0xAA.toByte, 0xBB.toByte, // bytes = [AA BB]
+      0x1A, 0x02, 0x10, 0x01,             // repeated += Point{x:0(absent), y:1}
+      0x1A, 0x04, 0x08, 0x05, 0x10, 0x07, // repeated += Point{x:5, y:7}
+      0x22, 0x03, 0x03, 0x8E.toByte, 0x02, // ids (packed) = [3, 270]
+      0x2A, 0x02, 0x08, 0x09)             // loc = Point{x:9, y:0(absent)}
+    val unpackedIds = Array[Byte](
+      0x20, 0x03,                         // ids += 3 (unpacked)
+      0x20, 0x8E.toByte, 0x02)            // ids += 270 (unpacked)
+    val badNested = Array[Byte](0x1A, 0x7F, 0x10) // nested len overruns buffer
+    val out = SourceSchemas.decodedProto(
+      Seq(full, unpackedIds, badNested).toDF("value"), fields).collect()
+    assert(out.length == 2) // malformed nested dropped, report-not-fail
+    val byOpt = out.map(r => r.getLong(0) -> r).toMap
+    val f = byOpt(1L)
+    assert(f.getAs[Array[Byte]]("bytes").toSeq == Seq(0xAA.toByte, 0xBB.toByte))
+    val pts = f.getSeq[org.apache.spark.sql.Row](2)
+      .map(p => (p.getInt(0), p.getInt(1)))
+    assert(pts == Seq((0, 1), (5, 7)))
+    assert(f.getSeq[Long](3) == Seq(3L, 270L))
+    assert(f.getStruct(4).getInt(0) == 9 && f.getStruct(4).getInt(1) == 0)
+    val sparse = byOpt(0L) // the unpacked-ids message: everything else absent
+    assert(sparse.getSeq[Long](3) == Seq(3L, 270L)) // unpacked ≡ packed
+    assert(sparse.getSeq[org.apache.spark.sql.Row](2).isEmpty) // absent repeated = []
+    assert(sparse.isNullAt(4)) // absent nested message = NULL struct
+    assert(sparse.getAs[Array[Byte]]("bytes").isEmpty) // proto3 default
+  }
+
   test("overlong varint (>10 bytes) is malformed and dropped, not wrapped mod 64") {
     val fields = Seq(ProtoField(1, "n", LongType))
     // 10-byte varint: the legal maximum; decodes to -1
