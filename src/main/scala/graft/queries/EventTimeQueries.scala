@@ -101,6 +101,38 @@ object EventTimeQueries extends QueryModule {
           col("_4._4").as("max_id"))
     }),
 
+    // W5 ArrowWindow (arcon/src/index/window/arrow.rs:17-122), run
+    // through the DSL arrowBatch path: the whole (user, hour) window
+    // group is handed to ONE batch function as an iterator (nothing
+    // buffered or sorted — single streamed pass), mirroring the
+    // reference handing (schema, RecordBatches) to a batch UDF at
+    // trigger. The batch fn here is a one-pass count/sum/max — an
+    // order-insensitive computation, as arrowBatch delivers the group
+    // unordered.
+    "w8_arrow_batch" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val ds = Tables.events(s, d)
+        .select(col("event_id"), expr("unix_millis(ts)").as("tms"), col("user_id"))
+        .as[(Long, Long, Long)](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long, Long)]())
+        .withTimestampExtractor(_._2)
+        .keyBy(_._3)(Encoders.scalaLong)
+        .window(graft.api.WindowAssigner.Tumbling(3600000L))
+        .arrowBatch { it =>
+          var n = 0L; var sum = 0L; var mx = Long.MinValue
+          while (it.hasNext) {
+            val e = it.next()
+            n += 1; sum += e._1; if (e._1 > mx) mx = e._1
+          }
+          (n, sum, mx)
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+        .toDF
+        .select(col("_1").as("user_id"), col("_2").as("window_start"),
+          col("_3").as("window_end"), col("_4._1").as("n_events"),
+          col("_4._2").as("sum_ids"), col("_4._3").as("max_id"))
+    }),
+
     // Interval (range) join — the other half of SURVEY §2.6's
     // "as-of/interval" row: re-orders within 7 days by the same customer
     // (each later order paired with every order of that customer in the
@@ -200,6 +232,15 @@ object EventTimeQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "w8_arrow_batch" ->
+      """SELECT user_id,
+        |  (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+        |  (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  max(event_id) AS max_id
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "w6_interval_join" ->

@@ -387,6 +387,14 @@ object Relational extends QueryModule {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "t7_index_operator" ->
+      """SELECT o_custkey, o_orderkey,
+        |  max(o_totalprice) OVER w AS running_max,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_seen
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "t4_flatmap" ->
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",
 

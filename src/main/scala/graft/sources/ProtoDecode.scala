@@ -105,7 +105,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       res
     }
     def fixed64(): Long = {
-      if (pos + 8 > end) fail()
+      if (end - pos < 8) fail()
       var v = 0L
       var k = 0
       while (k < 8) { v |= (bytes(pos + k) & 0xFFL) << (8 * k); k += 1 }
@@ -113,7 +113,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       v
     }
     def fixed32(): Int = {
-      if (pos + 4 > end) fail()
+      if (end - pos < 4) fail()
       var v = 0
       var k = 0
       while (k < 4) { v |= (bytes(pos + k) & 0xFF) << (8 * k); k += 1 }
@@ -125,7 +125,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       case 1 => fixed64(); ()
       case 2 =>
         val len = varint().toInt
-        if (len < 0 || pos + len > end) fail()
+        if (len < 0 || len > end - pos) fail()
         pos += len
       case 5 => fixed32(); ()
       case _ => fail() // groups (3/4) unsupported
@@ -164,7 +164,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
           // nested message (possibly repeated): always length-delimited
           if (wire != 2) fail()
           val len = varint().toInt
-          if (len < 0 || pos + len > end) fail()
+          if (len < 0 || len > end - pos) fail()
           val row = decodeMessage(bytes, pos, pos + len, f.children)
           pos += len
           if (f.repeated) buf(slot) += row else values(slot) = row
@@ -173,7 +173,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
           if (wire == 2 && numWire >= 0) {
             // packed numeric run: elements until the length runs out
             val len = varint().toInt
-            if (len < 0 || pos + len > end) fail()
+            if (len < 0 || len > end - pos) fail()
             val stop = pos + len
             while (pos < stop) buf(slot) += scalarOf(f.dataType, numWire)
             if (pos != stop) fail()
@@ -181,13 +181,13 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
             buf(slot) += (f.dataType match {
               case StringType if wire == 2 =>
                 val len = varint().toInt
-                if (len < 0 || pos + len > end) fail()
+                if (len < 0 || len > end - pos) fail()
                 val s = UTF8String.fromBytes(
                   java.util.Arrays.copyOfRange(bytes, pos, pos + len))
                 pos += len; s
               case BinaryType if wire == 2 =>
                 val len = varint().toInt
-                if (len < 0 || pos + len > end) fail()
+                if (len < 0 || len > end - pos) fail()
                 val b = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
                 pos += len; b
               case dt => scalarOf(dt, wire)
@@ -196,7 +196,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
         } else wire match {
           case 2 =>
             val len = varint().toInt
-            if (len < 0 || pos + len > end) fail()
+            if (len < 0 || len > end - pos) fail()
             f.dataType match {
               case StringType => values(slot) = UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(bytes, pos, pos + len))
@@ -225,6 +225,9 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
     try decodeMessage(bytes, 0, bytes.length, fields)
     catch {
       case ProtoDecodeExpr.Malformed => null // truncated/corrupt message
+      // belt-and-braces: any index escape a guard misses is still a
+      // malformed record, not a task failure (report-not-fail contract)
+      case _: ArrayIndexOutOfBoundsException => null
     }
   }
 

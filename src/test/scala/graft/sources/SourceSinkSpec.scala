@@ -133,6 +133,27 @@ class SourceSinkSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(-1L))
   }
 
+  test("near-Int.MaxValue length prefixes are malformed, not negative-index crashes") {
+    // a length whose `pos + len` wraps negative must hit the overflow-safe
+    // guard (`len > end - pos`), yielding NULL/dropped — not an
+    // ArrayIndexOutOfBoundsException escaping the task
+    val huge = Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x07) // 2^31-1
+    val point = Seq(ProtoField(1, "x", IntegerType))
+    val fields = Seq(
+      ProtoField(1, "s", StringType),
+      ProtoField.message(2, "m", point),
+      ProtoField(3, "ids", LongType, repeated = true))
+    val cases = Seq(
+      Array[Byte](0x0A) ++ huge,            // string field, huge len
+      Array[Byte](0x12) ++ huge,            // nested message, huge len
+      Array[Byte](0x1A) ++ huge,            // packed repeated, huge len
+      Array[Byte](0x4A) ++ huge,            // unknown field skip, huge len
+      Array[Byte](0x0A, 0x01, 'a'.toByte))  // control: valid record, s = "a"
+    val out = SourceSchemas.decodedProto(cases.toDF("value"), fields).collect()
+    assert(out.length == 1) // the four crafted records drop; control survives
+    assert(out.head.getString(0) == "a")
+  }
+
   test("socket source streams lines from a live TCP server (S6)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
