@@ -110,8 +110,15 @@ object Dedup {
     * for any maxHamming, bucket population bounded at corpus scale). */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      simHash(col(textCol)).as("sig"))
+    // NULL-text rows can never band-match (null keys don't equi-join);
+    // drop them BEFORE the signature and mark the signature non-nullable
+    // (coalesce with a non-null literal). Without this the optimizer
+    // infers `isnotnull(simhashexpr(text))` from the join keys and the
+    // full signature scan runs TWICE per row — once in the inferred
+    // Filter, once in the projection (caught by PlanAuditSpec).
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(simHashBandKeys(col("sig"), maxHamming)))
       .withColumnRenamed("pos", "tbl")
@@ -222,8 +229,13 @@ object Dedup {
     * production would multi-probe — the bucket-join shape is the point). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.95): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshSignature(col(vecCol), nPlanes, dim).as("bucket"))
+    // non-nullable bucket for the same reason as [[simHashDup]]'s sig:
+    // otherwise `isnotnull(lshsignatureexpr(v))` is inferred from the
+    // join key and the signature dot-products run twice per row
+    val sig = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        coalesce(VectorFunctions.lshSignature(col(vecCol), nPlanes, dim), lit(0L))
+          .as("bucket"))
     val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))
@@ -244,8 +256,10 @@ object Dedup {
     * pair is reachable through two probes). */
   def embeddingNearDupMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.95): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshSignature(col(vecCol), nPlanes, dim).as("bucket"))
+    val sig = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        coalesce(VectorFunctions.lshSignature(col(vecCol), nPlanes, dim), lit(0L))
+          .as("bucket"))
     // probe 0 = the exact bucket; probe p = bucket with plane p-1 flipped
     val probeBuckets = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
       .map(flip => col("bucket").bitwiseXOR(flip)): _*)

@@ -140,16 +140,22 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
-    val exact = lshSignature(col(vecCol), nPlanes, dim)
+    // non-nullable signature (null vectors pre-filtered, coalesce marks
+    // the key non-null) so the optimizer cannot infer
+    // `isnotnull(lshsignatureexpr(v))` and evaluate the signature twice
+    // per row (see PlanAuditSpec's single-eval audit)
+    val exact = coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L))
     val probed =
       if (multiProbe)
         explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
           .map(flip => exact.bitwiseXOR(flip)): _*))
       else exact
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      probed.as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      exact.as("bucket"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        probed.as("bucket"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        exact.as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -16,20 +16,41 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class Measure extends StreamingQueryListener {
   private val rows = new AtomicLong(0)
   private val seconds = new DoubleAdder
+  private val batches = new AtomicLong(0)
+  private val durations =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  private def addMs(key: String, ms: Long): Unit =
+    durations.computeIfAbsent(key, _ => new AtomicLong).addAndGet(ms)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     rows.addAndGet(p.numInputRows)
+    batches.incrementAndGet()
     Option(p.durationMs.get("triggerExecution"))
       .foreach(ms => seconds.add(ms.toDouble / 1000.0))
+    // engine-reported phase durations (addBatch = run the batch plan,
+    // getBatch/latestOffset = source, queryPlanning, walCommit/
+    // commitOffsets = offset log) — the throughput breakdown
+    p.durationMs.forEach((k, v) => addMs(k, v))
+    // state-store cost on top: per-operator update + commit time
+    p.stateOperators.foreach { so =>
+      addMs("stateAllUpdates", so.allUpdatesTimeMs)
+      addMs("stateCommit", so.commitTimeMs)
+    }
   }
 
   def totalRows: Long = rows.get()
   def totalSeconds: Double = seconds.sum()
+  def totalBatches: Long = batches.get()
   def recordsPerSec: Double =
     if (totalSeconds > 0) totalRows / totalSeconds else 0.0
+  /** Accumulated per-phase milliseconds across all observed batches. */
+  def durationBreakdownMs: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    durations.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
 }
 
 object Measure {

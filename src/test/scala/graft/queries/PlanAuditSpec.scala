@@ -58,6 +58,38 @@ class PlanAuditSpec extends SparkTestBase {
       l.contains("Join [tbl#") && l.contains("band_key#")), p)
   }
 
+  test("signature-keyed queries evaluate their signatures once per row — never inside a Filter") {
+    // Two regressions this pins:
+    //  1. a nullable signature join key makes InferFiltersFromConstraints
+    //     add `isnotnull(<signature expr>(...))` below the projection —
+    //     the full signature scan then runs TWICE per row (Filter +
+    //     Project; WSCG does not CSE across operators);
+    //  2. CollapseProject inlining the signature into each of the 20
+    //     band-key expressions would scan each document 20×.
+    // The fix (Dedup/Similarity): pre-filter null inputs, mark the key
+    // non-nullable via coalesce. Here: no expensive expr in any Filter
+    // line, and band keys reference a projected sig attribute.
+    val expensive = Seq("simhashexpr", "minhashbandkeysexpr",
+      "shinglehashesexpr", "lshsignatureexpr")
+    for (q <- Seq("dd2_minhash_lsh", "dd3_simhash", "dd5_embedding_neardup",
+        "dd7_embedding_multiprobe", "sim2_topk_lsh", "sim4_topk_lsh_multiprobe")) {
+      val opt = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      val bad = opt.linesIterator
+        .filter(l => l.contains("filter "))
+        .filter(l => expensive.exists(l.contains)).toSeq
+      assert(bad.isEmpty,
+        s"$q evaluates a signature expression inside a Filter:\n${bad.mkString("\n")}")
+    }
+    // the 20 dd3 band keys must consume a single projected sig attribute
+    val dd3 = SparkEntry.queries("dd3_simhash")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val generateLines = dd3.linesIterator.filter(_.contains("posexplode")).toSeq
+    assert(generateLines.nonEmpty)
+    assert(generateLines.forall(l => !l.toLowerCase.contains("simhashexpr")),
+      s"band keys recompute the signature:\n${generateLines.mkString("\n")}")
+  }
+
   test("sim3_topk_ivf: centroid assignment is a partial-agg max_by, not a corpus-wide window sort") {
     val p = plan("sim3_topk_ivf")
     // no row_number window partitioned by the corpus id — that plan
