@@ -34,12 +34,28 @@ object Decontaminate {
   def shingleOverlap(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val trainSh = train.select(col(idCol), shingleHashes(col(textCol), k).as("__sh"))
+    // non-nullable shingle array (null text -> empty array -> 0 shingles,
+    // never contaminated — same contract): otherwise every downstream
+    // reference to n_shingles lets the optimizer infer an
+    // isnotnull(size(shinglehashesexpr(...))) filter that re-runs the
+    // text scan a second time per row
+    val trainSh = train.select(col(idCol),
+      coalesce(shingleHashes(col(textCol), k),
+        array().cast("array<long>")).as("__sh"))
+    // explode_outer everywhere a shingle array feeds a generator:
+    // InferFiltersFromGenerate only fires for non-outer explodes, and on
+    // these it clones the FULL shingle scan into a `size(...)>0 AND
+    // isnotnull(...)` filter under the generate (via predicate pushdown
+    // through the staging projection) — tripling the per-row text-scan
+    // cost. The extra null row an outer explode emits for empty docs is
+    // dropped by the inner equi-join on `h` (null never matches), so the
+    // result is identical. PlanAuditSpec pins the single-eval plan.
     val benchSh = bench
-      .select(explode(shingleHashes(col(textCol), k)).as("h"))
+      .select(explode_outer(shingleHashes(col(textCol), k)).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     val overlaps = trainSh
-      .select(col(idCol), explode(col("__sh")).as("h"))
+      .select(col(idCol), explode_outer(col("__sh")).as("h"))
       .join(broadcast(benchSh), Seq("h"))
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
     // threshold compare in exact integer math when possible (0.5 -> 2x)

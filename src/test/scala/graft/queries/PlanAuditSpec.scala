@@ -71,10 +71,12 @@ class PlanAuditSpec extends SparkTestBase {
     // line, and band keys reference a projected sig attribute.
     val expensive = Seq("simhashexpr", "minhashbandkeysexpr",
       "shinglehashesexpr", "lshsignatureexpr")
-    for (q <- Seq("dd2_minhash_lsh", "dd3_simhash", "dd5_embedding_neardup",
-        "dd7_embedding_multiprobe", "sim2_topk_lsh", "sim4_topk_lsh_multiprobe")) {
-      val opt = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.optimizedPlan.toString.toLowerCase
+    // (x7/pl1: InferFiltersFromGenerate + predicate pushdown used to
+    // clone the shingle scan into size>0 / isnotnull filters — fixed by
+    // explode_outer + non-nullable signature keys; swept over EVERY
+    // query so a new operator can't silently reintroduce the pattern)
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val opt = fn(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
       val bad = opt.linesIterator
         .filter(l => l.contains("filter "))
         .filter(l => expensive.exists(l.contains)).toSeq
