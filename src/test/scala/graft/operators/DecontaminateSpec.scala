@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Null-input contracts for the single-eval plan fixes: the non-nullable
+  * signature keys (coalesce) and outer explodes must not change results —
+  * null text / null vectors simply cannot match anything. */
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decontaminate: null-text docs get 0 shingles and are never contaminated") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "completely unrelated content words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.shingleOverlap(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2L) == ((0L, 0L, false))) // null text: 0 shingles, clean
+    assert(out(1L)._3) // verbatim benchmark copy flagged
+    assert(!out(3L)._3)
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("dedup signature paths tolerate null inputs (dropped, not crashed or matched)") {
+    val docs = Seq(
+      (1L, "identical duplicated text body"),
+      (2L, "identical duplicated text body"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simHashDup(docs, "doc_id", "text").collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
+    val vec = Array.fill(64)(0.5f)
+    val emb = Seq(
+      (1L, vec.toSeq), (2L, vec.toSeq), (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val near = Dedup.embeddingNearDup(emb, "id", "v").collect()
+    assert(near.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val multi = Dedup.embeddingNearDupMultiProbe(emb, "id", "v").collect()
+    assert(multi.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}
