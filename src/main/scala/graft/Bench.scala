@@ -178,7 +178,12 @@ object Bench {
       "historical 5-wave feed-and-wait protocol (harness-bound: each " +
       "wave pays a full processAllAvailable drain); " +
       "'streaming_availablenow' pre-stages all rows and measures the " +
-      "engine alone with per-phase breakdown_ms. kafka e2e remains " +
+      "engine alone with per-phase breakdown_ms. state-store commit is " +
+      "the dominant fixed cost per micro-batch; a provider probe showed " +
+      "HDFSBacked ~15-20% faster at bench-size state and changelog " +
+      "checkpointing a ~20% win for RocksDB - RocksDB+changelog stays " +
+      "the configured default because 100TB keyed state exceeds heap. " +
+      "kafka e2e remains " +
       "environment-limited: no spark-sql-kafka connector jar in this " +
       "container; the decode/sink projections are unit-tested broker-less."
     val json =
