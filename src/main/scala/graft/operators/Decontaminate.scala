@@ -68,4 +68,50 @@ object Decontaminate {
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("contaminated", contaminated)
   }
+
+  /** Strict decontamination via a Bloom-filter prefilter: return the ids
+    * of training docs sharing NO k-shingle with the benchmark set. The
+    * result is EXACT — identical to a plain anti-join — because a Bloom
+    * filter has no false negatives (a doc with zero bloom hits is
+    * definitively clean) and its false positives are eliminated by an
+    * exact verification join over only the bloom-surviving shingles.
+    *
+    * Why this shape at 100 TB: [[shingleOverlap]] broadcasts the full
+    * distinct benchmark shingle-hash set — fine at thousands of longs,
+    * but a benchmark suite of 10⁸ shingles is a multi-GB broadcast hash
+    * set. The bloom at 1% fpp needs ~10 bits per item (~120 MB for 10⁸),
+    * an order of magnitude smaller for the same probe, and the exact-verify join
+    * then runs over the ~fpp fraction of corpus shingles that hit it —
+    * a near-empty exchange for a clean corpus. The bloom itself is
+    * built with a distributed aggregate (partial filters merged), not a
+    * driver-side collect of the shingle set.
+    *
+    * @return single column (idCol) — the clean doc ids.
+    */
+  def bloomClean(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val benchSh = bench
+      .select(explode_outer(shingleHashes(col(textCol), k)).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    val nBench = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("h", nBench, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: java.lang.Long) =>
+      h != null && bloomB.value.mightContain(h.longValue()))
+      .withName("bloomMightContain")
+    val trainSh = train
+      .select(col(idCol), explode_outer(shingleHashes(col(textCol), k)).as("h"))
+      .filter(col("h").isNotNull)
+    // bloom prefilter (no false negatives) → exact verify of survivors
+    val confirmed = trainSh
+      .filter(mightContain(col("h")))
+      .join(broadcast(benchSh), Seq("h"))
+      .select(col(idCol))
+      .distinct()
+    train.select(col(idCol))
+      .join(confirmed, Seq(idCol), "left_anti")
+  }
 }

@@ -33,6 +33,47 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Passage-level exact dedup: split each document into consecutive
+    * non-overlapping `passageTokens`-token passages (trailing partial
+    * passage dropped) and report every passage whose content occurs more
+    * than once anywhere in the corpus, with the smallest containing doc
+    * id as the keeper. This is the sub-document analog of [[exact]] —
+    * the standard pass when the dedup unit is a paragraph/passage rather
+    * than the whole document and no natural boundaries exist.
+    *
+    * Plan shape at 100 TB: the passage explode is a generator (pipelined,
+    * factor = docTokens/passageTokens), and the ONLY shuffle groups on
+    * (xxhash64(passage), length) — 16 bytes per passage, never the
+    * passage text. A 64-bit key + length makes collisions negligible, so
+    * the oracle can group on the raw passage text and the hashed plan
+    * must reproduce it exactly.
+    *
+    * @return (keeper_id, n_copies) — one row per duplicated passage.
+    */
+  def passageExactDedup(docs: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val p = passageTokens
+    // n full passages; sequence(0, n-1) is invalid for n = 0, so guard
+    val passages = when(size(toks) >= p,
+      transform(sequence(lit(0), floor(size(toks) / p).cast("int") - 1),
+        i => array_join(slice(toks, i * p + 1, lit(p)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // explode_outer, not explode: InferFiltersFromGenerate would clone
+    // the whole passage-building expression into a size(...) > 0 filter
+    // under a non-outer generate, re-running the tokenize per row (same
+    // hazard documented in Decontaminate.shingleOverlap). The null row
+    // an outer explode emits for passage-less docs is filtered right out.
+    docs
+      .select(col(idCol).as("id"), explode_outer(passages).as("passage"))
+      .filter(col("passage").isNotNull)
+      .groupBy(fingerprint64(col("passage")).as("fp"),
+        length(col("passage")).as("ln"))
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keeper_id"), col("n_copies"))
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Plan shape (each stage computes its inputs exactly once per row):

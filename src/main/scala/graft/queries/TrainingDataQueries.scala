@@ -121,6 +121,33 @@ object TrainingDataQueries extends QueryModule {
         "doc_id", "text", k = 3, threshold = 0.5)
     }),
 
+    // Corpus-wide heavy hitters: exact top-50 tokens by occurrence count
+    // with document frequency. The scale shape: explode is a pipelined
+    // generator, the count aggregate combines map-side, and the top-k is
+    // TakeOrderedAndProject (per-partition bounded heaps merged on the
+    // driver — k rows, never a global sort). Ties broken by token text,
+    // so the result is fully deterministic.
+    "x9_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(50)),
+
+    // Strict decontamination through the Bloom prefilter + exact-verify
+    // path (the 100 TB variant of x7: ~10-bits-per-shingle broadcast
+    // instead of a full hash set, identical exact output). Same planted
+    // benchmark split as x7; output = the clean doc ids.
+    "x10_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.bloomClean(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3, fpp = 0.01)
+    }),
+
     // ---- End-to-end pipeline composition ----
     // The full training-data preparation flow in ONE plan: normalize →
     // quality gate → exact dedup on the canonical fingerprint (keep the
@@ -193,6 +220,13 @@ object TrainingDataQueries extends QueryModule {
     "dd2_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(nearDupDocs(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // Sub-document dedup: consecutive 10-token passages, duplicated
+    // content reported with its keeper doc. Same 16-byte-key shuffle
+    // discipline as dd1, with the passage explode as a generator.
+    "dd8_passage_dedup" -> ((s, d) =>
+      Dedup.passageExactDedup(exactDupDocs(s, d), "doc_id", "text",
+        passageTokens = 10)),
 
     "dd3_simhash" -> ((s, d) =>
       Dedup.simHashDup(exactDupDocs(s, d), "doc_id", "text", maxHamming = 3)),
@@ -466,6 +500,23 @@ object TrainingDataQueries extends QueryModule {
          |  coalesce(o.n_overlap, 0) * 2 > len(t.shs) AS contaminated
          |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
 
+    "x9_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "x10_bloom_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),
+         |bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, shs FROM sh WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT doc_id, unnest(shs) AS h FROM train),
+         |dirty AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bench USING (h))
+         |SELECT doc_id FROM train
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
     "pl1_pipeline" ->
       s"""WITH norm AS (
          |  SELECT doc_id, lang,
@@ -510,6 +561,15 @@ object TrainingDataQueries extends QueryModule {
          |FROM ($exactDupDocsSql) GROUP BY text""".stripMargin,
 
     "dd2_minhash_lsh" -> dd2Sql,
+
+    "dd8_passage_dedup" ->
+      s"""WITH cand AS ($exactDupDocsSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM cand),
+         |pas AS (SELECT doc_id, unnest(list_transform(range(len(tk) // 10),
+         |  i -> array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' '))) AS passage
+         |  FROM toks)
+         |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM pas GROUP BY passage HAVING count(*) >= 2""".stripMargin,
 
     "dd6_dedup_clusters" ->
       s"""WITH RECURSIVE p AS (

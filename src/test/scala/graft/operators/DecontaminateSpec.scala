@@ -44,4 +44,26 @@ class DecontaminateSpec extends SparkTestBase {
     val multi = Dedup.embeddingNearDupMultiProbe(emb, "id", "v").collect()
     assert(multi.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("bloomClean is exact: identical to the plain anti-join at any fpp") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content words nothing shared here at all"),
+      (3L, "the quick brown cat naps under the warm sun daily"), // shares "the quick brown"
+      (4L, "short doc"), // < 3 tokens: no shingles, definitively clean
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    // exact truth via the existing overlap report: clean = n_overlap == 0
+    val expected = Decontaminate.shingleOverlap(train, bench, "doc_id", "text")
+      .filter(col("n_overlap") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful filter must stay exact
+      val got = Decontaminate.bloomClean(train, bench, "doc_id", "text", fpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"fpp=$fpp: $got != $expected")
+    }
+    assert(expected == Set(2L, 4L, 5L)) // docs 1 and 3 share benchmark shingles
+  }
 }

@@ -104,4 +104,37 @@ class DedupSpec extends SparkTestBase {
     // and multi-probe is a superset: same verify threshold, more candidates
     assert(multi <= 300 && single <= 300)
   }
+
+  // ---- passage-level exact dedup ----
+
+  test("passageExactDedup reports duplicated 10-token passages with the min-doc keeper") {
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val a = toks("a", 20) // 2 passages
+    val b = toks("b", 20)
+    val docs = Seq(
+      (1L, a),                                  // a0..a9 | a10..a19
+      (2L, a),                                  // exact copy of doc 1
+      (3L, b),                                  // unique content
+      (4L, toks("a", 10) + " " + toks("x", 5)), // shares a0..a9; trailing 5 dropped
+      (5L, toks("y", 7)),                       // < 10 tokens: no passages
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageExactDedup(docs, "doc_id", "text", passageTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a0..a9 appears in docs 1, 2, 4 (keeper 1, 3 copies);
+    // a10..a19 appears in docs 1, 2 (keeper 1, 2 copies)
+    assert(out.sorted.toSeq == Seq((1L, 2L), (1L, 3L)), out.toSeq)
+  }
+
+  test("passageExactDedup keeps trailing-partial and short docs out of the passage space") {
+    val docs = Seq(
+      (1L, (0 until 15).map(i => s"t$i").mkString(" ")), // 1 passage, 5-token tail dropped
+      (2L, (0 until 15).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.passageExactDedup(docs, "doc_id", "text", passageTokens = 10)
+      .collect()
+    // only the full first passage is duplicated; the tails never pair up
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+  }
 }

@@ -122,4 +122,41 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("pl1_pipeline")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x9_heavy_hitters: top-k is a bounded per-partition TakeOrdered, never a global sort") {
+    val p = plan("x9_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // both aggregates (count and distinct-doc count) combine map-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("x10_bloom_decontaminate: bloom prefilter guards the exact-verify broadcast join") {
+    val p = plan("x10_bloom_decontaminate")
+    // the corpus-side shingle stream passes the ~10-bits-per-item bloom
+    // probe BEFORE any join — the survivors-only exact verify
+    assert(p.contains("bloomMightContain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus is never exchanged on text or shingle arrays
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")), p)
+  }
+
+  test("dd8_passage_dedup: dedup exchange groups on the 16-byte (hash, len) key") {
+    val p = plan("dd8_passage_dedup")
+    // the group-by exprs collapse to _groupingexpression attributes; the
+    // exchange must partition on those (hash+len scalars), and the
+    // xxhash64 of the passage is projected BEFORE the exchange — the
+    // passage string itself never rides it
+    assert(p.linesIterator.exists(
+      _.matches(".*Exchange hashpartitioning\\(_groupingexpression#.*")), p)
+    assert(p.contains("xxhash64(passage#"), p)
+    assert(p.contains("partial_min") || p.contains("Partial"), p)
+    // the passage-building expression must not be cloned into a Filter
+    // (the InferFiltersFromGenerate hazard — explode_outer avoids it)
+    val opt = SparkEntry.queries("dd8_passage_dedup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val bad = opt.linesIterator
+      .filter(l => l.contains("Filter ") && l.contains("sequence(")).toSeq
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
