@@ -136,6 +136,26 @@ object TrainingDataQueries extends QueryModule {
         .orderBy(col("n_occurrences").desc, col("token").asc)
         .limit(50)),
 
+    // Unigram-LM quality scoring: corpus token frequencies → per-doc
+    // average log-probability (the classic LM-based quality filter,
+    // with the corpus itself as the LM). Scale shape: the vocabulary
+    // is Zipf-small relative to the corpus, so the frequency table
+    // broadcasts back over the token stream — the only corpus-wide
+    // shuffles are the vocabulary count and the per-doc aggregate.
+    "x11_unigram_logprob" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("t")) // 1-row scalar
+      tok.join(broadcast(freq), Seq("token"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          avg(log(col("c").cast("double") / col("t").cast("double")))
+            .as("avg_logprob"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // Strict decontamination through the Bloom prefilter + exact-verify
     // path (the 100 TB variant of x7: ~10-bits-per-shingle broadcast
     // instead of a full hash set, identical exact output). Same planted
@@ -507,6 +527,17 @@ object TrainingDataQueries extends QueryModule {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "x11_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c) AS t FROM freq)
+        |SELECT doc_id,
+        |  avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) AS avg_logprob,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "x10_bloom_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),

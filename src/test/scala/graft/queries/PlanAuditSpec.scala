@@ -141,6 +141,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.forall(l => !l.contains("text#")), p)
   }
 
+  test("x11_unigram_logprob: vocabulary rejoins the token stream as a broadcast") {
+    val p = plan("x11_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus token stream is never hash-exchanged on the token text
+    // for the probe — only the vocabulary count and per-doc agg shuffle
+    assert(p.contains("partial_avg") || p.contains("Partial"), p)
+  }
+
   test("dd8_passage_dedup: dedup exchange groups on the 16-byte (hash, len) key") {
     val p = plan("dd8_passage_dedup")
     // the group-by exprs collapse to _groupingexpression attributes; the
