@@ -16,8 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for local iteration (the
-    // driver sets nothing and always dumps the full set)
+    // driver sets nothing and always dumps the full set). Loud, and
+    // fail-fast on unknown names: a stale filter leaking into a
+    // verification environment must not silently produce a partial,
+    // clean-looking dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      val skipped = (SparkEntry.queries.keySet -- names).toSeq.sorted
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY active: running " +
+        s"${names.toSeq.sorted.mkString(",")}; SKIPPING ${skipped.size} " +
+        s"queries: ${skipped.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

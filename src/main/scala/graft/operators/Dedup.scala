@@ -180,11 +180,59 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise n-gram Jaccard within blocking groups. Emits every
-    * in-block pair with its similarity (callers filter by threshold).
-    * The blocking columns bound the pair count — never call unblocked. */
+  /** Pair volume of a blocking scheme: number of blocks, the largest
+    * block, and Σ c·(c−1)/2 over the block-size histogram — the exact
+    * number of pairwise comparisons a blocked operator would perform.
+    * One column-pruned count job (the text column is never read unless a
+    * blocking key derives from it); this is what [[ngramJaccardPairs]]'s
+    * budget guard runs, and what the bench artifact reports so quadratic
+    * creep in a blocked query is visible in the JSON, not just in review. */
+  case class BlockVolume(nBlocks: Long, maxBlock: Long, totalPairs: Long)
+
+  def blockVolume(docs: DataFrame, blockCols: Seq[String]): BlockVolume = {
+    val r = docs.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      // c·(c−1) is even, so shiftright-by-1 is exact integer pair math
+      .agg(count(lit(1)).as("nb"),
+        coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(sum(shiftright(col("c") * (col("c") - 1), 1)), lit(0L)).as("tp"))
+      .collect()(0)
+    BlockVolume(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Exact pairwise n-gram Jaccard within blocking groups, emitting the
+    * in-block pairs with similarity ≥ `threshold`. The blocking columns
+    * bound the pair count; because in-block pairs grow as c² while a
+    * natural blocking key's cardinality is often CONSTANT in corpus size
+    * (lang × source ≈ 100 forever), the bound silently decays as the
+    * corpus grows — so the "never call unblocked" contract is enforced
+    * as code: a cheap column-pruned count job ([[blockVolume]]) runs
+    * first, and if any single block would generate more than
+    * `maxPairsPerBlock` comparisons the call fails loudly BEFORE the
+    * expensive shingle computation starts. Callers with a genuinely
+    * bounded scheme (include a length band, a date bucket — anything
+    * whose cardinality grows with N) never see the guard; callers whose
+    * blocks crept quadratic get an actionable error instead of a job
+    * that runs for a week. For unbounded corpora use [[minHashLsh]] /
+    * [[simHashDup]] — candidate count there is governed by the S-curve,
+    * not block size. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 3): DataFrame = {
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.0,
+      maxPairsPerBlock: Long = 10000000L): DataFrame = {
+    require(blockCols.nonEmpty,
+      "ngramJaccardPairs is exact pairwise within blocks; an empty " +
+        "blockCols is a global n² self-join — use minHashLsh/simHashDup")
+    if (maxPairsPerBlock < Long.MaxValue) {
+      val v = blockVolume(docs, blockCols)
+      val worst = v.maxBlock * (v.maxBlock - 1) / 2
+      if (worst > maxPairsPerBlock)
+        throw new IllegalArgumentException(
+          s"ngramJaccardPairs: hottest block on (${blockCols.mkString(", ")}) " +
+            s"has ${v.maxBlock} rows = $worst pairs > budget $maxPairsPerBlock " +
+            s"(${v.nBlocks} blocks, ${v.totalPairs} total pairs). The blocking " +
+            "key is too coarse for this corpus — add a finer key (length " +
+            "band, date bucket) or switch to minHashLsh/simHashDup.")
+    }
     val withSh = docs.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingleHashes(col(textCol), n).as("sh")): _*)
@@ -196,6 +244,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+
         jaccardShingles(col("sh_a"), col("sh_b")).as("jaccard")): _*)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Connected components over a near-duplicate pair list: every doc

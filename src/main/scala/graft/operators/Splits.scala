@@ -35,8 +35,16 @@ object Splits {
   /** Stratified deterministic sample: the `perStratum` rows of each
     * stratum with the smallest (contentHash, tieBreak) — a uniform
     * pseudo-random but reproducible choice. One shuffle on the strata
-    * key; a hot stratum is one window task, so keep strata coarse
-    * (language, source, date), not per-user. */
+    * key. Note the trade: COARSER strata mean LARGER per-stratum work —
+    * each stratum is one window partition, so a handful of huge strata
+    * concentrates rows on few reducers. What keeps that safe is the
+    * `rank <= k` filter: Spark pushes it below the sort as a
+    * WindowGroupLimit (pinned in PlanAuditSpec), so every map task keeps
+    * only `perStratum` rows per stratum and the reducer merges
+    * (numMapTasks × perStratum) rows instead of sorting the full
+    * stratum. Truly per-user-fine strata shift the cost the other way
+    * (a huge strata-key exchange); pick strata for the sampling
+    * semantics, not the plan — the group limit bounds both ends. */
   def stratifiedSample(df: DataFrame, strata: Seq[String], on: Column,
       tieBreak: Column, perStratum: Int): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*)

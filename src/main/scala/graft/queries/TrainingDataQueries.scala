@@ -259,9 +259,19 @@ object TrainingDataQueries extends QueryModule {
           shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5),
         "doc_a", "doc_b")),
 
+    // Blocking includes a 64-char length band: (lang, source) alone has
+    // CONSTANT cardinality (~100), so in-block pairs grow as (N/100)² —
+    // the band multiplies the block count by the length spread and keeps
+    // the hottest block ~8× smaller at sf0.1. The pair-budget guard in
+    // ngramJaccardPairs fails loudly if a future corpus outgrows even
+    // the banded scheme.
     "dd4_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        blockCols = Seq("lang", "source"), n = 3)),
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).withColumn("len_band",
+          floor(length(col("text")) / 64).cast("long")),
+        "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_band"), n = 3,
+        threshold = 0.01)),
 
     "dd5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(nearDupEmb(s, d), "vec_id", "embedding",
@@ -630,11 +640,14 @@ object TrainingDataQueries extends QueryModule {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
 
     "dd4_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT lang, source, doc_id AS id, ${sh3("text")} AS shs FROM documents)
-         |SELECT l.lang, l.source, l.id AS doc_a, r.id AS doc_b,
+      s"""WITH sh AS (SELECT lang, source, length(text) // 64 AS len_band,
+         |  doc_id AS id, ${sh3("text")} AS shs FROM documents)
+         |SELECT l.lang, l.source, l.len_band, l.id AS doc_a, r.id AS doc_b,
          |  ${jac("l.shs", "r.shs")} AS jaccard
          |FROM sh l JOIN sh r
-         |  ON l.lang = r.lang AND l.source = r.source AND l.id < r.id""".stripMargin,
+         |  ON l.lang = r.lang AND l.source = r.source
+         |  AND l.len_band = r.len_band AND l.id < r.id
+         |WHERE ${jac("l.shs", "r.shs")} >= 0.01""".stripMargin,
 
     "dd5_embedding_neardup" ->
       s"""WITH cand AS ($nearDupEmbSql),

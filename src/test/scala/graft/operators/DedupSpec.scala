@@ -105,6 +105,40 @@ class DedupSpec extends SparkTestBase {
     assert(multi <= 300 && single <= 300)
   }
 
+  // ---- blocked pairwise n-gram Jaccard: the pair-budget guard ----
+
+  test("ngramJaccardPairs: a hot block over the pair budget fails loudly before any shingling") {
+    // one block of 100 rows = 4950 pairs; budget 1000 → guard trips
+    val docs = (0 until 100).map(i => (i.toLong, "en", s"doc number $i text"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), maxPairsPerBlock = 1000L)
+    }
+    assert(e.getMessage.contains("4950 pairs > budget 1000"), e.getMessage)
+    // same data under budget: runs fine and filters by threshold
+    val ok = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), threshold = 0.99, maxPairsPerBlock = 5000L)
+    assert(ok.columns.toSeq == Seq("lang", "doc_a", "doc_b", "jaccard"))
+    assert(ok.count() == 0) // distinct docs: nothing at jaccard >= 0.99
+  }
+
+  test("ngramJaccardPairs: empty blockCols is rejected (global n² self-join)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols = Seq.empty)
+    }
+  }
+
+  test("blockVolume counts blocks, hottest block, and exact total pairs") {
+    val df = Seq.tabulate(10)(i => (i.toLong, if (i < 6) "a" else "b"))
+      .toDF("id", "k")
+    val v = Dedup.blockVolume(df, Seq("k"))
+    assert(v == Dedup.BlockVolume(2L, 6L, 15L + 6L)) // C(6,2)+C(4,2)
+    val empty = Dedup.blockVolume(df.filter(col("id") < 0), Seq("k"))
+    assert(empty == Dedup.BlockVolume(0L, 0L, 0L))
+  }
+
   // ---- passage-level exact dedup ----
 
   test("passageExactDedup reports duplicated 10-token passages with the min-doc keeper") {

@@ -118,6 +118,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("sp2_sample: rank<=k pushes below the sort as a WindowGroupLimit (hot-stratum safety)") {
+    // without the group limit a hot stratum is fully sorted on one
+    // reducer; with it every map task keeps only perStratum rows per
+    // stratum and the reducer merges numMapTasks×k rows
+    val p = plan("sp2_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("dd4_ngram_jaccard: blocked self-join exchanges carry shingle ids, never raw text") {
+    val p = plan("dd4_ngram_jaccard")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")), p)
+  }
+
   test("pl1_pipeline: composed pipeline keeps the decontamination probe a broadcast") {
     val p = plan("pl1_pipeline")
     assert(p.contains("BroadcastHashJoin"), p)
