@@ -11,21 +11,60 @@ import org.apache.spark.sql.functions._
   * timings). The JSON line goes to stdout AND `bench_result.json` so the
   * driver can parse it out of sbt log noise.
   *
-  * Also runs the BASELINE.md §3 streaming leg: records/s through a
-  * MemoryStream → watermarked windowed aggregation (the reference's
-  * `examples/window.rs` shape) on the RocksDB state store, measured by
-  * the [[graft.streaming.Measure]] listener (the MeasureSink analog).
+  * Trustworthiness machinery (the numbers are only as good as the
+  * machine was quiet):
+  *
+  *  - CONTENTION SENTINEL: /proc/loadavg is recorded before and after,
+  *    and a fixed calibration query (sum over spark.range(10⁹)) is timed
+  *    at start and end. If the calibration drifts more than 1.3× across
+  *    the run, or the machine was already loaded when the run began, the
+  *    artifact carries `"contention_warning": true` and a loud note —
+  *    a contaminated run self-identifies instead of silently becoming
+  *    the round's record (which is exactly what happened to BENCH_r06:
+  *    ~10 queries overstated 2–13× by a loaded machine).
+  *  - STREAMING REPEATS: each streaming leg runs 3× in-process with a
+  *    fresh checkpoint each time; the artifact reports every run plus
+  *    min/median/max and the max/min spread. `records_per_sec` is the
+  *    median, the tracked number. `streaming_availablenow` is the
+  *    PRIMARY streaming metric (it pre-stages all input and measures the
+  *    engine alone); the wave leg stays for historical comparability.
+  *  - BLOCK VOLUMES: every blocked-pairwise query's exact pair count at
+  *    this scale factor (Σ c·(c−1)/2 over its blocking histogram) is in
+  *    `block_volume`, so quadratic creep is visible in the artifact.
   */
 object Bench {
 
-  /** One streaming-leg result: engine-time throughput plus the
+  /** One streaming-leg run: engine-time throughput plus the
     * engine-reported phase breakdown ("where does the time go"). */
-  private case class StreamResult(rows: Long, sec: Double, rps: Double,
+  private[graft] case class StreamResult(rows: Long, sec: Double, rps: Double,
       batches: Long, wallSec: Double, breakdownMs: Map[String, Long]) {
     def json: String = {
       val bd = breakdownMs.toSeq.sortBy(-_._2).map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"rows":$rows,"sec":$sec,"records_per_sec":$rps,"batches":$batches,"wall_sec":$wallSec,"breakdown_ms":$bd}"""
+    }
+  }
+
+  /** Three in-process repeats of one leg. The median run's fields keep
+    * their historical names so round-over-round comparison still works;
+    * min/max/spread expose whether the number deserves trust (the r5→r6
+    * wave leg swung 2.6× run-to-run and was graded as if it meant
+    * something). */
+  private[graft] case class LegSummary(runs: Seq[StreamResult]) {
+    private val byRps = runs.sortBy(_.rps)
+    def median: StreamResult = byRps(runs.size / 2)
+    def json: String = {
+      val mn = byRps.head.rps
+      val mx = byRps.last.rps
+      val spread = if (mn > 0) mx / mn else 0.0
+      val all = runs.map(_.rps).mkString("[", ",", "]")
+      val m = median
+      val bd = m.breakdownMs.toSeq.sortBy(-_._2).map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"rows":${m.rows},"sec":${m.sec},"records_per_sec":${m.rps},""" +
+        s""""batches":${m.batches},"wall_sec":${m.wallSec},""" +
+        s""""rps_runs":$all,"rps_min":$mn,"rps_median":${m.rps},"rps_max":$mx,""" +
+        s""""rps_spread":$spread,"breakdown_ms":$bd}"""
     }
   }
 
@@ -45,7 +84,7 @@ object Bench {
     *    state-store update/commit, offset-log commits — reported in
     *    `breakdown_ms` from the engine's own progress metrics.
     */
-  private def streamingBench(spark: SparkSession, total: Int,
+  private[graft] def streamingBench(spark: SparkSession, total: Int,
       waves: Option[Int]): StreamResult = {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -57,7 +96,21 @@ object Bench {
       .groupBy(window(col("ts"), "10 seconds"), col("key"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
     val m = graft.streaming.Measure.attach(spark)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+    // Checkpoint on tmpfs when available: the leg measures ENGINE cost
+    // (planning, batch run, state update, commit), and on this
+    // container's disk the changelog fsync inside RocksDB commit swings
+    // 10× run-to-run (observed: stateCommit 20 s → 223 s cumulative on
+    // identical runs) — that noise is the container's page-cache flush,
+    // not the engine. Production checkpoints target HDFS/S3 whose
+    // durability cost is a property of the deployment, not of this
+    // library; tmpfs keeps the full commit code path (changelog write,
+    // snapshot, version files) while removing the local-disk lottery.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckptDir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft-bench-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
+    val ckpt = ckptDir.toString
     def mkData(base: Long, n: Int): Seq[(Timestamp, Long, Long)] =
       (0 until n).map { i =>
         val t = (base + i) * 10L // 10 ms apart -> ~100 windows/key/chunk
@@ -95,8 +148,45 @@ object Bench {
     // listener events are posted async; give the bus a moment to drain
     val deadline = System.nanoTime() + 5000000000L
     while (m.totalRows < total && System.nanoTime() < deadline) Thread.sleep(50)
+    // Unload every state-store provider NOW (local mode: same JVM). The
+    // default unload path is the 60 s maintenance cycle after the
+    // coordinator deactivates the stopped query — until then, up to 32
+    // stale RocksDB providers keep snapshotting into a checkpoint we are
+    // about to delete, and that background churn lands inside the NEXT
+    // run's measured window (observed as transient 3-5× slow runs).
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    // the per-run checkpoint (RocksDB SSTs + changelogs) is dead after
+    // the run — delete so repeats don't accumulate in /tmp
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     StreamResult(m.totalRows, m.totalSeconds, m.recordsPerSec,
       m.totalBatches, wallSec, m.durationBreakdownMs)
+  }
+
+  /** `warmups` UNTIMED runs then `repeats` measured runs — same
+    * protocol as the batch queries. The warm-up is what makes the spread
+    * honest: cold streaming runs pay RocksDB JNI load, codegen, and
+    * shuffle-infra warmup (observed: 37k→54k→81k rec/s monotone across
+    * three cold runs; the big-batch AvailableNow shape keeps climbing
+    * for ~4 runs), which is JVM amortization, not engine variance. */
+  /** JMH-style inter-iteration hygiene: force collection of the
+    * previous run's garbage (each run strands ~40 MB of MemoryStream
+    * blocks + listener events) OUTSIDE the next measured window. Without
+    * it the debt lands as a multi-second pause inside a later run
+    * (observed: one 30.9k rec/s run in a leg of 77-114k). */
+  private def gcSettle(): Unit = { System.gc(); Thread.sleep(200) }
+
+  private[graft] def streamingLeg(spark: SparkSession, total: Int,
+      waves: Option[Int], repeats: Int = 3, warmups: Int = 1): LegSummary = {
+    (1 to warmups).foreach(_ => streamingBench(spark, total, waves))
+    LegSummary((1 to repeats).map { _ =>
+      gcSettle()
+      streamingBench(spark, total, waves)
+    })
   }
 
   /** Force every output column to be computed: hash each row across all
@@ -108,6 +198,38 @@ object Bench {
         .cast("double").as("h"))
       .agg(sum(col("h"))).collect()
     ()
+  }
+
+  // ---- contention sentinel ----
+
+  private def loadavg(): Seq[Double] =
+    scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).map(_.toDouble).toSeq)
+      .getOrElse(Seq(-1.0, -1.0, -1.0))
+
+  /** Fixed CPU-bound calibration: median of 3 timed sums over
+    * spark.range(10⁹) after an ADAPTIVE warm-up (repeat until two
+    * consecutive runs agree within 10%, cap 10 — a single warm-up run
+    * left 2.7× of JIT still to come and tripped a false drift alarm).
+    * Pure codegen arithmetic — once warm, its runtime moves only when
+    * someone else has the cores. */
+  private def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).agg(sum(col("id"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // settle first: the end calibration runs right after ~12 streaming
+    // runs whose garbage/finalizer debt otherwise reads as "drift"
+    System.gc(); Thread.sleep(500)
+    var prev = once()
+    var cur = once()
+    var n = 2
+    while (n < 10 && math.abs(cur - prev) > 0.1 * prev) {
+      prev = cur; cur = once(); n += 1
+    }
+    Seq(once(), once(), once()).sorted.apply(1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -126,6 +248,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val loadStart = loadavg()
+    val calibStart = calibrate(spark)
 
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -156,10 +281,14 @@ object Bench {
     val streaming =
       if (only.isEmpty)
         try {
-          // leg 1: historical wave protocol (round-over-round comparable)
-          val w = streamingBench(spark, total = 500000, waves = Some(5))
-          // leg 2: pre-staged AvailableNow — engine-only throughput
-          val a = streamingBench(spark, total = 500000, waves = None)
+          // leg 1 (historical comparability): 5-wave feed-and-wait
+          val w = streamingLeg(spark, total = 500000, waves = Some(5))
+          // leg 2 (PRIMARY): pre-staged AvailableNow — engine-only.
+          // 5 repeats: each run is ~5 s, and the median of 5 holds
+          // still under the ±25% scheduling/GC graininess that a 5 s
+          // 32-thread job cannot amortize away
+          val a = streamingLeg(spark, total = 500000, waves = None,
+            repeats = 5, warmups = 3)
           s""","streaming":${w.json},"streaming_availablenow":${a.json}"""
         } catch {
           case e: Throwable =>
@@ -167,29 +296,168 @@ object Bench {
             s""","streaming":{"error":"${e.getClass.getSimpleName}"}"""
         }
       else ""
+    // blocked-pairwise pair volumes at this SF (quadratic-creep canary)
+    val blockVol =
+      if (only.isEmpty)
+        try {
+          val vols = graft.queries.TrainingDataQueries
+            .blockedQueryVolumes(spark, sfDir).toSeq.sortBy(_._1)
+            .map { case (q, v) =>
+              s""""$q":{"n_blocks":${v.nBlocks},"max_block":${v.maxBlock},"total_pairs":${v.totalPairs}}"""
+            }.mkString("{", ",", "}")
+          s""","block_volume":$vols"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] block volume FAILED: $e")
+            ""
+        }
+      else ""
+
+    val calibEnd = calibrate(spark)
+    val loadEnd = loadavg()
+    val drift = if (calibStart > 0) calibEnd / calibStart else -1.0
+    val cores = Runtime.getRuntime.availableProcessors()
+    // loaded at start (someone else's work — ours hasn't run yet), or
+    // the machine got SLOWER while we measured (contention onset).
+    // Getting faster is not flagged: that is residual JIT warm-up, and
+    // a machine persistently loaded through both calibrations is caught
+    // by the loadavg-at-start check, not drift
+    val contended = drift > 1.3 || loadStart.head > 0.5 * cores
+    if (contended)
+      System.err.println(s"[bench] CONTENTION WARNING: calib drift " +
+        f"$drift%.2fx (start ${calibStart}%.3fs, end ${calibEnd}%.3fs), " +
+        s"loadavg start ${loadStart.head} on $cores cores — numbers in " +
+        "this artifact are suspect; re-run on a quiet machine")
+    val sentinel =
+      s""","sentinel":{"loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
+        s""""loadavg_end":${loadEnd.mkString("[", ",", "]")},""" +
+        s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
+        s""""calib_drift":$drift,"machine_cores":$cores,""" +
+        s""""contention_warning":$contended}"""
+
     // standing notes the artifact should carry (cost trades + env limits)
     val notes =
-      "dd3_simhash ~2x slower at sf0.1 since r4 by design: Manku banding " +
-      "raised the explode factor 4->20 to widen band keys to ~2^31 " +
-      "(bucket collisions ~10^7 not ~10^13 at N=10^9); the 61-bit " +
+      (if (contended) "CONTENTION WARNING: the sentinel detected machine " +
+        "load or calibration drift during this run - treat every number " +
+        "here as suspect and re-run. " else "") +
+      "sentinel: BENCH_r06 was recorded under machine contention " +
+      "(adjudicated in VERDICT r6: batch total 58.2s committed vs 37.2s " +
+      "clean; dd4 13.2s vs 0.9s); this harness now times a fixed " +
+      "calibration query at start+end and records /proc/loadavg so a " +
+      "contaminated run self-identifies. " +
+      "streaming_availablenow (5-run in-process median after an untimed " +
+      "warm-up run, rps_spread reported) is the PRIMARY streaming " +
+      "metric - it pre-stages all input and measures the engine alone; " +
+      "the 5-wave leg remains for historical comparability only and is " +
+      "harness-bound (each wave pays a full processAllAvailable drain + " +
+      "driver-side addData inside the measured window). Repeatability " +
+      "work this round, in causal order: (1) untimed warm-up run per " +
+      "leg (first cold run pays RocksDB JNI + codegen: observed " +
+      "37k->54k->81k rec/s monotone); (2) state-store providers are " +
+      "unloaded after every run, not left to the 60s maintenance cycle " +
+      "that kept snapshotting into deleted checkpoints; (3) checkpoints " +
+      "moved to tmpfs - the changelog fsync on this container's disk " +
+      "swung stateCommit 20s->223s cumulative on identical runs, which " +
+      "was the entire historical 2.6x wave-leg variance (production " +
+      "checkpoints target HDFS/S3; the commit code path is unchanged). " +
+      "StreamKnobProbe (order-reversed two-pass matrix) then showed NO " +
+      "robust RocksDB knob win at bench-size state: changelog on/off " +
+      "and compactOnCommit medians all land 83-110k rec/s, within " +
+      "residual run noise, so RocksDB+changelog stays the configured " +
+      "default on the at-scale argument (100TB keyed state cannot " +
+      "re-snapshot per batch; the changelog commits the delta). " +
+      "state-store commit remains the dominant per-micro-batch cost. " +
+      "dd4_ngram_jaccard is NOT comparable with r6 and earlier: round 7 " +
+      "re-keyed its blocking with a 64-char length band (constant-" +
+      "cardinality lang x source blocks grow as (N/100)^2), added a " +
+      "similarity threshold (0.01), and a maxPairsPerBlock budget that " +
+      "fails loudly instead of running a quadratic job; block_volume " +
+      "reports the exact in-block pair count at this SF. " +
+      "dd3_simhash ~2x slower at sf0.1 since r4 by design: Manku " +
+      "banding raised the explode factor 4->20 to widen band keys to " +
+      "~2^31 (bucket collisions ~10^7 not ~10^13 at N=10^9); the 61-bit " +
       "signature is projected ONCE and referenced by all 20 key " +
       "expressions (verified in the optimized plan - no repeated " +
-      "xxhash64 subtrees). streaming leg 'streaming' keeps the " +
-      "historical 5-wave feed-and-wait protocol (harness-bound: each " +
-      "wave pays a full processAllAvailable drain); " +
-      "'streaming_availablenow' pre-stages all rows and measures the " +
-      "engine alone with per-phase breakdown_ms. state-store commit is " +
-      "the dominant fixed cost per micro-batch; a provider probe showed " +
-      "HDFSBacked ~15-20% faster at bench-size state and changelog " +
-      "checkpointing a ~20% win for RocksDB - RocksDB+changelog stays " +
-      "the configured default because 100TB keyed state exceeds heap. " +
-      "kafka e2e remains " +
-      "environment-limited: no spark-sql-kafka connector jar in this " +
-      "container; the decode/sink projections are unit-tested broker-less."
+      "xxhash64 subtrees). " +
+      "kafka e2e: FINAL ruling (round 7, carried since r4) - this " +
+      "container has no spark-sql-kafka connector jar and no network " +
+      "egress to fetch one, so S4 is closed as permanent-partial: the " +
+      "source/sink wrappers and wire projections are broker-less " +
+      "unit-tested, and on a real cluster they bind to the standard " +
+      "connector unchanged."
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming,"sf":"$sfDir","notes":"$notes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$blockVol$sentinel,"sf":"$sfDir","notes":"$notes"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
     println(json)
+    spark.stop()
+  }
+}
+
+/** Reproducible RocksDB knob probe over the AvailableNow leg (the
+  * primary streaming metric): for each knob setting, 3 in-process runs
+  * through [[Bench.streamingLeg]]; one JSON line per setting on stdout.
+  * This is how the configured defaults in [[Bench]] were chosen — run
+  * it with `sbt "runMain graft.StreamKnobProbe"` to re-derive them.
+  * Not part of the driver protocol; writes no artifact.
+  */
+object StreamKnobProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val pre = "spark.sql.streaming.stateStore.rocksdb."
+    // every knob here is a public spark.sql.streaming.stateStore.rocksdb
+    // conf, read per query start — safe to flip between runs in-session
+    // write_buffer_64mb and bounded_memory_2g were probed in round 7 and
+    // dropped: medians within noise of baseline or slower, no
+    // order-robust effect at bench-size state
+    val knobs: Seq[(String, Map[String, String])] = Seq(
+      "baseline_changelog_on" -> Map(),
+      "changelog_off" -> Map(s"${pre}changelogCheckpointing.enabled" -> "false"),
+      "compact_on_commit" -> Map(s"${pre}compactOnCommit" -> "true"))
+    // Two global warm-up runs, then TWO passes over the matrix — forward
+    // and reversed — per-knob runs combined across passes. The JVM keeps
+    // warming for minutes into a streaming workload (observed: a single
+    // forward pass ranks knobs almost purely by position), so a knob's
+    // effect is only credible if it survives order reversal.
+    // SPARK_GRAFT_PROBE_KNOBS (comma list) / SPARK_GRAFT_PROBE_REPS
+    // narrow the matrix for focused experiments; every individual run is
+    // printed (not just the summary) so outlier runs keep their breakdown.
+    val knobFilter = sys.env.get("SPARK_GRAFT_PROBE_KNOBS").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+    // 500k staged rows is the heap ceiling: MemoryStream holds the
+    // staged blocks as driver objects and every task deserializes them,
+    // so 2M rows OOMs the default 8g heap — scale tests belong on a
+    // real source, not MemoryStream
+    val probeTotal = sys.env.getOrElse("SPARK_GRAFT_PROBE_TOTAL", "500000").toInt
+    val active = knobs.filter { case (n, _) => knobFilter.forall(_.contains(n)) }
+    Bench.streamingBench(spark, probeTotal, None)
+    Bench.streamingBench(spark, probeTotal, None)
+    val collected = scala.collection.mutable.Map[String, Vector[Bench.StreamResult]]()
+      .withDefaultValue(Vector.empty)
+    for (pass <- Seq(active, active.reverse); (name, conf) <- pass) {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try
+        (1 to reps).foreach { i =>
+          val r = Bench.streamingBench(spark, probeTotal, None)
+          println(s"""{"knob":"$name","run":$i,"result":${r.json}}""")
+          collected(name) :+= r
+        }
+      catch {
+        case e: Throwable =>
+          println(s"""{"knob":"$name","error":"${e.getClass.getSimpleName}"}""")
+      } finally conf.keys.foreach(spark.conf.unset)
+    }
+    for ((name, _) <- knobs if collected(name).nonEmpty)
+      println(s"""{"knob":"$name","availablenow":${Bench.LegSummary(collected(name)).json}}""")
     spark.stop()
   }
 }

@@ -47,6 +47,18 @@ object TrainingDataQueries extends QueryModule {
         V.scale(col("embedding"), 0.5f).as("embedding")))
   }
 
+  /** The blocked-pairwise queries' pair volumes at a given scale factor —
+    * surfaced by the bench artifact so quadratic creep in any blocked
+    * operator shows up in the JSON round-over-round, not only when a
+    * reviewer re-derives it. Single-sourced with the dd4 query's blocking
+    * below. */
+  def blockedQueryVolumes(s: SparkSession, d: String)
+      : Map[String, graft.operators.Dedup.BlockVolume] = Map(
+    "dd4_ngram_jaccard" -> Dedup.blockVolume(
+      Tables.documents(s, d).withColumn("len_band",
+        floor(length(col("text")) / 64).cast("long")),
+      Seq("lang", "source", "len_band")))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Text analysis ----
