@@ -335,6 +335,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings into coarse cells,
+    * then within each cell drop every vector that has a LOWER-id
+    * neighbor with cosine ≥ `threshold` — pairwise comparison happens
+    * only inside a cell, so the candidate count is governed by the cell
+    * size, not the corpus size.
+    *
+    * `centroids` is a small (cell, centroid) table — a deterministic
+    * stub here (same contract as [[Similarity.ivfTopK]]: production
+    * swaps in k-means centroids and nothing else changes). Plan shape
+    * at 100 TB: centroids BROADCAST for the assignment (one narrow
+    * pass + a max_by aggregate — no window sort over the nCells×N
+    * intermediate), the in-cell self-join shuffles on the cell id, and
+    * the same pair-budget guard as [[ngramJaccardPairs]] fails loudly
+    * BEFORE the cosine pass if any cell outgrew `maxPairsPerCell` —
+    * at scale you raise nCells (cells per corpus grows with N, so cell
+    * size stays bounded), and the guard is what tells you when.
+    *
+    * @return (id, keeper_id, n_better, max_cosine) — one row per DROPPED
+    *         vector: its canonical keeper (smallest qualifying lower id),
+    *         how many lower-id near-dups it has, and the strongest
+    *         similarity among them.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double = 0.95,
+      maxPairsPerCell: Long = 10000000L): DataFrame = {
+    val assigned = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .withColumn("sim", VectorFunctions.cosine(col("v"), col("centroid")))
+      .groupBy(col("id"))
+      // argmax centroid with deterministic smallest-cell tie-break —
+      // identical to Similarity.ivfTopK's assignment (and the oracle's
+      // row_number ORDER BY sim DESC, cell)
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
+        max_by(col("v"), struct(col("sim"), -col("cell"))).as("v"))
+    if (maxPairsPerCell < Long.MaxValue) {
+      val vol = blockVolume(assigned, Seq("cell"))
+      val worst = vol.maxBlock * (vol.maxBlock - 1) / 2
+      if (worst > maxPairsPerCell)
+        throw new IllegalArgumentException(
+          s"semanticDedup: hottest cell has ${vol.maxBlock} vectors = " +
+            s"$worst pairs > budget $maxPairsPerCell (${vol.nBlocks} cells, " +
+            s"${vol.totalPairs} total pairs). Raise nCells so cell size " +
+            "stays bounded as the corpus grows.")
+    }
+    val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("keeper_id"),
+        count(lit(1)).as("n_better"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
   /** Multi-probe variant of [[embeddingNearDup]]: one side additionally
     * probes every 1-bit-flip neighbor of its bucket, so a true pair is
     * found whenever the two signatures differ in AT MOST ONE plane —

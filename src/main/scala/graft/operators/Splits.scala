@@ -32,6 +32,73 @@ object Splits {
   def shard(on: Column, nShards: Int): Column =
     pmod(TextFunctions.polyHash(on), lit(nShards.toLong))
 
+  /** Token-budget shard packing: documents in id order are packed
+    * greedily into shards of ~`capacity` tokens — shard = floor(cumulative
+    * tokens before this doc / capacity), the deterministic assignment a
+    * sharded training-data writer uses so every output file lands near a
+    * target token count.
+    *
+    * The semantics are a GLOBAL running sum — inherently sequential — but
+    * the plan is the classic two-phase distributed prefix sum, never a
+    * single-partition window over the corpus:
+    *
+    *  1. ids bucket into coarse ranges (`chunkDocs` docs per bucket) and
+    *     one small aggregate computes per-bucket token totals;
+    *  2. bucket offsets are a running sum over the BUCKET TOTALS — a
+    *     table N/chunkDocs rows long (the only unpartitioned window, and
+    *     it never sees document rows; at 10⁹ docs and chunkDocs = 8192
+    *     that is ~122 k rows — add a second level before this needs it);
+    *  3. offsets broadcast back and a window PARTITIONED BY bucket does
+    *     the local cumsum, so per-reducer work is bounded by chunkDocs.
+    *
+    * The DuckDB oracle states the semantics as the naive global window;
+    * this plan must reproduce it exactly.
+    *
+    * Requires a numeric id; ties in `idCol` would make "cumulative before"
+    * ambiguous, so ids are assumed unique (true of any doc id worth the
+    * name). Returns (idCol, n_tokens, shard). */
+  def tokenBudgetShards(df: DataFrame, idCol: String, tokens: Column,
+      capacity: Long, chunkDocs: Long = 8192L): DataFrame = {
+    require(capacity > 0 && chunkDocs > 0)
+    val base = df.select(col(idCol).as("id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("id") / chunkDocs))
+    val bucketTotals = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(wBuckets), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before",
+        col("bucket_offset") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        floor(col("cum_before") / capacity).cast("long").as("shard"))
+  }
+
+  /** Domain-mixture resampling: keep each row with a per-domain
+    * probability (`ratesPct`, percent, `defaultPct` for unlisted
+    * domains), decided by content hash rather than `rand()` — the
+    * deterministic form of the "re-balance the training mixture" step
+    * (up-weight curated sources, down-weight crawl). A pure narrow
+    * filter: no shuffle, reproducible, stable under re-partitioning, and
+    * exact-duplicate contents always make the same keep/drop decision.
+    * Use a salted `on` column (e.g. `concat(text, lit("#mix"))`) so the
+    * decision channel is independent of [[assign]]'s split channel. */
+  def mixtureSample(df: DataFrame, domain: Column, on: Column,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((defaultPct +: ratesPct.values.toSeq).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val h = pmod(TextFunctions.polyHash(on), lit(100L))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (dom, pct)) =>
+      when(domain === dom, lit(pct)).otherwise(acc)
+    }
+    df.filter(h < rate)
+  }
+
   /** Stratified deterministic sample: the `perStratum` rows of each
     * stratum with the smallest (contentHash, tieBreak) — a uniform
     * pseudo-random but reproducible choice. One shuffle on the strata

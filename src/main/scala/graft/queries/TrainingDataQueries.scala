@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity, Splits}
+import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -239,6 +239,38 @@ object TrainingDataQueries extends QueryModule {
         perStratum = 25)
         .select(col("doc_id"), col("lang"), col("sample_rank"))),
 
+    // Fixed 200-char windows with 50-char overlap (stride 150): the
+    // pre-tokenization chunking step. Pure generator explode — no
+    // shuffle; the whole query is one narrow pass over the corpus.
+    "ck1_chunk_overlap" -> ((s, d) =>
+      Chunker.fixedWindows(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 200, stride = 150)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          col("chunk"), col("n_chars"))),
+
+    // Token-budget shard packing: shard = floor(cumulative tokens before
+    // this doc / 2048). Semantics are a GLOBAL running sum; the plan is
+    // the two-phase distributed prefix sum in Splits.tokenBudgetShards —
+    // the only unpartitioned window runs over the tiny bucket-totals
+    // table, never over document rows. The oracle states the naive
+    // global-window form and this plan must reproduce it exactly.
+    "pk1_token_shards" -> ((s, d) =>
+      Splits.tokenBudgetShards(
+        Tables.documents(s, d),
+        "doc_id", T.tokenCount(col("text")), capacity = 2048L, chunkDocs = 64L)),
+
+    // Domain-mixture resampling: per-lang keep rates decided by a salted
+    // content hash (channel independent of sp1's split hash) — the
+    // deterministic "re-balance the training mixture" filter. Narrow,
+    // shuffle-free.
+    "mx1_mixture_sample" -> ((s, d) =>
+      Splits.mixtureSample(
+        Tables.documents(s, d),
+        domain = col("lang"), on = concat(col("text"), lit("#mix")),
+        ratesPct = Map("en" -> 90, "zh" -> 30, "de" -> 60), defaultPct = 50)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- Deduplication ----
     // Keyed on (fingerprint64, length), not the raw text: the dedup
     // shuffle carries 16 bytes/row — the formulation that holds at
@@ -295,6 +327,21 @@ object TrainingDataQueries extends QueryModule {
     "dd7_embedding_multiprobe" -> ((s, d) =>
       Dedup.embeddingNearDupMultiProbe(nearDupEmb(s, d), "vec_id", "embedding",
         nPlanes = 8, dim = 64, threshold = 0.95)),
+
+    // SemDeDup: coarse embedding cells (deterministic stub centroids =
+    // the first 8 corpus vectors, same contract as sim3), then in-cell
+    // pairwise cosine ≥ 0.95 → one row per dropped vector with its
+    // keeper. The pair-budget guard fails loudly if a cell outgrows the
+    // budget — at scale nCells grows with the corpus, keeping cells
+    // bounded.
+    "dd9_semantic_dedup" -> ((s, d) => {
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      Dedup.semanticDedup(nearDupEmb(s, d), "vec_id", "embedding", cents,
+        threshold = 0.95)
+        .select(col("id").as("vec_id"), col("keeper_id"),
+          col("n_better"), col("max_cosine"))
+    }),
 
     // ---- Similarity search ----
     "sim1_topk_bruteforce" -> ((s, d) => {
@@ -608,6 +655,46 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
          |    ORDER BY ${ph("text")}, doc_id) AS BIGINT) AS sample_rank
          |  FROM documents) WHERE sample_rank <= 25""".stripMargin,
+
+    "ck1_chunk_overlap" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  substring(text, CAST(i*150 + 1 AS INT), 200) AS chunk,
+        |  CAST(length(substring(text, CAST(i*150 + 1 AS INT), 200)) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, text, unnest(range((length(text) + 149) // 150)) AS i
+        |      FROM documents WHERE length(text) > 0)""".stripMargin,
+
+    "pk1_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
+        |    AS BIGINT) AS shard
+        |FROM t""".stripMargin,
+
+    "mx1_mixture_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ${ph("text || '#mix'")} % 100 AS h
+         |  FROM documents)
+         |WHERE h < CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 30
+         |  WHEN 'de' THEN 60 ELSE 50 END""".stripMargin,
+
+    "dd9_semantic_dedup" ->
+      s"""WITH cand AS ($nearDupEmbSql),
+         |cents AS (SELECT vec_id AS cell, embedding AS centroid
+         |          FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT id, v, cell FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |  FROM cand e CROSS JOIN cents c) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT l.id AS id_a, r.id AS id_b, ${cos("l.v", "r.v")} AS cosine
+         |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.id < r.id
+         |  WHERE ${cos("l.v", "r.v")} >= 0.95)
+         |SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS keeper_id,
+         |  CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cosine
+         |FROM pairs GROUP BY id_b""".stripMargin,
 
     "dd1_exact_dedup" ->
       s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Semantics the DuckDB oracles can't pin down for the round-7 pipeline
+  * operators: chunk coverage/overlap invariants, two-phase prefix-sum
+  * equivalence to the naive global window (and invariance to the bucket
+  * granularity), mixture-rate edge cases, the SemDeDup pair-budget
+  * guard, and the no-shuffle plan shape of the narrow operators.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  // ---- Chunker ----
+
+  test("fixedWindows: chunks cover the text exactly and overlap by size - stride") {
+    val size = 20
+    val stride = 15
+    val out = Chunker.fixedWindows(docs, "doc_id", "text", size, stride)
+      .orderBy("id", "chunk_id")
+      .collect()
+      .groupBy(_.getLong(0))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.keySet == texts.keySet) // every (non-empty) doc chunked
+    for ((id, rows) <- out) {
+      val text = texts(id)
+      val chunks = rows.sortBy(_.getLong(1)).map(_.getString(2))
+      assert(chunks.length == (text.length + stride - 1) / stride)
+      // stitching chunk prefixes of `stride` chars reconstructs the text
+      val stitched = chunks.map(_.take(stride)).mkString
+      assert(stitched == text)
+      // consecutive full chunks overlap by size - stride characters
+      chunks.sliding(2).foreach {
+        case Array(a, b) if a.length == size =>
+          assert(a.takeRight(size - stride) == b.take(size - stride))
+        case _ => ()
+      }
+      assert(rows.forall(r => r.getLong(3) == r.getString(2).length))
+    }
+  }
+
+  test("fixedWindows: empty text yields no chunks; stride = size means no overlap") {
+    val df = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
+    val out = Chunker.fixedWindows(df, "doc_id", "text", size = 4, stride = 4)
+      .orderBy("id", "chunk_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((2L, 0L, "abcd"), (2L, 1L, "ef")))
+  }
+
+  test("fixedWindows: plan has no Exchange (pure narrow generator)") {
+    val plan = Chunker.fixedWindows(docs, "doc_id", "text", 200, 150)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  // ---- tokenBudgetShards ----
+
+  test("tokenBudgetShards: equals the naive global running sum, for any bucket granularity") {
+    val tokens = size(split(col("text"), " "))
+    val naive = docs
+      .select(col("doc_id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("shard",
+        floor((coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))) / 512).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (chunkDocs <- Seq(1L, 7L, 64L, 100000L)) {
+      val twoPhase = Splits
+        .tokenBudgetShards(docs, "doc_id", tokens, capacity = 512, chunkDocs = chunkDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(twoPhase == naive, s"chunkDocs=$chunkDocs diverged from global cumsum")
+    }
+  }
+
+  test("tokenBudgetShards: shards are contiguous in id order and near the capacity") {
+    val out = Splits.tokenBudgetShards(docs, "doc_id",
+        size(split(col("text"), " ")), capacity = 512)
+      .orderBy("doc_id").collect()
+    val shardOf = out.map(_.getLong(2))
+    assert(shardOf.sliding(2).forall {
+      case Array(a, b) => b >= a // monotone non-decreasing in id order
+      case _ => true
+    })
+    // every shard except possibly the last holds >= capacity tokens only
+    // once its boundary doc lands — i.e. total tokens before shard k >= k*512
+    val totals = out.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val maxShard = totals.keys.max
+    for (k <- 0L until maxShard)
+      assert(totals.filter(_._1 <= k).values.sum >= (k + 1) * 512 - 512 + 1)
+  }
+
+  // ---- mixtureSample ----
+
+  test("mixtureSample: deterministic, honors 0 and 100 rates, narrow plan") {
+    val all = Splits.mixtureSample(docs, col("lang"),
+      concat(col("text"), lit("#mix")), Map("en" -> 100), defaultPct = 0)
+    val langs = all.select("lang").distinct().as[String].collect()
+    assert(langs.toSet == Set("en")) // default 0 drops everything else
+    val nEn = docs.filter(col("lang") === "en").count()
+    assert(all.count() == nEn) // rate 100 keeps every en doc
+    val half = Splits.mixtureSample(docs, col("lang"),
+      concat(col("text"), lit("#mix")), Map.empty, defaultPct = 50)
+    assert(half.collect().toSet == half.collect().toSet) // stable re-run
+    val plan = half.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n$plan")
+  }
+
+  // ---- semanticDedup ----
+
+  private def emb =
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+
+  test("semanticDedup: planted scaled copies are dropped with the original as keeper") {
+    val planted = emb.union(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        graft.functions.VectorFunctions.scale(col("embedding"), 0.5f).as("embedding")))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val out = Dedup.semanticDedup(planted, "vec_id", "embedding", cents,
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plantedIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+    for (orig <- plantedIds)
+      assert(out.get(orig + 100000).contains(orig),
+        s"copy of $orig not dropped with keeper $orig")
+  }
+
+  test("semanticDedup: pair-budget guard trips when one cell swallows the corpus") {
+    // a single centroid → every vector lands in one cell → guard fires
+    val oneCell = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", oneCell,
+        threshold = 0.95, maxPairsPerCell = 100L)
+    }
+    assert(e.getMessage.contains("pairs > budget"))
+  }
+}

@@ -389,7 +389,15 @@ class StreamingSemanticsSpec extends SparkTestBase {
         Thread.sleep(50)
       assert(m.totalRows >= 1000)
       // a warm JVM can run the whole batch in < 1 ms, in which case
-      // triggerExecution rounds to 0 and rps is legitimately 0
+      // triggerExecution rounds to 0 and rps is legitimately 0. The two
+      // accessors read the adders at different instants while the async
+      // bus may still be mid-delivery (rows land before seconds in the
+      // handler), so poll until the pair is consistent rather than
+      // asserting on one possibly-torn read.
+      val deadline2 = System.currentTimeMillis() + 5000
+      while (m.recordsPerSec == 0.0 && m.totalSeconds > 0.0 &&
+          System.currentTimeMillis() < deadline2)
+        Thread.sleep(20)
       assert(m.recordsPerSec > 0.0 || m.totalSeconds == 0.0)
     } finally { q.stop(); Measure.remove(spark, m) }
   }
