@@ -372,7 +372,9 @@ object Bench {
       "cardinality lang x source blocks grow as (N/100)^2), added a " +
       "similarity threshold (0.01), and a maxPairsPerBlock budget that " +
       "fails loudly instead of running a quadratic job; block_volume " +
-      "reports the exact in-block pair count at this SF. " +
+      "reports the exact candidate-pair count at this SF for EVERY " +
+      "blocked/banded pairwise query (dd4 blocks, dd2 LSH band buckets, " +
+      "dd3 Manku tables, dd9 semantic cells). " +
       "dd3_simhash ~2x slower at sf0.1 since r4 by design: Manku " +
       "banding raised the explode factor 4->20 to widen band keys to " +
       "~2^31 (bucket collisions ~10^7 not ~10^13 at N=10^9); the 61-bit " +

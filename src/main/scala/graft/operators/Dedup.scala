@@ -200,6 +200,36 @@ object Dedup {
     BlockVolume(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** [[blockVolume]] over the LSH band buckets a [[minHashLsh]] call
+    * joins on — the exact candidate-pair count the band self-join
+    * generates (pre-distinct). One signature pass + one count shuffle. */
+  def minHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int): BlockVolume =
+    blockVolume(
+      docs.select(col(idCol).as("id"), posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key"),
+      Seq("band", "band_key"))
+
+  /** [[blockVolume]] over [[simHashDup]]'s Manku combinatorial tables. */
+  def simHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): BlockVolume =
+    blockVolume(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          posexplode(simHashBandKeys(
+            coalesce(simHash(col(textCol)), lit(0L)), maxHamming)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "band_key"),
+      Seq("tbl", "band_key"))
+
+  /** [[blockVolume]] over [[semanticDedup]]'s cells under `centroids` —
+    * single-sourced with the dedup itself via [[assignCells]]. */
+  def semanticCellVolume(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): BlockVolume =
+    blockVolume(assignCells(emb, idCol, vecCol, centroids), Seq("cell"))
+
   /** Exact pairwise n-gram Jaccard within blocking groups, emitting the
     * in-block pairs with similarity ≥ `threshold`. The blocking columns
     * bound the pair count; because in-block pairs grow as c² while a
@@ -358,19 +388,26 @@ object Dedup {
     *         how many lower-id near-dups it has, and the strongest
     *         similarity among them.
     */
-  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double = 0.95,
-      maxPairsPerCell: Long = 10000000L): DataFrame = {
-    val assigned = emb.filter(col(vecCol).isNotNull)
+  /** Nearest-centroid cell assignment shared by [[semanticDedup]] and
+    * [[semanticCellVolume]]: broadcast centroids, one narrow pass, argmax
+    * via a max_by partial aggregate (no window sort over the nCells×N
+    * intermediate), deterministic smallest-cell tie-break — identical to
+    * Similarity.ivfTopK's assignment (and the oracle's row_number
+    * ORDER BY sim DESC, cell). Returns (id, cell, v). */
+  private[operators] def assignCells(emb: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
       .withColumn("sim", VectorFunctions.cosine(col("v"), col("centroid")))
       .groupBy(col("id"))
-      // argmax centroid with deterministic smallest-cell tie-break —
-      // identical to Similarity.ivfTopK's assignment (and the oracle's
-      // row_number ORDER BY sim DESC, cell)
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
         max_by(col("v"), struct(col("sim"), -col("cell"))).as("v"))
+
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double = 0.95,
+      maxPairsPerCell: Long = 10000000L): DataFrame = {
+    val assigned = assignCells(emb, idCol, vecCol, centroids)
     if (maxPairsPerCell < Long.MaxValue) {
       val vol = blockVolume(assigned, Seq("cell"))
       val worst = vol.maxBlock * (vol.maxBlock - 1) / 2

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative term relevance: TF-IDF keyword extraction and BM25
+  * ranked retrieval — the scoring half of a retrieval / data-curation
+  * pipeline (query-aware filtering, topic labeling, boilerplate term
+  * discovery complement the frequency-only signals in
+  * [[graft.functions.TextFunctions]] and the unigram-LM score in
+  * `TrainingDataQueries.x11`).
+  *
+  * Scale shape (both operators): the token stream is the only
+  * corpus-sized intermediate and it is reduced IMMEDIATELY by a
+  * composite-key partial aggregate (map-side combine on (doc, term)).
+  * Every corpus-global statistic — document frequency, doc count,
+  * average document length — is Zipf-small relative to the corpus and
+  * broadcasts back over the reduced table, so no corpus-wide join ever
+  * shuffles on text. Tokenization is the library-wide single-space
+  * convention (cf. TextFunctions.tokenCount).
+  */
+object Relevance {
+
+  /** Per-document top-`k` TF-IDF terms: tfidf = tf · ln(N / df), ties
+    * broken by term so the result is deterministic. Output one row per
+    * kept (doc, term): (doc_id, term, tf, df, tfidf).
+    *
+    * Plan at 100 TB: explode → partial-agg on (doc, term) is the only
+    * full-width shuffle; df is a per-term aggregate of the reduced
+    * table (vocabulary-sized → broadcast back, same argument as the
+    * x11 unigram LM); the per-doc top-k is a rank window whose
+    * `rn ≤ k` predicate pushes into WindowGroupLimit, so each map task
+    * keeps k rows per doc instead of sorting whole documents'
+    * term lists (pinned in PlanAuditSpec alongside sp2's).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs")) // 1-row scalar
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Okapi BM25 score of every document that matches at least one query
+    * term: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1). Output (doc_id, bm25,
+    * n_terms_matched); rank/limit is the caller's (a top-k on the score
+    * compiles to TakeOrderedAndProject — bounded per-partition heaps).
+    *
+    * Plan at 100 TB: document length comes from a NARROW projection
+    * (`size(split(text))` — no explode, no shuffle); the token stream
+    * is filtered to the query vocabulary directly on the explode output
+    * (plan-audited), so every wide edge carries |matches| rows, not the
+    * corpus; df and (N, avgdl) are constant-size broadcasts. The tf and
+    * df branches each re-tokenize (two NARROW passes over the scan —
+    * their aggregate shapes differ post-optimizer, so the exchange is
+    * not reusable; a hot stopword query term stays safe because df is a
+    * partial aggregate, never a per-term window). Wide edges: the tf
+    * partial-agg and the dl equi-join on doc id.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    // avgdl as an exact integer sum ÷ count (one correctly-rounded
+    // division) — bit-reproducible across engines and partitionings,
+    // unlike a float avg whose partial-merge order varies
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val qtf = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    qtf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n").cast("double"))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      // per-doc score = ordered fold over the term-sorted contributions
+      // (the library-wide float-reduction convention): the sum is
+      // bit-identical run-to-run and engine-to-engine, so two docs with
+      // the same term profile score EXACTLY equal — a partial float sum
+      // would order-jitter them apart
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .select(col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("bm25"),
+        size(col("cs")).cast("long").as("n_terms_matched"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Similarity, Splits}
+import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Relevance, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -57,7 +57,18 @@ object TrainingDataQueries extends QueryModule {
     "dd4_ngram_jaccard" -> Dedup.blockVolume(
       Tables.documents(s, d).withColumn("len_band",
         floor(length(col("text")) / 64).cast("long")),
-      Seq("lang", "source", "len_band")))
+      Seq("lang", "source", "len_band")),
+    // Banded queries: candidate-pair volume of the band-bucket self-join
+    // (pre-distinct), same corpora and parameters as dd2/dd3/dd9.
+    "dd2_minhash_lsh" -> Dedup.minHashBandVolume(
+      nearDupDocs(s, d), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8),
+    "dd3_simhash" -> Dedup.simHashBandVolume(
+      exactDupDocs(s, d), "doc_id", "text", maxHamming = 3),
+    "dd9_semantic_dedup" -> Dedup.semanticCellVolume(
+      nearDupEmb(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -167,6 +178,20 @@ object TrainingDataQueries extends QueryModule {
             .as("avg_logprob"),
           count(lit(1)).as("n_tokens"))
     }),
+
+    // Per-doc top-3 TF-IDF keywords. Vocabulary-sized df broadcast over
+    // the (doc, term) partial aggregate; the per-doc top-k rank pushes
+    // into WindowGroupLimit (plan-audited) so hot documents never
+    // full-sort their term lists.
+    "x12_tfidf_topterms" -> ((s, d) =>
+      Relevance.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    // BM25 ranked retrieval for a fixed 3-term query over every matching
+    // doc; scores + match counts, selection exact (no float-boundary
+    // row picks — the caller ranks).
+    "x13_bm25" -> ((s, d) =>
+      Relevance.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window"))),
 
     // Strict decontamination through the Bloom prefilter + exact-verify
     // path (the 100 TB variant of x7: ~10-bits-per-shingle broadcast
@@ -607,6 +632,44 @@ object TrainingDataQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_tokens
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    "x12_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |             DESC, term) AS rn
+        |       FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM sc WHERE rn <= 3""".stripMargin,
+
+    "x13_bm25" ->
+      """WITH q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) AS n,
+        |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |          FROM dl),
+        |qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents) t JOIN q USING (term)
+        |        GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qtf GROUP BY 1),
+        |contrib AS (SELECT doc_id, term,
+        |  ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * 2.2) / (tf + (1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  list_reduce(array_agg(contrib ORDER BY term), (a, b) -> a + b) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM contrib GROUP BY doc_id""".stripMargin,
 
     "x10_bloom_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),

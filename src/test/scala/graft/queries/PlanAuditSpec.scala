@@ -181,4 +181,34 @@ class PlanAuditSpec extends SparkTestBase {
       .filter(l => l.contains("Filter ") && l.contains("sequence(")).toSeq
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("x12_tfidf_topterms: per-doc top-k pushes into WindowGroupLimit; df rejoins broadcast") {
+    // without the group limit a hot document full-sorts its term list on
+    // one reducer; with it each map task keeps k terms per doc
+    val p = plan("x12_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x13_bm25: every token explode is query-filtered before any agg or exchange") {
+    // dl comes from size(split(text)) — a narrow projection, no explode.
+    // The tf and df branches each tokenize (narrow re-scan; their agg
+    // shapes differ post-optimizer so the exchange is not reusable), but
+    // NO unfiltered token stream may ever reach an aggregate or an
+    // exchange: the IN filter must sit directly on each Generate's
+    // output, so the wide edges carry only query-term matches.
+    val p = plan("x13_bm25")
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Generate explode") => i
+    }
+    assert(genIdx.nonEmpty, p)
+    genIdx.foreach { i =>
+      // the operator directly consuming the Generate (the line above in
+      // tree order) must be the query-vocabulary filter
+      assert(lines(i - 1).contains("Filter") && lines(i - 1).contains("IN (spark,join,window)"),
+        lines.slice(i - 2, i + 1).mkString("\n"))
+    }
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

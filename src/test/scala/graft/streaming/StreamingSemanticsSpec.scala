@@ -120,6 +120,51 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window matches emit; unmatched left emits null after horizon") {
+    // the unbounded form of w6_interval_join: two watermarked streams,
+    // equi-key + event-time range condition, left-outer so state
+    // EVICTION is observable (the unmatched row can only emit once the
+    // global watermark proves no future match is possible)
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val impDf = imps.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "2 seconds")
+    val clkDf = clicks.toDF().toDF("click_ts", "cad")
+      .withWatermark("click_ts", "2 seconds")
+    val joined = impDf.join(clkDf,
+      expr("ad = cad AND click_ts >= imp_ts AND " +
+        "click_ts <= imp_ts + interval 10 seconds"),
+      "leftOuter")
+      .select(col("ad"), col("imp_ts").cast("long").as("i"),
+        col("click_ts").cast("long").as("c"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      imps.addData((ts(5), 1L), (ts(6), 2L))
+      clicks.addData((ts(8), 1L)) // 8 ∈ [5, 15] → matches ad 1
+      q.processAllAvailable()
+      val matched = spark.sql("SELECT ad, i, c FROM ssj_out WHERE c IS NOT NULL")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(matched == Set((1L, 5L, 8L)))
+      // ad 2 unmatched but its join horizon (6 + 10s + 2s) hasn't passed:
+      // no null row may appear yet
+      assert(spark.sql("SELECT * FROM ssj_out WHERE c IS NULL").count() == 0)
+      // push BOTH watermarks far past the horizon (global wm = min of
+      // the two), plus one extra batch: outer results emit on the batch
+      // AFTER the watermark advances
+      imps.addData((ts(60), 9L)); clicks.addData((ts(60), 9L))
+      q.processAllAvailable()
+      imps.addData((ts(61), 9L)); clicks.addData((ts(61), 9L))
+      q.processAllAvailable()
+      val unmatched = spark.sql("SELECT ad FROM ssj_out WHERE c IS NULL")
+        .collect().map(_.getLong(0)).toSet
+      // ad 2 evicted-and-emitted; ad 1 matched so never null; ad 9's
+      // horizon (70s) is still ahead of the watermark so still held
+      assert(unmatched == Set(2L), unmatched)
+    } finally q.stop()
+  }
+
   test("epoch snapshots publish state as re-readable tables (SnapshotManager/TSS analog)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
