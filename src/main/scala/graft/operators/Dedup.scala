@@ -33,16 +33,27 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Passage-level exact dedup: split each document into consecutive
-    * non-overlapping `passageTokens`-token passages (trailing partial
-    * passage dropped) and report every passage whose content occurs more
-    * than once anywhere in the corpus, with the smallest containing doc
-    * id as the keeper. This is the sub-document analog of [[exact]] —
-    * the standard pass when the dedup unit is a paragraph/passage rather
-    * than the whole document and no natural boundaries exist.
+  /** Passage-level exact dedup: split each document into
+    * `passageTokens`-token passages every `stride` tokens (trailing
+    * partial passage dropped) and report every passage whose content
+    * occurs more than once anywhere in the corpus, with the smallest
+    * containing doc id as the keeper. This is the sub-document analog of
+    * [[exact]] — the standard pass when the dedup unit is a
+    * paragraph/passage rather than the whole document and no natural
+    * boundaries exist. `stride = passageTokens` (default) tiles the
+    * document; `stride < passageTokens` emits OVERLAPPING windows, which
+    * widens alignment coverage: a repeated span of ≥ `passageTokens +
+    * stride − 1` tokens is caught whenever its two occurrence offsets
+    * are congruent mod `stride` (tiling only catches offsets congruent
+    * mod `passageTokens`; `stride = 1` is full shingling and catches
+    * EVERY alignment — the token-level analog of suffix-array substring
+    * dedup, Lee et al. 2022 — at explode factor ≈ docTokens). The
+    * stride is the dial between explode cost (docTokens/stride) and the
+    * fraction of alignments detected (1/stride of offset pairs,
+    * deterministically).
     *
     * Plan shape at 100 TB: the passage explode is a generator (pipelined,
-    * factor = docTokens/passageTokens), and the ONLY shuffle groups on
+    * factor = docTokens/stride), and the ONLY shuffle groups on
     * (xxhash64(passage), length) — 16 bytes per passage, never the
     * passage text. A 64-bit key + length makes collisions negligible, so
     * the oracle can group on the raw passage text and the hashed plan
@@ -51,13 +62,15 @@ object Dedup {
     * @return (keeper_id, n_copies) — one row per duplicated passage.
     */
   def passageExactDedup(docs: DataFrame, idCol: String, textCol: String,
-      passageTokens: Int = 10): DataFrame = {
+      passageTokens: Int = 10, stride: Int = -1): DataFrame = {
     val toks = split(col(textCol), " ")
     val p = passageTokens
-    // n full passages; sequence(0, n-1) is invalid for n = 0, so guard
+    val st = if (stride <= 0) passageTokens else stride
+    // last window offset = floor((n − p) / stride); sequence(0, k) is
+    // invalid for k < 0, so guard docs shorter than one passage
     val passages = when(size(toks) >= p,
-      transform(sequence(lit(0), floor(size(toks) / p).cast("int") - 1),
-        i => array_join(slice(toks, i * p + 1, lit(p)), " ")))
+      transform(sequence(lit(0), floor((size(toks) - p) / st).cast("int")),
+        i => array_join(slice(toks, i * st + 1, lit(p)), " ")))
       .otherwise(array().cast("array<string>"))
     // explode_outer, not explode: InferFiltersFromGenerate would clone
     // the whole passage-building expression into a size(...) > 0 filter

@@ -317,6 +317,14 @@ object TrainingDataQueries extends QueryModule {
       Dedup.passageExactDedup(exactDupDocs(s, d), "doc_id", "text",
         passageTokens = 10)),
 
+    // Overlapping-window variant (stride 5 < passage 10): catches
+    // repeated spans whose offsets agree mod 5 (tiling needs mod 10;
+    // stride 1 = full shingling = every alignment) — the dial between
+    // explode cost and alignment coverage.
+    "dd10_passage_overlap" -> ((s, d) =>
+      Dedup.passageExactDedup(exactDupDocs(s, d), "doc_id", "text",
+        passageTokens = 10, stride = 5)),
+
     "dd3_simhash" -> ((s, d) =>
       Dedup.simHashDup(exactDupDocs(s, d), "doc_id", "text", maxHamming = 3)),
 
@@ -771,6 +779,15 @@ object TrainingDataQueries extends QueryModule {
          |pas AS (SELECT doc_id, unnest(list_transform(range(len(tk) // 10),
          |  i -> array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' '))) AS passage
          |  FROM toks)
+         |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM pas GROUP BY passage HAVING count(*) >= 2""".stripMargin,
+
+    "dd10_passage_overlap" ->
+      s"""WITH cand AS ($exactDupDocsSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM cand),
+         |pas AS (SELECT doc_id, unnest(list_transform(range(1 + (len(tk) - 10) // 5),
+         |  i -> array_to_string(list_slice(tk, i*5 + 1, i*5 + 10), ' '))) AS passage
+         |  FROM toks WHERE len(tk) >= 10)
          |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
          |FROM pas GROUP BY passage HAVING count(*) >= 2""".stripMargin,
 

@@ -171,4 +171,23 @@ class DedupSpec extends SparkTestBase {
     // only the full first passage is duplicated; the tails never pair up
     assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
   }
+
+  test("passageExactDedup with stride < passage catches misaligned repeated spans tiling misses") {
+    // the same 14-token span s0..s13 at offset 0 in doc 1 and offset 5
+    // in doc 2: the offsets are congruent mod 5 but not mod 10, so
+    // tiling (stride 10) sees no shared tile while stride 5 must find
+    // the shared window s0..s9 (doc 1 window offset 0, doc 2 offset 5)
+    val span = (0 until 14).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " " + (0 until 6).map(i => s"p$i").mkString(" ")),
+      (2L, "q0 q1 q2 q3 q4 " + span + " q5"))
+      .toDF("doc_id", "text")
+    val tiled = Dedup.passageExactDedup(docs, "doc_id", "text", passageTokens = 10)
+      .collect()
+    assert(tiled.isEmpty, tiled.toSeq) // alignment hides the dup from tiling
+    val strided = Dedup
+      .passageExactDedup(docs, "doc_id", "text", passageTokens = 10, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strided.toSeq == Seq((1L, 2L)), strided.toSeq)
+  }
 }
