@@ -217,13 +217,15 @@ object Dedup {
     * joins on — the exact candidate-pair count the band self-join
     * generates (pre-distinct). One signature pass + one count shuffle. */
   def minHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int, bands: Int): BlockVolume =
+      shingleK: Int, numHashes: Int, bands: Int): BlockVolume = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     blockVolume(
       docs.select(col(idCol).as("id"), posexplode(
         minHashBandKeys(col(textCol), shingleK, numHashes, bands)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_key"),
       Seq("band", "band_key"))
+  }
 
   /** [[blockVolume]] over [[simHashDup]]'s Manku combinatorial tables. */
   def simHashBandVolume(docs: DataFrame, idCol: String, textCol: String,

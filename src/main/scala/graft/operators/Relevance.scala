@@ -40,8 +40,19 @@ object Relevance {
       explode(split(col(textCol), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // df from the REDUCED tf table (one row per (doc, term) already), not
+    // a second pass over the corpus-sized token stream: a plain count per
+    // term here IS count_distinct(doc_id) over tok, without re-running the
+    // explode or shuffling raw (term, doc_id) pairs pre-reduction.
+    // count(when(tf >= 1, 1)) — not count(1) — on purpose: tf ≥ 1 always,
+    // so the value is identical, but depending on tf's VALUE (not just its
+    // presence) stops column pruning from rewriting the lower (doc, term)
+    // aggregate into a bare distinct — which would de-canonicalize it
+    // against the main branch's and kill exchange reuse. With the two
+    // subtrees canonically equal, ReuseExchange serves BOTH branches from
+    // one explode + one shuffle (pinned in PlanAuditSpec).
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs")) // 1-row scalar
     val scored = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))

@@ -188,10 +188,11 @@ object TrainingDataQueries extends QueryModule {
 
     // BM25 ranked retrieval for a fixed 3-term query over every matching
     // doc; scores + match counts, selection exact (no float-boundary
-    // row picks — the caller ranks).
+    // row picks — the caller ranks). k1/b are single-sourced with the
+    // oracle SQL (bm25K1/bm25B below) so the two can't silently diverge.
     "x13_bm25" -> ((s, d) =>
       Relevance.bm25(Tables.documents(s, d), "doc_id", "text",
-        Seq("spark", "join", "window"))),
+        Seq("spark", "join", "window"), k1 = bm25K1, b = bm25B)),
 
     // Strict decontamination through the Bloom prefilter + exact-verify
     // path (the 100 TB variant of x7: ~10-bits-per-shingle broadcast
@@ -490,6 +491,11 @@ object TrainingDataQueries extends QueryModule {
 
   private val enStops = "['the','a','of','and','to','in','is']"
 
+  /** BM25 parameters, shared by the x13 query registration AND its oracle
+    * SQL (the SQL interpolates these same values) — one source of truth. */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
   private val nearDupDocsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -658,26 +664,26 @@ object TrainingDataQueries extends QueryModule {
         |SELECT doc_id, term, tf, df, tfidf FROM sc WHERE rn <= 3""".stripMargin,
 
     "x13_bm25" ->
-      """WITH q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |       FROM documents),
-        |stats AS (SELECT count(*) AS n,
-        |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        |          FROM dl),
-        |qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |              FROM documents) t JOIN q USING (term)
-        |        GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        |       FROM qtf GROUP BY 1),
-        |contrib AS (SELECT doc_id, term,
-        |  ln((n - df + 0.5) / (df + 0.5) + 1.0)
-        |    * (tf * 2.2) / (tf + (1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
-        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-        |SELECT doc_id,
-        |  list_reduce(array_agg(contrib ORDER BY term), (a, b) -> a + b) AS bm25,
-        |  CAST(count(*) AS BIGINT) AS n_terms_matched
-        |FROM contrib GROUP BY doc_id""".stripMargin,
+      s"""WITH q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM dl),
+         |qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |              FROM documents) t JOIN q USING (term)
+         |        GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM qtf GROUP BY 1),
+         |contrib AS (SELECT doc_id, term,
+         |  ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * ($bm25K1 + 1.0)) / (tf + ($bm25K1 * ((1.0 - $bm25B) + $bm25B * dl / avgdl))) AS contrib
+         |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id,
+         |  list_reduce(array_agg(contrib ORDER BY term), (a, b) -> a + b) AS bm25,
+         |  CAST(count(*) AS BIGINT) AS n_terms_matched
+         |FROM contrib GROUP BY doc_id""".stripMargin,
 
     "x10_bloom_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM documents),
