@@ -33,6 +33,15 @@ object NativeText {
   /** Modulus shared with [[TextFunctions.P]]. */
   final val P: Long = 1000000007L
 
+  /** Second fold (multiplier/modulus) for the LOW 31 bits of the 61-bit
+    * simhash token hash: the mod-P fold alone is < 2^30, which left
+    * signature bits 30-60 constant-zero — every Manku table drawn from
+    * the dead region keyed the ENTIRE corpus into one bucket (the
+    * banding scale-killer). M2/P2 fill bits 0..30; the mod-P fold fills
+    * bits 31..60. Overflow-safe: acc < P2 < 2^31, acc*M2 < 2^51. */
+  final val M2: Long = 1000003L
+  final val P2: Long = 2147483647L // 2^31 - 1, prime
+
   /** `split(text, " ")` semantics: single-space separators, empty
     * segments kept (including leading/trailing). */
   def splitSpaces(s: String): Array[String] = s.split(" ", -1)
@@ -84,25 +93,33 @@ object NativeText {
   /** SimHash body shared by eval and generated code: single char scan,
     * token hashes accumulate inline at space boundaries (identical to
     * hashing `split(s, " ", -1)` segments; empty segments hash to 0 —
-    * count but no bits). */
+    * count but no bits). The 61-bit token hash packs the mod-P fold
+    * into bits 31..60 and the M2/P2 fold into bits 0..30, so EVERY
+    * signature bit carries signal (see [[M2]]). */
   def simHash(s: String): Long = {
     val len = s.length
     val counts = new Array[Int](61)
     var n = 0
-    var acc = 0L
+    var acc1 = 0L
+    var acc2 = 0L
     var i = 0
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') {
         n += 1
-        if (acc != 0L) {
+        val h = acc1 * (P2 + 1L) + acc2 // acc1·2^31 + acc2 < 2^62
+        if (h != 0L) {
           var j = 0
           while (j < 61) {
-            counts(j) += ((acc >> j) & 1L).toInt
+            counts(j) += ((h >> j) & 1L).toInt
             j += 1
           }
         }
-        acc = 0L
-      } else acc = (acc * 31L + s.charAt(i)) % P
+        acc1 = 0L
+        acc2 = 0L
+      } else {
+        acc1 = (acc1 * 31L + s.charAt(i)) % P
+        acc2 = (acc2 * M2 + s.charAt(i)) % P2
+      }
       i += 1
     }
     var sig = 0L

@@ -115,17 +115,28 @@ object TextFunctions {
   def bind(value: Column, body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
-  /** 61-bit SimHash over token polynomial hashes: bit j of the signature
-    * is the majority vote of bit j across all token hashes (61 bits so the
-    * packed value stays positive in an i64). Native expression
-    * ([[SimHashExpr]]: one compiled loop per row). */
+  /** 61-bit SimHash over token hashes: bit j of the signature is the
+    * majority vote of bit j across all token hashes (61 bits so the
+    * packed value stays positive in an i64). The token hash packs TWO
+    * independent polynomial folds — mod-P in bits 31..60, mod-P2 in
+    * bits 0..30 — so every signature bit carries signal; a single mod-P
+    * fold (< 2^30) left bits 30-60 constant and collapsed the Manku
+    * banding's dead-block tables to one corpus-wide bucket. Native
+    * expression ([[SimHashExpr]]: one compiled loop per row). */
   def simHash(text: Column): Column = ncol(SimHashExpr(nexpr(text)))
+
+  /** Low-half fold of the simhash token hash ([[NativeText.M2]]/
+    * [[NativeText.P2]]), declarative form. */
+  def polyHash2Hof(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * NativeText.M2 + ascii(c)) % NativeText.P2)
 
   /** Declarative twin of [[simHash]]: each token hashed once ([[bind]]
     * materializes the hash array), then 61 bit-count passes over the
     * materialized longs. Parity-tested against the native expression. */
   def simHashHof(text: Column): Column =
-    bind(transform(tokens(text), t => polyHashHof(t)), { hs =>
+    bind(transform(tokens(text),
+      t => polyHashHof(t) * lit(NativeText.P2 + 1L) + polyHash2Hof(t)), { hs =>
       val n = size(hs)
       (0 until 61).map { j =>
         val onesJ = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))

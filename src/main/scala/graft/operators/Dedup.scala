@@ -13,10 +13,17 @@ import graft.functions.VectorFunctions
   *                  → shuffle on band key → pairs only within buckets →
   *                  exact Jaccard verify. Candidate count is governed by
   *                  the (bands, rowsPerBand) S-curve, not by corpus size².
-  *  - SimHash:      per-row 61-bit signature (narrow) → Manku-style
-  *                  combinatorial block banding (hamming ≤ h ⇒ some
-  *                  3-block combination fully equal, key ~31 bits) →
-  *                  hamming verify within buckets.
+  *  - SimHash:      per-row 61-bit signature (narrow) → compact to ONE
+  *                  row per DISTINCT signature → Manku-style
+  *                  combinatorial block banding over the distinct
+  *                  signatures (hamming ≤ h ⇒ some 3-block combination
+  *                  fully equal, key ~31 bits) → hamming verify within
+  *                  buckets → expand signature pairs back through
+  *                  membership. Identical-signature dup clusters
+  *                  (boilerplate, mirrored pages — the dominant dup mass
+  *                  of a real crawl) collapse to one banded row each, so
+  *                  the band join is quadratic in DISTINCT-signature
+  *                  bucket size, never in dup-cluster size.
   *  - n-gram Jaccard: exact pairwise, but only within caller-supplied
   *                  blocking keys (never global n²).
   *  - embedding:    cosine near-dup via random-hyperplane LSH buckets.
@@ -161,7 +168,32 @@ object Dedup {
   /** SimHash near-duplicate pairs: hamming(sig_a, sig_b) ≤ maxHamming,
     * candidates found by exact match on one of C(maxHamming+3, 3)
     * combinatorial block keys ([[simHashBandKeys]] — pigeonhole-complete
-    * for any maxHamming, bucket population bounded at corpus scale). */
+    * for any maxHamming).
+    *
+    * Signature-identical compaction: a real crawl's dup mass is
+    * boilerplate repeated verbatim, so the hottest band buckets are
+    * dominated by IDENTICAL signatures — banding per document makes the
+    * candidate join quadratic in dup-CLUSTER size (a 5,500-doc cluster
+    * is ~15 M candidate pairs in ONE bucket; at 100× a proportional
+    * cluster is ~10¹¹). Instead:
+    *
+    *  1. the corpus is shuffled on the signature into two narrow
+    *     exchanges — the 16-byte (id, sig) membership table and the
+    *     8-byte distinct-signature path (Catalyst prunes id out of the
+    *     aggregate-side subtree, so the two cannot merge declaratively)
+    *     — each computed once and REUSED by every downstream consumer
+    *     (six branches total read them via ReusedExchange, plan-audited);
+    *  2. identical-signature pairs are hamming-0 by definition — they
+    *     are emitted straight from group membership, never through the
+    *     band join;
+    *  3. only DISTINCT signatures are banded and verified, and the
+    *     surviving (sig_a, sig_b) pairs — already deduped across tables
+    *     at signature granularity — expand back to document pairs
+    *     through two membership joins on the signature key.
+    *
+    * The band join is thus quadratic only in distinct-signature bucket
+    * population (bounded by the ~31-bit key space), and the per-document
+    * work is linear plus the inherent output size. */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // NULL-text rows can never band-match (null keys don't equi-join);
@@ -170,27 +202,55 @@ object Dedup {
     // infers `isnotnull(simhashexpr(text))` from the join keys and the
     // full signature scan runs TWICE per row — once in the inferred
     // Filter, once in the projection (caught by PlanAuditSpec).
-    val sig = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
+    // Both projected columns are marked non-nullable (coalesce): a
+    // nullable id lets InferFiltersFromConstraints push branch-specific
+    // isnotnull filters BELOW the shared exchange, splitting it into
+    // independently recomputed signature scans (ReuseExchange matches
+    // canonical subtrees exactly).
+    val members = docs.filter(col(textCol).isNotNull)
+      .select(coalesce(col(idCol), lit(-1L)).as("id"),
         coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"),
+      .repartition(col("sig")) // the ONE corpus-wide exchange, shared below
+    val sigs = members.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+    // (2) intra-signature pairs: docs sharing an exact signature are
+    // hamming-0 near-dups — emitted from membership. The dup-sig filter
+    // keeps the expansion proportional to dup mass, not corpus size, and
+    // every join here runs on the shared members partitioning. An INNER
+    // join against the (already distinct) dup-signature list, not a
+    // semi join: PushDownLeftSemiAntiJoin would push a semi join below
+    // the repartition, splitting the shared exchange into independently
+    // recomputed signature scans.
+    val dupMembers = members.join(
+      sigs.filter(col("n") >= 2).select(col("sig")), Seq("sig"))
+    val intra = dupMembers.select(col("sig"), col("id").as("doc_a"))
+      .join(dupMembers.select(col("sig"), col("id").as("doc_b")), Seq("sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    // (3) inter-signature pairs: band one row per distinct signature.
+    val banded = sigs.select(col("sig"),
       posexplode(simHashBandKeys(col("sig"), maxHamming)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "band_key")
-    val l = chunked.select(col("tbl"), col("band_key"),
-      col("id").as("doc_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("tbl"), col("band_key"),
-      col("id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("tbl", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val sigPairs = banded.select(col("tbl"), col("band_key"), col("sig").as("sig_a"))
+      .join(banded.select(col("tbl"), col("band_key"), col("sig").as("sig_b")),
+        Seq("tbl", "band_key"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       // hamming is two ALU ops — filter BEFORE the distinct so the
-      // dedup shuffle carries only surviving near-dup pairs, not every
-      // chunk-collision candidate (identical rows: hamming is a
-      // function of the pair)
+      // dedup shuffle carries only surviving signature pairs, not every
+      // band-collision candidate
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // expand signature pairs to document pairs; each document belongs to
+    // exactly one signature group, so the expansion emits every cross
+    // pair exactly once — no document-level distinct needed.
+    val inter = sigPairs
+      .join(members.select(col("sig").as("sig_a"), col("id").as("ma")), Seq("sig_a"))
+      .join(members.select(col("sig").as("sig_b"), col("id").as("mb")), Seq("sig_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    intra.union(inter)
   }
 
   /** Pair volume of a blocking scheme: number of blocks, the largest
@@ -227,14 +287,17 @@ object Dedup {
       Seq("band", "band_key"))
   }
 
-  /** [[blockVolume]] over [[simHashDup]]'s Manku combinatorial tables. */
+  /** [[blockVolume]] over [[simHashDup]]'s Manku combinatorial tables —
+    * measured over DISTINCT signatures, exactly as the operator bands
+    * them after signature-identical compaction. */
   def simHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): BlockVolume =
     blockVolume(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"),
-          posexplode(simHashBandKeys(
-            coalesce(simHash(col(textCol)), lit(0L)), maxHamming)))
+          coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
+        .dropDuplicates("sig")
+        .select(col("sig"), posexplode(simHashBandKeys(col("sig"), maxHamming)))
         .withColumnRenamed("pos", "tbl")
         .withColumnRenamed("col", "band_key"),
       Seq("tbl", "band_key"))

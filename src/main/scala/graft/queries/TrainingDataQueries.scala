@@ -480,9 +480,19 @@ object TrainingDataQueries extends QueryModule {
       s"(CAST(((p*64 + j) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))), " +
       s"(x, y) -> x + y) > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
 
-  /** 61-bit simhash of a text column (majority vote over token hashes). */
+  /** Low-half polynomial fold of the 61-bit simhash token hash
+    * (multiplier 1000003 mod 2^31-1; bits 0..30 — the mod-1e9+7 fold
+    * covers bits 31..60). */
+  private def ph2(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*1000003 + b) % 2147483647)"
+
+  /** 61-bit simhash of a text column (majority vote over packed
+    * dual-fold token hashes — every signature bit carries signal). */
   private def simhash(text: String): String = {
-    val hashes = s"list_transform(string_split($text, ' '), s -> ${ph("s")})"
+    val hashes = s"list_transform(string_split($text, ' '), " +
+      s"s -> ${ph("s")} * 2147483648 + ${ph2("s")})"
     s"CAST(list_sum(list_transform(range(61), j -> " +
       s"CASE WHEN 2 * CAST(list_sum(list_transform($hashes, x -> " +
       s"(x // (CAST(1 AS BIGINT) << j)) % 2)) AS BIGINT) > len($hashes) " +

@@ -58,6 +58,46 @@ class PlanAuditSpec extends SparkTestBase {
       l.contains("Join [tbl#") && l.contains("band_key#")), p)
   }
 
+  test("dd3_simhash: only DISTINCT signatures are banded; the corpus exchange is shared") {
+    // Signature-identical compaction (the 100× fix for identical-content
+    // dup clusters): every posexplode of the band keys must consume the
+    // distinct-signature AGGREGATE output, never per-document rows — in
+    // the optimized plan each Generate sits above an Aggregate keyed on
+    // the signature.
+    val opt = SparkEntry.queries("dd3_simhash")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val lines = opt.linesIterator.toSeq
+    val genIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("posexplode") => i
+    }
+    assert(genIdx.nonEmpty, opt)
+    genIdx.foreach { i =>
+      val below = lines.drop(i + 1).take(3)
+      assert(below.exists(l => l.contains("Aggregate [sig#")),
+        s"band-key Generate not fed by the distinct-signature aggregate:\n" +
+          lines.slice(i, i + 4).mkString("\n"))
+    }
+    // the corpus shuffles on the signature into exactly TWO narrow
+    // exchanges — the (id, sig) membership table and the column-pruned
+    // (sig)-only distinct path — and every other consumer branch (intra
+    // pairs doc_a/doc_b, membership expansion ×2, dup-sig filter,
+    // banding ×2) reads them as ReusedExchange. A regression that splits
+    // a branch into its own signature scan shows up as a third
+    // REPARTITION exchange (exchange reuse is an AQE/physical decision,
+    // so this asserts on the final executed plan).
+    val df = SparkEntry.queries("dd3_simhash")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val sigExchanges = fin.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(sig") && !l.contains("ReusedExchange"))
+    assert(sigExchanges == 2,
+      s"expected 2 signature exchanges (members + distinct-sig), found $sigExchanges:\n$fin")
+    val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 4,
+      s"expected >=4 ReusedExchange consumer branches, found $reused:\n$fin")
+  }
+
   test("signature-keyed queries evaluate their signatures once per row — never inside a Filter") {
     // Two regressions this pins:
     //  1. a nullable signature join key makes InferFiltersFromConstraints
