@@ -482,6 +482,67 @@ object Dedup {
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
         max_by(col("v"), struct(col("sim"), -col("cell"))).as("v"))
 
+  /** Cell count for [[kmeansCentroids]]: grows LINEARLY with the corpus
+    * (target ~`targetCellSize` vectors per cell, floor `minCells`), so
+    * the in-cell pair count stays bounded as the corpus grows — the
+    * guard in [[semanticDedup]] stops tripping by construction. */
+  def suggestedCells(corpusSize: Long, targetCellSize: Long = 500L,
+      minCells: Int = 8): Int =
+    math.max(minCells, ((corpusSize + targetCellSize - 1) / targetCellSize).toInt)
+
+  /** Deterministic sampled k-means for [[semanticDedup]] /
+    * [[Similarity.ivfTopK]] centroids — corpus-derived, yet bit-exactly
+    * replayable by a SQL oracle:
+    *
+    *  - SAMPLE: every `sampleMod`-th vector by id (a deterministic
+    *    1/sampleMod systematic sample — no RNG state to replay);
+    *  - INIT: the `nCells` sample vectors with the smallest
+    *    multiplicative-hash rank `(id·2654435761) mod 1000003` (ties by
+    *    id) — hash-seeded, order-independent, and a bounded-heap
+    *    TakeOrdered of k rows, never a global sort;
+    *  - ITERATE exactly `iters` times (fixed — an oracle cannot replay
+    *    a convergence loop): assign each sample vector to its
+    *    nearest-cosine centroid (same argmax + smallest-cell tie-break
+    *    as [[assignCells]]), then recompute each non-empty cell's
+    *    centroid as the arithmetic mean folded in DOUBLE over members
+    *    in id order (float addition is order-sensitive; the ordered
+    *    fold is what makes the mean engine-neutral) and rounded once to
+    *    FLOAT.
+    *
+    * Scale shape: the sample is a narrow filtered scan; each iteration
+    * broadcasts the (tiny) centroid table, shuffles only the sample on
+    * the cell id, and reduces to nCells rows. The full corpus is never
+    * touched until the final [[assignCells]] pass inside the consumer. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, sampleMod: Int = 20, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("id") % sampleMod === 0)
+    // hash-ranked init: TakeOrdered keeps nCells rows; the row_number
+    // window then runs over those k rows only (single tiny partition)
+    var cents = pts
+      .withColumn("r", pmod(col("id") * lit(2654435761L), lit(1000003L)))
+      .orderBy(col("r"), col("id")).limit(nCells)
+      .select(
+        (row_number().over(Window.orderBy(col("r"), col("id"))) - 1)
+          .cast("long").as("cell"),
+        col("v").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(pts, "id", "v", cents)
+      cents = assigned
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("mem"))
+        .select(col("cell"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (aggregate(col("mem"), lit(0.0d),
+              (acc, m) => acc + get(m.getField("v"), j).cast("double"))
+              / size(col("mem")).cast("double")).cast("float"))
+            .as("centroid"))
+    }
+    cents
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double = 0.95,
       maxPairsPerCell: Long = 10000000L): DataFrame = {

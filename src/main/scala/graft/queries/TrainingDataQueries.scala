@@ -65,10 +65,22 @@ object TrainingDataQueries extends QueryModule {
       shingleK = 3, numHashes = 32, bands = 8),
     "dd3_simhash" -> Dedup.simHashBandVolume(
       exactDupDocs(s, d), "doc_id", "text", maxHamming = 3),
-    "dd9_semantic_dedup" -> Dedup.semanticCellVolume(
-      nearDupEmb(s, d), "vec_id", "embedding",
-      Tables.embeddings(s, d).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))))
+    "dd9_semantic_dedup" -> {
+      val emb = nearDupEmb(s, d)
+      Dedup.semanticCellVolume(emb, "vec_id", "embedding",
+        dd9Centroids(emb))
+    })
+
+  /** dd9's corpus-derived centroids — deterministic sampled k-means with
+    * nCells growing linearly in corpus size (single-sourced between the
+    * query, the block-volume canary, and the oracle SQL below). The
+    * corpus count is a 1-row aggregate action; nCells must be a literal
+    * for the init's bounded-heap TakeOrdered. */
+  private def dd9Centroids(emb: DataFrame): DataFrame = {
+    val n = emb.filter(col("embedding").isNotNull).count()
+    Dedup.kmeansCentroids(emb, "vec_id", "embedding",
+      Dedup.suggestedCells(n), sampleMod = 20, iters = 2)
+  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -362,16 +374,15 @@ object TrainingDataQueries extends QueryModule {
       Dedup.embeddingNearDupMultiProbe(nearDupEmb(s, d), "vec_id", "embedding",
         nPlanes = 8, dim = 64, threshold = 0.95)),
 
-    // SemDeDup: coarse embedding cells (deterministic stub centroids =
-    // the first 8 corpus vectors, same contract as sim3), then in-cell
-    // pairwise cosine ≥ 0.95 → one row per dropped vector with its
-    // keeper. The pair-budget guard fails loudly if a cell outgrows the
-    // budget — at scale nCells grows with the corpus, keeping cells
-    // bounded.
+    // SemDeDup: corpus-derived coarse cells (deterministic sampled
+    // k-means, hash-seeded init, fixed iterations — bit-replayed by the
+    // DuckDB oracle), then in-cell pairwise cosine ≥ 0.95 → one row per
+    // dropped vector with its keeper. nCells grows linearly with the
+    // corpus (Dedup.suggestedCells), so cell size stays bounded and the
+    // pair-budget guard stops tripping by construction at scale.
     "dd9_semantic_dedup" -> ((s, d) => {
-      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      Dedup.semanticDedup(nearDupEmb(s, d), "vec_id", "embedding", cents,
+      val emb = nearDupEmb(s, d)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", dd9Centroids(emb),
         threshold = 0.95)
         .select(col("id").as("vec_id"), col("keeper_id"),
           col("n_better"), col("max_cosine"))
@@ -547,6 +558,37 @@ object TrainingDataQueries extends QueryModule {
       |SELECT vec_id + 100000 AS vec_id,
       |  list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** CTE chain bit-replaying [[Dedup.kmeansCentroids]] over a `cand`
+    * CTE (vec_id, embedding): systematic 1/20 sample, hash-ranked init
+    * of greatest(8, ceil(n/500)) centroids, `iters` fixed
+    * assign+mean rounds. Means fold in DOUBLE over members in id order
+    * then round once to FLOAT — the exact arithmetic of the Spark side.
+    * Final centroid table is the CTE named `cents`. */
+  private def kmeansSql(iters: Int = 2): String = {
+    val pts =
+      """pts AS (SELECT vec_id AS id, embedding AS v FROM cand WHERE vec_id % 20 = 0),
+        |kk AS (SELECT greatest(8, CAST(ceil(count(*) / 500.0) AS BIGINT)) AS k FROM cand),
+        |cent0 AS (
+        |  SELECT cell, centroid FROM (
+        |    SELECT CAST(row_number() OVER (ORDER BY (id * 2654435761) % 1000003, id) - 1 AS BIGINT) AS cell,
+        |      v AS centroid
+        |    FROM pts) r CROSS JOIN kk WHERE r.cell < kk.k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""asg$i AS (SELECT id, v, cell FROM (
+         |  SELECT p.id, p.v, c.cell,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY ${cos("p.v", "c.centroid")} DESC, c.cell) AS rn
+         |  FROM pts p CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |cent$i AS (
+         |  SELECT cell, list_transform(range(64), j ->
+         |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(vs, e -> CAST(e[j+1] AS DOUBLE))), (a, b) -> a + b)
+         |      / CAST(len(vs) AS DOUBLE) AS FLOAT)) AS centroid
+         |  FROM (SELECT cell, array_agg(v ORDER BY id) AS vs FROM asg$i GROUP BY cell) g)""".stripMargin
+    }.mkString(",\n")
+    s"$pts,\n$rounds,\ncents AS (SELECT cell, centroid FROM cent$iters)"
+  }
 
   def oracles: Map[String, String] = Map(
     "x1_tokens" ->
@@ -768,8 +810,7 @@ object TrainingDataQueries extends QueryModule {
 
     "dd9_semantic_dedup" ->
       s"""WITH cand AS ($nearDupEmbSql),
-         |cents AS (SELECT vec_id AS cell, embedding AS centroid
-         |          FROM embeddings WHERE vec_id < 8),
+         |${kmeansSql(iters = 2)},
          |asg AS (SELECT id, v, cell FROM (
          |  SELECT e.vec_id AS id, e.embedding AS v, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id

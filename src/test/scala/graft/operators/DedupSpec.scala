@@ -105,6 +105,45 @@ class DedupSpec extends SparkTestBase {
     assert(multi <= 300 && single <= 300)
   }
 
+  // ---- corpus-derived k-means cells: bounded at 10x ----
+
+  test("kmeansCentroids + suggestedCells keep cell volume bounded on a 10x corpus") {
+    // 10x self-union of the sf0.01 embeddings with id offsets and a
+    // copy-dependent single-dimension perturbation (pure scaling would
+    // preserve direction and stack all copies into the same cells).
+    // The claim under test is the dd9 scale fix: nCells grows linearly
+    // with the corpus, so in-cell pair volume grows ~linearly — against
+    // the FIXED cell count whose pair volume grows quadratically.
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+    val big = (0 until 10).map { c =>
+      base.select((col("vec_id") + c * 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + when(i === c % 64, lit(0.37f * c)).otherwise(lit(0.0f)))
+            .cast("float")).as("embedding"))
+    }.reduce(_ union _)
+    def volume(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Dedup.semanticCellVolume(df, "vec_id", "embedding",
+        Dedup.kmeansCentroids(df, "vec_id", "embedding", k))
+    val n1 = base.count()
+    val n10 = big.count()
+    val k1 = Dedup.suggestedCells(n1, targetCellSize = 100L)
+    val k10 = Dedup.suggestedCells(n10, targetCellSize = 100L)
+    assert(n10 == 10 * n1)
+    assert(k10 > 5 * k1, s"nCells must grow ~linearly: $k1 -> $k10")
+    val derived = volume(big, k10)
+    val fixed = volume(big, k1) // the old stub shape: cell count frozen
+    // derived cells: hottest cell and total pair volume both far below
+    // the frozen-cell-count plan on the same 10x corpus
+    assert(derived.maxBlock < fixed.maxBlock,
+      s"derived max cell ${derived.maxBlock} !< fixed ${fixed.maxBlock}")
+    assert(derived.totalPairs * 2 < fixed.totalPairs,
+      s"derived pairs ${derived.totalPairs} not <2x below fixed ${fixed.totalPairs}")
+    // and the dedup itself runs under the default pair budget
+    assert(Dedup.semanticDedup(big, "vec_id", "embedding",
+      Dedup.kmeansCentroids(big, "vec_id", "embedding", k10)).count() >= 0L)
+  }
+
   // ---- blocked pairwise n-gram Jaccard: the pair-budget guard ----
 
   test("ngramJaccardPairs: a hot block over the pair budget fails loudly before any shingling") {
