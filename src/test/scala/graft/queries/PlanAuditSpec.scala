@@ -257,13 +257,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(genIdx.nonEmpty, p)
     genIdx.foreach { i =>
       // the operator consuming the Generate (a line above in tree order,
-      // within a few lines — exact adjacency and the exact IN-list
-      // rendering are plan-string formatting, not the property) must be
-      // a Filter on the query vocabulary
-      val preceding = lines.slice(math.max(0, i - 4), i)
-      assert(preceding.exists(l => l.contains("Filter") &&
-          Seq("spark", "join", "window").forall(l.contains)),
+      // within a few lines — the exact IN-list rendering is plan-string
+      // formatting, not the property) must be a Filter on the query
+      // vocabulary, and NOTHING wide may sit between them: an Exchange
+      // or Aggregate consuming the Generate before the vocab Filter
+      // means the full token stream crossed a wide edge — the exact
+      // regression this audit exists to catch.
+      val window = lines.slice(math.max(0, i - 4), i)
+      val fiOpt = window.lastIndexWhere(l => l.contains("Filter") &&
+        Seq("spark", "join", "window").forall(l.contains))
+      assert(fiOpt >= 0,
         lines.slice(math.max(0, i - 4), i + 1).mkString("\n"))
+      val between = window.drop(fiOpt + 1)
+      assert(!between.exists(l =>
+          l.contains("Exchange") || l.contains("Aggregate")),
+        s"wide operator between the vocab Filter and its Generate:\n" +
+          lines.slice(math.max(0, i - 4), i + 1).mkString("\n"))
     }
     assert(p.contains("BroadcastHashJoin"), p)
   }

@@ -120,6 +120,89 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("overlapping sliding windows place elements in every covering window (assigner.rs window_overlapping)") {
+    // Port of `window_overlapping` (assigner.rs:549-567): length 10,
+    // slide 5 — an element belongs to TWO windows. Reference sends
+    // events at t, t+6, t+6 and asserts the first emitted window holds
+    // 3 elements and the second 2. Here: events at 10, 16, 16 →
+    // [5,15) gets 1, [10,20) all 3, [15,25) the two at 16.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("overlap_out").start()
+    try {
+      input.addData((ts(10), 1L), (ts(16), 1L), (ts(16), 1L))
+      input.addData((ts(40), 1L)) // flush: watermark 38 > 25 + lateness
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, n FROM overlap_out WHERE ws < 30")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows == Map(5L -> 1L, 10L -> 3L, 15L -> 2L))
+    } finally q.stop()
+  }
+
+  test("very long windows materialize exactly at their end boundary (assigner.rs window_very_long_windows_1/2)") {
+    // Port of `window_very_long_windows_1` + `_2` (assigner.rs:500-548):
+    // two 10000-second tumbling windows; a watermark ONE tick before the
+    // second window's end (19999) materializes only the first, and a
+    // watermark AT the end (20000) materializes both — the ms-conversion
+    // drift those reference tests guard never lets the boundary slip.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10000 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("long_out").start()
+    try {
+      input.addData((ts(0), 1L))      // window [0, 10000)
+      input.addData((ts(10001), 1L))  // window [10000, 20000)
+      q.processAllAvailable()
+      input.addData((ts(19999), 1L))  // watermark 19999: only [0,10000) closed
+      q.processAllAvailable()
+      assert(spark.sql("SELECT ws FROM long_out").collect()
+        .map(_.getLong(0)).toSeq == Seq(0L))
+      input.addData((ts(20000), 1L))  // watermark 20000 = second window's end
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, n FROM long_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows == Map(0L -> 1L, 10000L -> 2L))
+    } finally q.stop()
+  }
+
+  test("watermark fast-forward over empty ranges emits no empty windows (assigner.rs window_empty)") {
+    // Port of `window_empty` (assigner.rs:568-584): advancing the
+    // watermark across window ranges that received no data must emit
+    // ZERO windows for them — windows exist only where elements landed,
+    // never materialized empty by the clock.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("empty_out").start()
+    try {
+      input.addData((ts(1), 1L))
+      q.processAllAvailable()
+      // fast-forward: one element at 100 pushes the watermark across
+      // 19 empty 5-second windows [5,10) … [95,100)
+      input.addData((ts(100), 1L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, n FROM empty_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows == Map(0L -> 1L)) // nothing emitted for the empty ranges
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window matches emit; unmatched left emits null after horizon") {
     // the unbounded form of w6_interval_join: two watermarked streams,
     // equi-key + event-time range condition, left-outer so state
