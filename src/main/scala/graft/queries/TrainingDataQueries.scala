@@ -263,6 +263,29 @@ object TrainingDataQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Near-dup cluster keep/drop — the stage every production pipeline
+    // ends with: pairwise near-dup detection (MinHash-LSH) → connected
+    // components → a per-document keep/drop decision (keep each
+    // cluster's minimum doc id; docs in no cluster keep themselves).
+    // Plan shape at 100 TB: the pair list and the label propagation are
+    // dd2/dd6's bounded band-bucket and doc-id shuffles; the decision
+    // itself is ONE left join of the corpus against the label table —
+    // which is proportional to the DUPLICATED subset, not the corpus —
+    // followed by a narrow projection.
+    "pl2_cluster_keep" -> ((s, d) => {
+      val corpus = nearDupDocs(s, d)
+      val labels = Dedup.clusters(
+        Dedup.minHashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      corpus.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+            .as("kept"))
+    }),
+
     // ---- Deterministic splitting / sampling ----
     "sp1_split" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -769,6 +792,23 @@ object TrainingDataQueries extends QueryModule {
          |       WHEN ${ph("nt")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split FROM clean)
          |SELECT lang, split, count(*) AS n_docs FROM asg GROUP BY 1, 2""".stripMargin,
+
+    "pl2_cluster_keep" ->
+      s"""WITH RECURSIVE p AS (
+         |$dd2Sql
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.m FROM reach r JOIN edges e ON e.b = r.n),
+         |lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+         |corpus AS ($nearDupDocsSql)
+         |SELECT c.doc_id,
+         |  CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
+         |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS kept
+         |FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id""".stripMargin,
 
     "sp1_split" ->
       s"""WITH t AS (SELECT doc_id, ${ph("text")} % 100 AS h100,
