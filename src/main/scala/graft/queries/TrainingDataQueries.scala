@@ -47,26 +47,61 @@ object TrainingDataQueries extends QueryModule {
         V.scale(col("embedding"), 0.5f).as("embedding")))
   }
 
+  /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
+    * offsets and a per-copy tag token appended to the text — copies are
+    * near-identical but not identical, so signatures/shingles/lengths
+    * shift the way a real 10× crawl's would (a verbatim union would
+    * measure only the identical-content path). */
+  private def scaleDocs(df: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      if (c == 0) df
+      else df.withColumn("doc_id", col("doc_id") + c * 10000000L)
+        .withColumn("text", concat(col("text"), lit(s" c$c")))
+    }.reduce(_ union _)
+
+  /** `copies`-fold self-union of an embedding corpus with id offsets and
+    * a copy-dependent single-dimension bump (pure scaling would preserve
+    * direction and stack every copy into the same cells). */
+  private def scaleEmb(df: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      if (c == 0) df
+      else df.select((col("vec_id") + c * 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + when(i === c % 64, lit(0.37f * c)).otherwise(lit(0.0f)))
+            .cast("float")).as("embedding"))
+    }.reduce(_ union _)
+
   /** The blocked-pairwise queries' pair volumes at a given scale factor —
     * surfaced by the bench artifact so quadratic creep in any blocked
     * operator shows up in the JSON round-over-round, not only when a
     * reviewer re-derives it. Single-sourced with the dd4 query's blocking
     * below. */
   def blockedQueryVolumes(s: SparkSession, d: String)
+      : Map[String, graft.operators.Dedup.BlockVolume] =
+    blockedQueryVolumesAt(s, d, copies = 1)
+
+  /** [[blockedQueryVolumes]] over a `copies`× perturbed self-union of
+    * each query's own corpus (copies = 1 IS the query corpus) — the
+    * bench's empirical scale curve: measuring the same blocking at 1×
+    * and 10× yields each query's pair-growth exponent, the number that
+    * says whether the scheme survives a 100× corpus. */
+  def blockedQueryVolumesAt(s: SparkSession, d: String, copies: Int)
       : Map[String, graft.operators.Dedup.BlockVolume] = Map(
     "dd4_ngram_jaccard" -> Dedup.blockVolume(
-      Tables.documents(s, d).withColumn("len_band",
-        floor(length(col("text")) / 64).cast("long")),
+      scaleDocs(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")), copies)
+        .withColumn("len_band",
+          floor(length(col("text")) / 64).cast("long")),
       Seq("lang", "source", "len_band")),
     // Banded queries: candidate-pair volume of the band-bucket self-join
     // (pre-distinct), same corpora and parameters as dd2/dd3/dd9.
     "dd2_minhash_lsh" -> Dedup.minHashBandVolume(
-      nearDupDocs(s, d), "doc_id", "text",
+      scaleDocs(nearDupDocs(s, d), copies), "doc_id", "text",
       shingleK = 3, numHashes = 32, bands = 8),
     "dd3_simhash" -> Dedup.simHashBandVolume(
-      exactDupDocs(s, d), "doc_id", "text", maxHamming = 3),
+      scaleDocs(exactDupDocs(s, d), copies), "doc_id", "text", maxHamming = 3),
     "dd9_semantic_dedup" -> {
-      val emb = nearDupEmb(s, d)
+      val emb = scaleEmb(nearDupEmb(s, d), copies)
       Dedup.semanticCellVolume(emb, "vec_id", "embedding",
         dd9Centroids(emb))
     })
