@@ -9,10 +9,15 @@ import graft.functions.VectorFunctions
   * around ONE bounded shuffle rather than any n² comparison:
   *
   *  - exact:        shuffle on the content key, keep min-id per group.
-  *  - MinHash+LSH:  per-row signature (narrow) → explode to `bands` rows
-  *                  → shuffle on band key → pairs only within buckets →
-  *                  exact Jaccard verify. Candidate count is governed by
-  *                  the (bands, rowsPerBand) S-curve, not by corpus size².
+  *  - MinHash+LSH:  per-row signature (narrow) → band rows at
+  *                  DISTINCT-TEXT granularity (identical texts compact
+  *                  map-side; their Jaccard-1 pairs emit from group
+  *                  membership) → shuffle on band key → pairs only
+  *                  within buckets → one exact Jaccard verify per
+  *                  distinct-text pair → membership expansion.
+  *                  Candidate count is governed by the
+  *                  (bands, rowsPerBand) S-curve over distinct texts,
+  *                  not by corpus size² and not by dup-cluster size².
   *  - SimHash:      per-row 61-bit signature (narrow) → compact to ONE
   *                  row per DISTINCT signature → Manku-style
   *                  combinatorial block banding over the distinct
@@ -94,51 +99,116 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
   }
 
-  /** MinHash-LSH near-duplicate pairs.
+  /** MinHash-LSH near-duplicate pairs, with text-identical compaction:
+    * everything pairwise runs at DISTINCT-TEXT granularity, keyed by
+    * the 16-byte (fingerprint64, length) content key (collisions
+    * negligible — same argument as [[exact]]), and document pairs are
+    * recovered through membership at the end. A real crawl's dup mass
+    * is verbatim boilerplate, so banding per document makes the band
+    * join quadratic in dup-CLUSTER size — the same scale-killer
+    * [[simHashDup]] compacts away at signature granularity.
     *
     * Plan shape (each stage computes its inputs exactly once per row):
-    *  1. text → shingle hashes → signature → band keys is ONE
-    *     let-bound expression ([[graft.functions.TextFunctions.minHashBandKeys]]),
-    *     so the shingle hashing runs once per row — not once per hash
-    *     function (Spark HOFs are interpreted without subexpression
-    *     elimination, and CollapseProject re-inlines single-use
-    *     projection columns, so multi-projection staging does NOT
-    *     guarantee this);
-    *  2. the band explode and self-join carry ONLY (band, band_key, id) —
-    *     no arrays ride the exchange;
-    *  3. candidate pairs are made distinct FIRST, then `sh` is joined
-    *     back once per side for a single Jaccard verify per pair.
+    *  1. membership (id, fp, ln) shuffles ONCE on the content key and
+    *     is reused by the intra-pair and inter-pair expansions (narrow
+    *     16-byte rows; the same non-nullability discipline as
+    *     [[simHashDup]] keeps the exchange shared);
+    *  2. identical-text pairs are Jaccard-1 by definition — emitted
+    *     straight from group membership (groups with ≥ 2 docs and a
+    *     non-empty shingle set; shingle-less docs never band-match, so
+    *     they never pair here either), never through the band join;
+    *  3. text → shingle hashes → signature → band keys is ONE let-bound
+    *     expression ([[graft.functions.TextFunctions.minHashBandKeys]]),
+    *     so shingle hashing runs once per row — not once per hash
+    *     function; the band rows carry (band, band_key, fp, ln) and are
+    *     made DISTINCT before the self-join, so the map-side partial
+    *     aggregate collapses identical texts per partition before
+    *     anything ships, and the join is quadratic only in
+    *     distinct-text bucket population;
+    *  4. candidate (text, text) pairs are made distinct, verified with
+    *     ONE Jaccard per distinct-text pair against the compacted
+    *     per-text shingle-set table, then expanded to document pairs
+    *     through two membership joins.
     *
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b and verified
-    *         shingle-set Jaccard ≥ `threshold`.
+    *         shingle-set Jaccard ≥ `threshold` — bit-identical to the
+    *         per-document formulation (identical texts have identical
+    *         shingle sets, so every expanded pair's Jaccard equals its
+    *         representative pair's).
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val withSh = docs.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleK).as("sh"))
-    // One row per (doc, band): band key = ordered poly-fold of the band's
-    // signature slice, computed by the single-pass single-expression
-    // pipeline in [[minHashBandKeys]]. Ids only — the shuffle payload is
-    // 3 scalars.
-    val banded = docs.select(col(idCol).as("id"), posexplode(
-      minHashBandKeys(col(textCol), shingleK, numHashes, bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band"), col("band_key"), col("id").as("doc_a"))
-    val r = banded.select(col("band"), col("band_key"), col("id").as("doc_b"))
-    val pairs = l.join(r, Seq("band", "band_key"))
+    val clean = docs.filter(col(textCol).isNotNull)
+    def contentKey(first: Column): Seq[Column] = Seq(first,
+      coalesce(fingerprint64(col(textCol)), lit(0L)).as("fp"),
+      coalesce(length(col(textCol)), lit(0)).as("ln"))
+    // (1) membership: the ONE corpus-wide exchange, shared by all four
+    // expansion joins below (ReusedExchange, plan-audited).
+    val members = clean
+      .select(contentKey(coalesce(col(idCol), lit(-1L)).as("id")): _*)
+      .repartition(col("fp"), col("ln"))
+    // (2) intra-text pairs from group membership. `has_sh` (≥ k tokens)
+    // is a cheap narrow predicate — identical texts agree on it, and it
+    // reproduces the per-document behavior that shingle-less docs have
+    // null band keys and never match. The Jaccard of two identical
+    // non-empty shingle sets is exactly 1.0, so the threshold filter
+    // constant-folds at plan time.
+    val groups = clean
+      .select(contentKey(
+        (size(split(col(textCol), " ")) >= shingleK).as("has_sh")): _*)
+      .groupBy(col("fp"), col("ln"))
+      .agg(count(lit(1)).as("n"), max(col("has_sh")).as("has_sh"))
+    val dupGroups = groups
+      .filter(col("n") >= 2 && col("has_sh")).select(col("fp"), col("ln"))
+    val dupMembers = members.join(dupGroups, Seq("fp", "ln"))
+    val intra = dupMembers.select(col("fp"), col("ln"), col("id").as("doc_a"))
+      .join(dupMembers.select(col("fp"), col("ln"), col("id").as("doc_b")),
+        Seq("fp", "ln"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // (3) band rows at distinct-text granularity: posexplode emits no
+    // rows for shingle-less texts (null band-key array), and the
+    // distinct's partial aggregate collapses identical texts map-side.
+    val banded = clean
+      .select(contentKey(posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key"))): _*)
+      .select(col("band"), col("band_key"), col("fp"), col("ln"))
       .distinct()
-    pairs
-      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val textPairs = banded
+      .select(col("band"), col("band_key"), col("fp").as("fp_a"), col("ln").as("ln_a"))
+      .join(banded.select(col("band"), col("band_key"),
+        col("fp").as("fp_b"), col("ln").as("ln_b")), Seq("band", "band_key"))
+      .filter(struct(col("fp_a"), col("ln_a")) < struct(col("fp_b"), col("ln_b")))
+      .select(col("fp_a"), col("ln_a"), col("fp_b"), col("ln_b"))
+      .distinct()
+    // (4) one shingle set per distinct text (compacted map-side, reused
+    // by both verify sides), one Jaccard per distinct-text pair, then
+    // membership expansion — each document belongs to exactly one text
+    // group, so every cross pair is emitted exactly once.
+    val textSh = clean
+      .select(contentKey(shingleHashes(col(textCol), shingleK).as("sh")): _*)
+      .select(col("fp"), col("ln"), col("sh"))
+      .dropDuplicates("fp", "ln")
+    val verified = textPairs
+      .join(textSh.select(col("fp").as("fp_a"), col("ln").as("ln_a"),
+        col("sh").as("sh_a")), Seq("fp_a", "ln_a"))
+      .join(textSh.select(col("fp").as("fp_b"), col("ln").as("ln_b"),
+        col("sh").as("sh_b")), Seq("fp_b", "ln_b"))
+      .select(col("fp_a"), col("ln_a"), col("fp_b"), col("ln_b"),
         jaccardShingles(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val inter = verified
+      .join(members.select(col("fp").as("fp_a"), col("ln").as("ln_a"),
+        col("id").as("ma")), Seq("fp_a", "ln_a"))
+      .join(members.select(col("fp").as("fp_b"), col("ln").as("ln_b"),
+        col("id").as("mb")), Seq("fp_b", "ln_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    intra.union(inter)
   }
 
   /** Band keys for [[simHashDup]] — the Manku-style combinatorial
@@ -275,15 +345,20 @@ object Dedup {
 
   /** [[blockVolume]] over the LSH band buckets a [[minHashLsh]] call
     * joins on — the exact candidate-pair count the band self-join
-    * generates (pre-distinct). One signature pass + one count shuffle. */
+    * generates (pre-distinct), measured over DISTINCT texts exactly as
+    * the operator bands them after text-identical compaction. One
+    * signature pass + one count shuffle. */
   def minHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): BlockVolume = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     blockVolume(
-      docs.select(col(idCol).as("id"), posexplode(
-        minHashBandKeys(col(textCol), shingleK, numHashes, bands)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key"),
+      docs.filter(col(textCol).isNotNull)
+        .select(
+          posexplode(minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+            .as(Seq("band", "band_key")),
+          coalesce(fingerprint64(col(textCol)), lit(0L)).as("fp"),
+          coalesce(length(col(textCol)), lit(0)).as("ln"))
+        .distinct(),
       Seq("band", "band_key"))
   }
 

@@ -45,6 +45,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.forall(l => !l.contains("sh#")), p)
   }
 
+  test("dd2_minhash_lsh: band rows dedup to DISTINCT texts before the self-join; content-key exchanges are shared") {
+    // Text-identical compaction (the dd2 analog of dd3's
+    // signature-identical compaction): every band-key posexplode must
+    // feed the (band, band_key, fp, ln) distinct aggregate — its
+    // map-side partial collapses verbatim-identical texts per partition
+    // before anything ships, so the band join is quadratic in
+    // distinct-text bucket population, never in dup-cluster size.
+    val opt = SparkEntry.queries("dd2_minhash_lsh")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val lines = opt.linesIterator.toSeq
+    val genIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("posexplode") => i
+    }
+    assert(genIdx.nonEmpty, opt)
+    genIdx.foreach { i =>
+      val above = lines.slice(math.max(0, i - 4), i)
+      assert(above.exists(_.contains("Aggregate [band")),
+        s"band rows not deduped before the self-join:\n" +
+          lines.slice(math.max(0, i - 4), i + 1).mkString("\n"))
+    }
+    // the corpus shuffles on the 16-byte (fp, ln) content key into
+    // exactly THREE narrow exchanges — the (id, fp, ln) membership
+    // table, the column-pruned group-count path, and the compacted
+    // per-distinct-text shingle-set table — and every other consumer
+    // branch reads them as ReusedExchange (AQE runtime decision, so
+    // assert on the final executed plan).
+    val df = SparkEntry.queries("dd2_minhash_lsh")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // "fp#" (not "fp") so the 4-column candidate-pair distinct exchange
+    // on (fp_a, ln_a, fp_b, ln_b) is not miscounted as a content-key one
+    val fpEx = fin.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(fp#") && !l.contains("ReusedExchange"))
+    assert(fpEx == 3,
+      s"expected 3 content-key exchanges (members + group counts + sh table), found $fpEx:\n$fin")
+    val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 4,
+      s"expected >=4 ReusedExchange consumer branches, found $reused:\n$fin")
+  }
+
   test("dd3_simhash: band join keys carry the Manku-extended bits, not a bare 16-bit chunk") {
     // the packed 3-block key multiplies the leading block by 2^20
     // (1048576) — the literal can only appear if the join key spans
