@@ -186,7 +186,20 @@ object Bench {
 
   private[graft] def streamingLeg(spark: SparkSession, total: Int,
       waves: Option[Int], repeats: Int = 3, warmups: Int = 1): LegSummary = {
-    (1 to warmups).foreach(_ => streamingBench(spark, total, waves))
+    // `warmups` is the FLOOR: keep running untimed until the last two
+    // warm-up runs agree within 15% (cap warmups+4), so a JVM that is
+    // still climbing (observed: monotone 14k→67k rec/s across 5 "timed"
+    // runs on a cold session) spends its ramp outside the measured
+    // window instead of inflating rps_spread.
+    var prev = 0.0
+    var cur = streamingBench(spark, total, waves).rps
+    var n = 1
+    while (n < warmups + 4 &&
+        (n < warmups || math.abs(cur - prev) > 0.15 * cur)) {
+      prev = cur
+      cur = streamingBench(spark, total, waves).rps
+      n += 1
+    }
     LegSummary((1 to repeats).map { _ =>
       gcSettle()
       streamingBench(spark, total, waves)
@@ -227,11 +240,15 @@ object Bench {
     // settle first: the end calibration runs right after ~12 streaming
     // runs whose garbage/finalizer debt otherwise reads as "drift"
     System.gc(); Thread.sleep(500)
-    var prev = once()
-    var cur = once()
-    var n = 2
-    while (n < 10 && math.abs(cur - prev) > 0.1 * prev) {
-      prev = cur; cur = once(); n += 1
+    // plateau detection: THREE consecutive runs within 5% (cap 15) —
+    // two-within-10% exits on a local flat spot while the JVM is still
+    // climbing, and the start calibration is the coldest moment of the
+    // session, so a too-early exit reads later as fake 0.5-0.7x "drift"
+    val window = scala.collection.mutable.Queue[Double](once(), once(), once())
+    var n = 3
+    def flat = window.max - window.min <= 0.05 * window.min
+    while (n < 15 && !flat) {
+      window.dequeue(); window.enqueue(once()); n += 1
     }
     Seq(once(), once(), once()).sorted.apply(1)
   }

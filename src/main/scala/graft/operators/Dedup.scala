@@ -615,7 +615,13 @@ object Dedup {
               / size(col("mem")).cast("double")).cast("float"))
             .as("centroid"))
     }
-    cents
+    // nCells rows, consumed by several branches of every caller (the
+    // pair-budget guard, both self-join sides, the broadcast
+    // assignment): materialize the tiny table once instead of
+    // re-evaluating the iterated k-means subtree per branch — the same
+    // "centroids are a small fixed artifact" treatment a production
+    // pipeline gives them.
+    cents.localCheckpoint()
   }
 
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
