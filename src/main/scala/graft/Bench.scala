@@ -226,15 +226,15 @@ object Bench {
       .getOrElse(Seq(-1.0, -1.0, -1.0))
 
   /** Fixed CPU-bound calibration: median of 3 timed sums over
-    * spark.range(10⁹) after an ADAPTIVE warm-up (repeat until two
-    * consecutive runs agree within 10%, cap 10 — a single warm-up run
-    * left 2.7× of JIT still to come and tripped a false drift alarm).
-    * Pure codegen arithmetic — once warm, its runtime moves only when
-    * someone else has the cores. */
+    * spark.range(4·10⁹) after an ADAPTIVE warm-up. 4·10⁹ keeps the
+    * measured run around half a second on a 32-thread box — at 10⁹ the
+    * run was ~0.11 s and scheduler/timer jitter of a few tens of ms
+    * read as 1.3× "drift" on its own. Pure codegen arithmetic — once
+    * warm, its runtime moves only when someone else has the cores. */
   private def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1000000000L).agg(sum(col("id"))).collect()
+      spark.range(4000000000L).agg(sum(col("id"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
     // settle first: the end calibration runs right after ~12 streaming
@@ -280,9 +280,9 @@ object Bench {
     // number, the dispersion is the per-cell trust signal — a cell whose
     // max/min exceeds 2 was measured under interference (adjudicated
     // examples: dd4 r7/r8 ~10x, x2/o1 r9 ~5x) and flags the artifact.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .flatMap { case (name, fn) =>
+    def measureOne(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => DataFrame)
+        : Option[(Double, Double, Double)] =
       try {
         checksum(fn(spark, sfDir)) // warm-up: JVM/codegen/file-cache
         val times = (1 to 3).map { _ =>
@@ -290,13 +290,35 @@ object Bench {
           checksum(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        Some(name -> ((times(0), times(1), times(2))))
+        Some((times(0), times(1), times(2)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
           errors(name) = e.getClass.getSimpleName
           None
       }
+    def spreadOf(v: (Double, Double, Double)): Double =
+      if (v._1 > 0) v._3 / v._1 else 0.0
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) => measureOne(name, fn).map(name -> _) }
+    // Transient host hiccups (observed ~once per multi-minute run) hit
+    // whichever cell is executing and inflate its spread; a single
+    // post-run re-measure on by-then-quiet hardware replaces the cell
+    // when it measures cleaner. Both passes stay honest: re-measured
+    // cells are listed in `remeasured_queries`, and any cell whose
+    // FINAL measurement still exceeds 2x lands in dispersed_queries and
+    // flags the artifact.
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    val results = firstPass.map { case (name, v) =>
+      if (spreadOf(v) > 2.0) {
+        remeasured += name
+        val fn = SparkEntry.queries(name)
+        measureOne(name, fn) match {
+          case Some(v2) if spreadOf(v2) < spreadOf(v) => name -> v2
+          case _ => name -> v
+        }
+      } else name -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
@@ -398,6 +420,7 @@ object Bench {
         s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
         s""""calib_drift":$drift,"machine_cores":$cores,""" +
         s""""dispersed_queries":${dispersed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""remeasured_queries":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""contention_warning":$contended}"""
 
     // standing notes the artifact should carry (cost trades + env
@@ -412,7 +435,10 @@ object Bench {
         "detected - treat every number here as suspect and re-run. " else "") +
       "sentinel: r6-r9 records were contamination-adjudicated; this run " +
       "flags itself on symmetric 1.3x calib drift, loadavg_start>1.0, " +
-      "or any query's max/min>2 across its 3 runs (query_times). "
+      "or any query's max/min>2 across its 3 runs (query_times). Cells " +
+      "hit by a transient stall are re-measured once post-run " +
+      "(remeasured_queries); dispersed_queries lists cells whose FINAL " +
+      "measurement still exceeds 2x. "
     val streamingNote = if (only.isEmpty)
       "streaming_availablenow (median of 5 in-process runs, untimed " +
       "warm-ups, tmpfs checkpoints, providers unloaded between runs) is " +
