@@ -53,6 +53,95 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  // ---- randomized equivalence: compacted operators vs pure-Scala brute force ----
+
+  // Independent reimplementation of the hash math (no Spark expressions
+  // involved): fold (acc*31 + cp) mod 1e9+7, the low-half fold, minhash
+  // perms (h*(2i+1) + 7919i+13) mod P, ordered band folds, 61-bit
+  // majority-vote simhash — the same definitions the DuckDB oracle
+  // states in SQL, here in plain Scala as the property-test referee.
+  private val P = 1000000007L
+  private def phS(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+  private def ph2S(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 1000003L + c.toLong) % 2147483647L)
+  private def shingleSetS(text: String, k: Int): Set[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < k) Set.empty
+    else toks.sliding(k).map(w => phS(w.mkString(" "))).toSet
+  }
+  private def bandKeysS(text: String, k: Int, nh: Int, bands: Int): Option[Seq[Long]] = {
+    val sh = shingleSetS(text, k)
+    if (sh.isEmpty) None
+    else {
+      val sig = (0 until nh).map(i =>
+        sh.map(h => (h * (2L * i + 1) + (7919L * i + 13)) % P).min)
+      val rows = nh / bands
+      Some((0 until bands).map(b =>
+        sig.slice(b * rows, b * rows + rows).foldLeft(0L)((a, v) => (a * 31 + v) % P)))
+    }
+  }
+  private def jacS(a: Set[Long], b: Set[Long]): Double = {
+    val u = (a ++ b).size
+    if (u == 0) 0.0 else (a & b).size.toDouble / u
+  }
+  private def simhashS(text: String): Long = {
+    val hs = text.split(" ", -1).map(t => phS(t) * 2147483648L + ph2S(t))
+    (0 until 61).foldLeft(0L) { (acc, j) =>
+      if (2L * hs.count(h => ((h >> j) & 1L) == 1L) > hs.length) acc | (1L << j)
+      else acc
+    }
+  }
+
+  test("minHashLsh and simHashDup equal pure-Scala brute force on random corpora (compaction is invisible)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    // small vocab → organic near-dups; explicit verbatim copies → the
+    // compaction path always exercised; an occasional null text → the
+    // drop-before-hash path exercised
+    val genCorpus: Gen[List[String]] = for {
+      base <- Gen.choose(1, 20)
+      docs <- Gen.listOfN(base, genDoc)
+      nDup <- Gen.choose(0, base)
+      dups <- Gen.listOfN(nDup, Gen.oneOf(docs))
+      withNull <- Gen.oneOf(true, false)
+    } yield docs ++ dups ++ (if (withNull) List(null: String) else Nil)
+    val (k, nh, bands, thr, maxH) = (2, 8, 4, 0.3, 3)
+    val prop = Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val clean = texts.zipWithIndex.collect { case (t, i) if t != null => (i.toLong, t) }
+      // minHashLsh: candidates share a band AT THE SAME INDEX, then
+      // exact Jaccard ≥ threshold
+      val bruteLsh = (for {
+        (ia, ta) <- clean; (ib, tb) <- clean if ia < ib
+        ka <- bandKeysS(ta, k, nh, bands); kb <- bandKeysS(tb, k, nh, bands)
+        if ka.zip(kb).exists { case (x, y) => x == y }
+        j = jacS(shingleSetS(ta, k), shingleSetS(tb, k)) if j >= thr
+      } yield (ia, ib, j)).toSet
+      val gotLsh = Dedup.minHashLsh(docs, "doc_id", "text", k, nh, bands, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // simHashDup: banding is pigeonhole-complete, so output = ALL
+      // pairs at hamming ≤ maxH
+      val bruteSim = (for {
+        (ia, ta) <- clean; (ib, tb) <- clean if ia < ib
+        h = java.lang.Long.bitCount(simhashS(ta) ^ simhashS(tb)).toLong if h <= maxH
+      } yield (ia, ib, h)).toSet
+      val gotSim = Dedup.simHashDup(docs, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ok = gotLsh == bruteLsh && gotSim == bruteSim
+      if (!ok) println(s"corpus=$texts\nlsh got=$gotLsh want=$bruteLsh\n" +
+        s"sim got=$gotSim want=$bruteSim")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- connected components ----
 
   test("clusters: empty pair input converges to an empty result (no NPE)") {
