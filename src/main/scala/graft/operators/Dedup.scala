@@ -449,17 +449,26 @@ object Dedup {
     * each iteration through the reliable checkpoint directory
     * (`SparkContext.setCheckpointDir` must be set to a fault-tolerant
     * FS) so the job survives executor loss — the classic
-    * speed-vs-resilience trade of iterative Spark. */
+    * speed-vs-resilience trade of iterative Spark.
+    *
+    * `maxIters` is the same fail-loudly contract as the pair-budget
+    * guards: propagation runs `diameter + 1` rounds, near-dup clusters
+    * are shallow (duplicates of a common source — single digits), so a
+    * graph still unconverged after `maxIters` edge-list shuffles is a
+    * pathology (an adversarial chain, or pairs that aren't near-dup
+    * output) and aborts with the round count instead of shuffling for
+    * a week. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-      reliable: Boolean = false): DataFrame =
-    clustersWithIters(pairs, aCol, bCol, reliable)._1
+      reliable: Boolean = false, maxIters: Int = 50): DataFrame =
+    clustersWithIters(pairs, aCol, bCol, reliable, maxIters)._1
 
   /** [[clusters]] plus the number of propagation rounds actually run —
     * label propagation needs exactly `diameter` rounds to reach the far
     * end of a component plus one round to observe the fixpoint, which
     * the chain-cluster test pins down. */
   private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
-      bCol: String, reliable: Boolean = false): (DataFrame, Int) = {
+      bCol: String, reliable: Boolean = false,
+      maxIters: Int = 50): (DataFrame, Int) = {
     def stage(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = stage(
@@ -481,6 +490,13 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"clusters: min-label propagation has not converged after " +
+            s"$maxIters rounds. Near-dup components are shallow; a " +
+            "diameter this large means the pair list is not near-dup " +
+            "output (adversarial chain / wrong input) — raise maxIters " +
+            "only if that is intentional.")
       val prop = stage(
         edges
           .join(labels, edges("b") === labels("doc_id"))

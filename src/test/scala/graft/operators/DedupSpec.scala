@@ -167,6 +167,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
+    // same chain, diameter 5 (needs 6 rounds) — a 3-round budget must
+    // fail with the round count, not return partially-propagated labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("3 rounds"))
+  }
+
   // ---- multi-probe LSH recall ----
 
   test("embeddingNearDupMultiProbe finds strictly more true near-dup pairs than single-probe") {
