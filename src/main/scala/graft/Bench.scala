@@ -39,14 +39,17 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** One streaming-leg run: engine-time throughput plus the
-    * engine-reported phase breakdown ("where does the time go"). */
+    * engine-reported phase breakdown ("where does the time go") and the
+    * per-batch trigger-duration percentiles (the record end-to-end
+    * latency bound — BASELINE §3's StreamingQueryProgress latency). */
   private[graft] case class StreamResult(rows: Long, sec: Double, rps: Double,
-      batches: Long, wallSec: Double, breakdownMs: Map[String, Long]) {
-    def json: String = {
-      val bd = breakdownMs.toSeq.sortBy(-_._2).map { case (k, v) =>
+      batches: Long, wallSec: Double, breakdownMs: Map[String, Long],
+      latencyMs: Map[String, Long]) {
+    private def obj(m: Map[String, Long]): String =
+      m.toSeq.sortBy(-_._2).map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"rows":$rows,"sec":$sec,"records_per_sec":$rps,"batches":$batches,"wall_sec":$wallSec,"breakdown_ms":$bd}"""
-    }
+    def json: String =
+      s"""{"rows":$rows,"sec":$sec,"records_per_sec":$rps,"batches":$batches,"wall_sec":$wallSec,"batch_latency_ms":${obj(latencyMs)},"breakdown_ms":${obj(breakdownMs)}}"""
   }
 
   /** Three in-process repeats of one leg. The median run's fields keep
@@ -63,12 +66,14 @@ object Bench {
       val spread = if (mn > 0) mx / mn else 0.0
       val all = runs.map(_.rps).mkString("[", ",", "]")
       val m = median
-      val bd = m.breakdownMs.toSeq.sortBy(-_._2).map { case (k, v) =>
-        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      def obj(mm: Map[String, Long]): String =
+        mm.toSeq.sortBy(-_._2).map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"rows":${m.rows},"sec":${m.sec},"records_per_sec":${m.rps},""" +
         s""""batches":${m.batches},"wall_sec":${m.wallSec},""" +
         s""""rps_runs":$all,"rps_min":$mn,"rps_median":${m.rps},"rps_max":$mx,""" +
-        s""""rps_spread":$spread,"breakdown_ms":$bd}"""
+        s""""rps_spread":$spread,"batch_latency_ms":${obj(m.latencyMs)},""" +
+        s""""breakdown_ms":${obj(m.breakdownMs)}}"""
     }
   }
 
@@ -168,7 +173,7 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     StreamResult(m.totalRows, m.totalSeconds, m.recordsPerSec,
-      m.totalBatches, wallSec, m.durationBreakdownMs)
+      m.totalBatches, wallSec, m.durationBreakdownMs, m.batchLatencyMs)
   }
 
   /** `warmups` UNTIMED runs then `repeats` measured runs — same

@@ -19,6 +19,10 @@ final class Measure extends StreamingQueryListener {
   private val batches = new AtomicLong(0)
   private val durations =
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  // per-batch triggerExecution times — the per-record end-to-end
+  // latency bound under AvailableNow (a record waits at most one
+  // trigger); kept raw for percentile reporting
+  private val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   private def addMs(key: String, ms: Long): Unit =
     durations.computeIfAbsent(key, _ => new AtomicLong).addAndGet(ms)
 
@@ -29,7 +33,7 @@ final class Measure extends StreamingQueryListener {
     rows.addAndGet(p.numInputRows)
     batches.incrementAndGet()
     Option(p.durationMs.get("triggerExecution"))
-      .foreach(ms => seconds.add(ms.toDouble / 1000.0))
+      .foreach { ms => seconds.add(ms.toDouble / 1000.0); batchMs.add(ms) }
     // engine-reported phase durations (addBatch = run the batch plan,
     // getBatch/latestOffset = source, queryPlanning, walCommit/
     // commitOffsets = offset log) — the throughput breakdown
@@ -50,6 +54,20 @@ final class Measure extends StreamingQueryListener {
   def durationBreakdownMs: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     durations.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
+  /** Per-batch triggerExecution percentiles (p50/p95/max ms) — the
+    * BASELINE §3 "end-to-end latency from StreamingQueryProgress"
+    * analog of the reference MeasureSink's periodic latency logging:
+    * under micro-batching a record's end-to-end latency is bounded by
+    * its batch's trigger duration (plus enqueue wait). */
+  def batchLatencyMs: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val xs = batchMs.iterator().asScala.toArray.sorted
+    if (xs.isEmpty) Map.empty
+    else Map(
+      "p50" -> xs((xs.length - 1) / 2),
+      "p95" -> xs(math.min(xs.length - 1, (xs.length * 95) / 100)),
+      "max" -> xs.last)
   }
 }
 

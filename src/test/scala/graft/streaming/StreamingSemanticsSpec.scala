@@ -527,6 +527,11 @@ class StreamingSemanticsSpec extends SparkTestBase {
           System.currentTimeMillis() < deadline2)
         Thread.sleep(20)
       assert(m.recordsPerSec > 0.0 || m.totalSeconds == 0.0)
+      // per-batch latency percentiles: present once a batch reported,
+      // internally ordered (p50 <= p95 <= max)
+      val lat = m.batchLatencyMs
+      assert(lat.keySet == Set("p50", "p95", "max"), lat)
+      assert(lat("p50") <= lat("p95") && lat("p95") <= lat("max"), lat)
     } finally { q.stop(); Measure.remove(spark, m) }
   }
 
