@@ -621,7 +621,7 @@ object Dedup {
         col("v").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assignCells(pts, "id", "v", cents)
-      cents = assigned
+      val recomputed = assigned
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("mem"))
         .select(col("cell"),
@@ -629,7 +629,14 @@ object Dedup {
             (aggregate(col("mem"), lit(0.0d),
               (acc, m) => acc + get(m.getField("v"), j).cast("double"))
               / size(col("mem")).cast("double")).cast("float"))
-            .as("centroid"))
+            .as("new_centroid"))
+      // a cell whose sample membership is empty keeps its previous
+      // centroid instead of vanishing: dropping starved cells shrinks k
+      // and silently breaks the cells-grow-with-N contract that keeps
+      // [[semanticDedup]]'s in-cell pair volume bounded
+      cents = cents.join(recomputed, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
     }
     // nCells rows, consumed by several branches of every caller (the
     // pair-budget guard, both self-join sides, the broadcast

@@ -632,18 +632,24 @@ object TrainingDataQueries extends QueryModule {
         |    SELECT CAST(row_number() OVER (ORDER BY (id * 2654435761) % 1000003, id) - 1 AS BIGINT) AS cell,
         |      v AS centroid
         |    FROM pts) r CROSS JOIN kk WHERE r.cell < kk.k)""".stripMargin
+    // a cell with empty sample membership keeps its previous centroid
+    // (LEFT JOIN + coalesce), mirroring Dedup.kmeansCentroids — starved
+    // cells must not shrink k
     val rounds = (1 to iters).map { i =>
       s"""asg$i AS (SELECT id, v, cell FROM (
          |  SELECT p.id, p.v, c.cell,
          |    row_number() OVER (PARTITION BY p.id
          |      ORDER BY ${cos("p.v", "c.centroid")} DESC, c.cell) AS rn
          |  FROM pts p CROSS JOIN cent${i - 1} c) WHERE rn = 1),
-         |cent$i AS (
+         |new$i AS (
          |  SELECT cell, list_transform(range(64), j ->
          |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(vs, e -> CAST(e[j+1] AS DOUBLE))), (a, b) -> a + b)
          |      / CAST(len(vs) AS DOUBLE) AS FLOAT)) AS centroid
-         |  FROM (SELECT cell, array_agg(v ORDER BY id) AS vs FROM asg$i GROUP BY cell) g)""".stripMargin
+         |  FROM (SELECT cell, array_agg(v ORDER BY id) AS vs FROM asg$i GROUP BY cell) g),
+         |cent$i AS (
+         |  SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM cent${i - 1} p LEFT JOIN new$i n ON p.cell = n.cell)""".stripMargin
     }.mkString(",\n")
     s"$pts,\n$rounds,\ncents AS (SELECT cell, centroid FROM cent$iters)"
   }
