@@ -167,6 +167,40 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("clusters equals pure-Scala union-find on random pair lists") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genPairs: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 18)
+      m <- Gen.choose(1, 25)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield pairs
+    val prop = Prop.forAll(genPairs) { pairList =>
+      // referee: path-compressed union-find, label = component min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairList.foreach { case (a, b) => union(a, b) }
+      val want = parent.keys.map(x => (x, find(x))).toSet
+      val got = Dedup.clusters(
+          pairList.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ok = got == want
+      if (!ok) println(s"pairs=$pairList got=$got want=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
     // same chain, diameter 5 (needs 6 rounds) — a 3-round budget must
     // fail with the round count, not return partially-propagated labels
