@@ -95,7 +95,11 @@ class DedupSpec extends SparkTestBase {
 
   test("minHashLsh and simHashDup equal pure-Scala brute force on random corpora (compaction is invisible)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // vocab includes punctuation-bearing and empty tokens (an empty
+    // token is what a double space produces under split-on-space) —
+    // the tokenization edges where engines drift
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "a.b,c", "x-y!", "")
     val genDoc: Gen[String] = for {
       n <- Gen.choose(0, 10)
       toks <- Gen.listOfN(n, Gen.oneOf(vocab))
