@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
   * full-column checksum (xxhash64 over every output column, summed), so
   * Catalyst cannot prune computed columns the way a bare `count()` lets
   * it. Failures are recorded loudly in an `errors` field (never as fake
-  * timings). The JSON line goes to stdout AND `bench_result.json` so the
-  * driver can parse it out of sbt log noise.
+  * timings). TWO outputs: the FULL artifact (query dispersion, sentinel,
+  * streaming legs, block volumes, notes) goes to `bench_result.json`;
+  * stdout gets a COMPACT one-line summary (2-decimal medians, total,
+  * warn flag). The split exists because the driver's per-round stdout
+  * capture truncates lines around 2000 chars — the 1901-char r4 line is
+  * the only round record that ever parsed; every longer line since was
+  * recorded as `parsed: null` — so the stdout line is kept under that
+  * bound by construction and the detail lives in the file.
   *
   * Trustworthiness machinery (the numbers are only as good as the
   * machine was quiet):
@@ -57,7 +63,8 @@ object Bench {
     * min/max/spread expose whether the number deserves trust (the r5→r6
     * wave leg swung 2.6× run-to-run and was graded as if it meant
     * something). */
-  private[graft] case class LegSummary(runs: Seq[StreamResult]) {
+  private[graft] case class LegSummary(runs: Seq[StreamResult],
+      discardedRps: Seq[Double] = Nil) {
     private val byRps = runs.sortBy(_.rps)
     def median: StreamResult = byRps(runs.size / 2)
     def json: String = {
@@ -69,10 +76,16 @@ object Bench {
       def obj(mm: Map[String, Long]): String =
         mm.toSeq.sortBy(-_._2).map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // when the 2× re-measure policy ran, BOTH legs ship: the kept
+      // leg's runs above, the discarded leg's rps here — so selection
+      // effects stay detectable round-over-round (ADVICE r10)
+      val disc =
+        if (discardedRps.isEmpty) ""
+        else s""","discarded_leg_rps":${discardedRps.mkString("[", ",", "]")}"""
       s"""{"rows":${m.rows},"sec":${m.sec},"records_per_sec":${m.rps},""" +
         s""""batches":${m.batches},"wall_sec":${m.wallSec},""" +
         s""""rps_runs":$all,"rps_min":$mn,"rps_median":${m.rps},"rps_max":$mx,""" +
-        s""""rps_spread":$spread,"batch_latency_ms":${obj(m.latencyMs)},""" +
+        s""""rps_spread":$spread$disc,"batch_latency_ms":${obj(m.latencyMs)},""" +
         s""""breakdown_ms":${obj(m.breakdownMs)}}"""
     }
   }
@@ -221,7 +234,11 @@ object Bench {
     if (spreadOf(first) <= 2.0) first
     else {
       val second = leg()
-      if (spreadOf(second) < spreadOf(first)) second else first
+      // whichever leg loses is still recorded (discarded_leg_rps), so
+      // the keep-the-tighter selection cannot silently bias the record
+      if (spreadOf(second) < spreadOf(first))
+        second.copy(discardedRps = first.runs.map(_.rps))
+      else first.copy(discardedRps = second.runs.map(_.rps))
     }
   }
 
@@ -334,9 +351,16 @@ object Bench {
     // FINAL measurement still exceeds 2x lands in dispersed_queries and
     // flags the artifact.
     val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    // every re-measured cell's ORIGINAL triple ships in
+    // first_pass_times, whether or not the re-measure replaced it —
+    // round-over-round comparison can then detect systematic selection
+    // effects in the keep-the-cleaner policy (ADVICE r10)
+    val firstPassTimes =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = firstPass.map { case (name, v) =>
       if (spreadOf(v) > 2.0) {
         remeasured += name
+        firstPassTimes(name) = v
         val fn = SparkEntry.queries(name)
         measureOne(name, fn) match {
           case Some(v2) if spreadOf(v2) < spreadOf(v) => name -> v2
@@ -355,6 +379,7 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
+    var streamRps: Option[Double] = None
     val streaming =
       if (only.isEmpty)
         try {
@@ -366,6 +391,7 @@ object Bench {
           // 32-thread job cannot amortize away
           val a = streamingLeg(spark, total = 500000, waves = None,
             repeats = 5, warmups = 3)
+          streamRps = Some(a.median.rps)
           s""","streaming":${w.json},"streaming_availablenow":${a.json}"""
         } catch {
           case e: Throwable =>
@@ -437,6 +463,9 @@ object Bench {
         s"loadavg start ${loadStart.head} on $cores cores, dispersed " +
         s"queries [${dispersed.mkString(",")}] — numbers in this " +
         "artifact are suspect; re-run on a quiet machine")
+    val fpt = firstPassTimes.map { case (k, v) =>
+      s""""$k":{"min":${v._1},"median":${v._2},"max":${v._3}}"""
+    }.mkString("{", ",", "}")
     val sentinel =
       s""","query_times":$qtimes,""" +
         s""""sentinel":{"loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
@@ -445,6 +474,7 @@ object Bench {
         s""""calib_drift":$drift,"machine_cores":$cores,""" +
         s""""dispersed_queries":${dispersed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""remeasured_queries":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""first_pass_times":$fpt,""" +
         s""""contention_warning":$contended}"""
 
     // standing notes the artifact should carry (cost trades + env
@@ -461,8 +491,9 @@ object Bench {
       "flags itself on symmetric 1.3x calib drift, loadavg_start>1.0, " +
       "or any query's max/min>2 across its 3 runs (query_times). Cells " +
       "hit by a transient stall are re-measured once post-run " +
-      "(remeasured_queries); dispersed_queries lists cells whose FINAL " +
-      "measurement still exceeds 2x. "
+      "(remeasured_queries, original triples kept in first_pass_times); " +
+      "dispersed_queries lists cells whose FINAL measurement still " +
+      "exceeds 2x. "
     val streamingNote = if (only.isEmpty)
       "streaming_availablenow (median of 5 in-process runs, untimed " +
       "warm-ups, tmpfs checkpoints, providers unloaded between runs) is " +
@@ -496,10 +527,30 @@ object Bench {
       "projections are broker-less tested and bind to the standard " +
       "connector unchanged on a real cluster."
     val filtered = if (only.isEmpty) "" else ""","filtered":true"""
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$blockVol$sentinel$filtered,"sf":"$sfDir","notes":"$notes"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
-    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), fullJson)
+    // Compact stdout line, kept under the driver's ~2000-char line
+    // capture (see class doc): 2-decimal medians (trailing zeros
+    // stripped), warn flag, primary streaming rps. Full precision and
+    // every diagnostic section live in bench_result.json only.
+    def short(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + short(v._2) }
+      .mkString("{", ",", "}")
+    val errShort = if (errors.isEmpty) "" else s""","errors":$es"""
+    val rpsShort = streamRps.map(r => s""","stream_rps":${r.toLong}""").getOrElse("")
+    val compact =
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qsShort$errShort$rpsShort$filtered,"warn":$contended,"sf":"$sfDir"}"""
+    if (compact.length > 1850)
+      System.err.println(s"[bench] stdout line is ${compact.length} chars — " +
+        "over the driver's observed ~1900-char parse bound; trim query names " +
+        "or precision")
+    println(compact)
     spark.stop()
   }
 }

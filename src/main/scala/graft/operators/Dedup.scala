@@ -140,14 +140,23 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val clean = docs.filter(col(textCol).isNotNull)
+    // Null-id docs are excluded up front — the per-document formulation
+    // dropped them implicitly (null propagates through the doc_a < doc_b
+    // pair filter), and a synthetic sentinel id would collapse distinct
+    // null-id dup docs onto one id (ADVICE r10). The coalesce that
+    // remains is a pure non-nullability marker (it can never fire) that
+    // keeps InferFiltersFromConstraints from splitting the shared
+    // exchange; its fallback is cast to the id column's own type so no
+    // coercion is forced on non-long ids.
+    val idNull = lit(-1L).cast(docs.schema(idCol).dataType)
+    val clean = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
     def contentKey(first: Column): Seq[Column] = Seq(first,
       coalesce(fingerprint64(col(textCol)), lit(0L)).as("fp"),
       coalesce(length(col(textCol)), lit(0)).as("ln"))
     // (1) membership: the ONE corpus-wide exchange, shared by all four
     // expansion joins below (ReusedExchange, plan-audited).
     val members = clean
-      .select(contentKey(coalesce(col(idCol), lit(-1L)).as("id")): _*)
+      .select(contentKey(coalesce(col(idCol), idNull).as("id")): _*)
       .repartition(col("fp"), col("ln"))
     // (2) intra-text pairs from group membership. `has_sh` (≥ k tokens)
     // is a cheap narrow predicate — identical texts agree on it, and it
@@ -277,8 +286,12 @@ object Dedup {
     // isnotnull filters BELOW the shared exchange, splitting it into
     // independently recomputed signature scans (ReuseExchange matches
     // canonical subtrees exactly).
-    val members = docs.filter(col(textCol).isNotNull)
-      .select(coalesce(col(idCol), lit(-1L)).as("id"),
+    // Null-id docs are dropped (same contract as [[minHashLsh]]); the
+    // id coalesce can then never fire and survives only as the
+    // non-nullability marker described above, typed to the id column.
+    val members = docs
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(coalesce(col(idCol), lit(-1L).cast(docs.schema(idCol).dataType)).as("id"),
         coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
       .repartition(col("sig")) // the ONE corpus-wide exchange, shared below
     val sigs = members.groupBy(col("sig")).agg(count(lit(1)).as("n"))
@@ -457,7 +470,14 @@ object Dedup {
     * graph still unconverged after `maxIters` edge-list shuffles is a
     * pathology (an adversarial chain, or pairs that aren't near-dup
     * output) and aborts with the round count instead of shuffling for
-    * a week. */
+    * a week.
+    *
+    * NOTE the default therefore BOUNDS COMPONENT DIAMETER AT 50: a
+    * caller using this as general-purpose connected components over an
+    * arbitrary graph (long paths are legal there, not a pathology) must
+    * pass an explicit larger `maxIters` — the in-repo call sites (dd6,
+    * pl2) all feed near-dup pair lists, where the default is the
+    * intended guard (ADVICE r10). */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       reliable: Boolean = false, maxIters: Int = 50): DataFrame =
     clustersWithIters(pairs, aCol, bCol, reliable, maxIters)._1
@@ -633,18 +653,26 @@ object Dedup {
       // a cell whose sample membership is empty keeps its previous
       // centroid instead of vanishing: dropping starved cells shrinks k
       // and silently breaks the cells-grow-with-N contract that keeps
-      // [[semanticDedup]]'s in-cell pair volume bounded
+      // [[semanticDedup]]'s in-cell pair volume bounded.
+      //
+      // Materialize the nCells-row table at EVERY iteration boundary,
+      // not only after the loop: the starved-cell left join references
+      // the previous `cents` twice (assignment path + keep path), so an
+      // unbroken lineage doubles per round — exponential plan growth in
+      // `iters` (ADVICE r10). Per-iteration truncation makes plan size
+      // linear in `iters`; each checkpoint is a tiny k-row job. The
+      // final table is then already materialized for the caller's many
+      // branches (pair-budget guard, both self-join sides, broadcast
+      // assignment).
       cents = cents.join(recomputed, Seq("cell"), "left")
         .select(col("cell"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint()
     }
-    // nCells rows, consumed by several branches of every caller (the
-    // pair-budget guard, both self-join sides, the broadcast
-    // assignment): materialize the tiny table once instead of
-    // re-evaluating the iterated k-means subtree per branch — the same
-    // "centroids are a small fixed artifact" treatment a production
-    // pipeline gives them.
-    cents.localCheckpoint()
+    // iters >= 1 returns the last iteration's checkpoint; the
+    // (degenerate) iters = 0 path still materializes the init table so
+    // every caller gets the same "small fixed artifact" contract.
+    if (iters >= 1) cents else cents.localCheckpoint()
   }
 
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,

@@ -306,7 +306,10 @@ object TrainingDataQueries extends QueryModule {
     // dd2/dd6's bounded band-bucket and doc-id shuffles; the decision
     // itself is ONE left join of the corpus against the label table —
     // which is proportional to the DUPLICATED subset, not the corpus —
-    // followed by a narrow projection.
+    // followed by a narrow projection. clusters() is called at its
+    // default maxIters = 50: that caps near-dup component DIAMETER, the
+    // intended fail-loudly guard for LSH pair lists (a 50-hop dup chain
+    // is pipeline pathology, not data).
     "pl2_cluster_keep" -> ((s, d) => {
       val corpus = nearDupDocs(s, d)
       val labels = Dedup.clusters(

@@ -63,10 +63,15 @@ final class Measure extends StreamingQueryListener {
   def batchLatencyMs: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     val xs = batchMs.iterator().asScala.toArray.sorted
+    // nearest-rank percentile: ceil(p·N)-th order statistic. The floor
+    // form over-shoots for small N (any N ≤ 20 returned the max, so the
+    // reported p95 degenerated to max in short bench legs — ADVICE r10).
+    def nearestRank(p: Double): Long =
+      xs(math.max(0, math.ceil(xs.length * p).toInt - 1))
     if (xs.isEmpty) Map.empty
     else Map(
-      "p50" -> xs((xs.length - 1) / 2),
-      "p95" -> xs(math.min(xs.length - 1, (xs.length * 95) / 100)),
+      "p50" -> nearestRank(0.50),
+      "p95" -> nearestRank(0.95),
       "max" -> xs.last)
   }
 }
