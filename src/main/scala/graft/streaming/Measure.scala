@@ -63,20 +63,23 @@ final class Measure extends StreamingQueryListener {
   def batchLatencyMs: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     val xs = batchMs.iterator().asScala.toArray.sorted
-    // nearest-rank percentile: ceil(p·N)-th order statistic. The floor
-    // form over-shoots for small N (any N ≤ 20 returned the max, so the
-    // reported p95 degenerated to max in short bench legs — ADVICE r10).
-    def nearestRank(p: Double): Long =
-      xs(math.max(0, math.ceil(xs.length * p).toInt - 1))
     if (xs.isEmpty) Map.empty
     else Map(
-      "p50" -> nearestRank(0.50),
-      "p95" -> nearestRank(0.95),
+      "p50" -> Measure.nearestRank(xs, 0.50),
+      "p95" -> Measure.nearestRank(xs, 0.95),
       "max" -> xs.last)
   }
 }
 
 object Measure {
+  /** Nearest-rank percentile over a SORTED sample: the ceil(p·N)-th
+    * order statistic. The previous floor form (`xs(N·95/100)`) over-shot
+    * for small N — any leg under 21 batches reported its max as p95
+    * (ADVICE r10); nearest-rank returns the max only when p·N lands in
+    * the top sample, the textbook definition. */
+  private[streaming] def nearestRank(xs: Array[Long], p: Double): Long =
+    xs(math.max(0, math.ceil(xs.length * p).toInt - 1))
+
   /** Attach a fresh measure listener to the session's stream manager;
     * detach with [[remove]]. */
   def attach(spark: SparkSession): Measure = {
