@@ -282,6 +282,24 @@ class DedupSpec extends SparkTestBase {
       Dedup.kmeansCentroids(big, "vec_id", "embedding", k10)).count() >= 0L)
   }
 
+  test("kmeansCentroids returns a materialized scan whose plan size does not grow with iters") {
+    // The starved-cell left join references the previous centroid table
+    // twice, so an unbroken lineage DOUBLES per iteration (ADVICE r10);
+    // per-iteration localCheckpoint makes the returned plan a constant-
+    // size scan of the final k-row RDD regardless of iteration count.
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    def planLen(iters: Int): Int =
+      Dedup.kmeansCentroids(base, "vec_id", "embedding",
+        nCells = 4, iters = iters)
+        .queryExecution.analyzed.treeString.length
+    val p1 = planLen(1)
+    val p5 = planLen(5)
+    // identical scan-shaped plans (RDD ids differ, lengths match); an
+    // unbroken lineage would be ~2^4 bigger at iters=5
+    assert(p5 <= p1 + 64, s"plan grew with iters: $p1 -> $p5")
+  }
+
   // ---- blocked pairwise n-gram Jaccard: the pair-budget guard ----
 
   test("ngramJaccardPairs: a hot block over the pair budget fails loudly before any shingling") {
