@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * Catalyst cannot prune computed columns the way a bare `count()` lets
   * it. Failures are recorded loudly in an `errors` field (never as fake
   * timings). TWO outputs: the FULL artifact (query dispersion, sentinel,
-  * streaming legs, block volumes, notes) goes to `bench_result.json`;
-  * stdout gets a COMPACT one-line summary (2-decimal medians, total,
-  * warn flag). The split exists because the driver's per-round stdout
-  * capture truncates lines around 2000 chars — the 1901-char r4 line is
-  * the only round record that ever parsed; every longer line since was
-  * recorded as `parsed: null` — so the stdout line is kept under that
-  * bound by construction and the detail lives in the file.
+  * streaming legs, block volumes, run order + start offsets, notes) goes
+  * to `bench_result.json`; stdout gets a COMPACT one-line summary:
+  * total, warn flag, primary streaming rps, error count, and the
+  * SLOWEST-10 query medians only. The split exists because the driver
+  * captures the LAST ~2000 chars of stdout INCLUDING sbt's trailer
+  * (`[success]` + a possible GC `[warn]`, ~300 chars) — round 11's
+  * 1775-char all-query line was front-truncated by exactly that trailer
+  * and recorded as `parsed: null`. The line is therefore kept ≤ 1600
+  * chars BY CONSTRUCTION (a trim loop drops slowest-list entries if a
+  * pathological run would overflow); per-query detail lives only in the
+  * file, and stdout medians are display-only — comparisons must read
+  * `bench_result.json`.
   *
   * Trustworthiness machinery (the numbers are only as good as the
   * machine was quiet):
@@ -314,6 +319,16 @@ object Bench {
     val loadStart = loadavg()
     val calibStart = calibrate(spark)
 
+    // Run-order clock: every query (and section) records its start
+    // offset from this instant. The r11 contamination adjudication had
+    // to INFER that the slow cells ran late (alphabetical order vs
+    // rising loadavg); with explicit offsets the correlation is
+    // mechanical — a reviewer joins start_sec against the loadavg
+    // trajectory instead of reconstructing the schedule.
+    val benchT0 = System.nanoTime()
+    def offNow(): Double =
+      math.rint((System.nanoTime() - benchT0) / 1e9 * 100) / 100
+
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -340,9 +355,15 @@ object Bench {
       }
     def spreadOf(v: (Double, Double, Double)): Double =
       if (v._1 > 0) v._3 / v._1 else 0.0
+    val startSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runOrder = scala.collection.mutable.ArrayBuffer[String]()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .flatMap { case (name, fn) => measureOne(name, fn).map(name -> _) }
+      .flatMap { case (name, fn) =>
+        runOrder += name
+        startSec(name) = offNow()
+        measureOne(name, fn).map(name -> _)
+      }
     // Transient host hiccups (observed ~once per multi-minute run) hit
     // whichever cell is executing and inflate its spread; a single
     // post-run re-measure on by-then-quiet hardware replaces the cell
@@ -357,10 +378,13 @@ object Bench {
     // effects in the keep-the-cleaner policy (ADVICE r10)
     val firstPassTimes =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val remeasureStartSec =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = firstPass.map { case (name, v) =>
       if (spreadOf(v) > 2.0) {
         remeasured += name
         firstPassTimes(name) = v
+        remeasureStartSec(name) = offNow()
         val fn = SparkEntry.queries(name)
         measureOne(name, fn) match {
           case Some(v2) if spreadOf(v2) < spreadOf(v) => name -> v2
@@ -372,13 +396,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qtimes = results.map { case (k, v) =>
       val spread = if (v._1 > 0) v._3 / v._1 else 0.0
-      s""""$k":{"min":${v._1},"median":${v._2},"max":${v._3},"spread":$spread}"""
+      s""""$k":{"min":${v._1},"median":${v._2},"max":${v._3},"spread":$spread,"start_sec":${startSec.getOrElse(k, -1.0)}}"""
     }.mkString("{", ",", "}")
     val dispersed = results.collect {
       case (k, v) if v._1 > 0 && v._3 / v._1 > 2.0 => k }
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
+    val streamingStart = offNow()
     var streamRps: Option[Double] = None
     val streaming =
       if (only.isEmpty)
@@ -404,6 +429,7 @@ object Bench {
     // over a 10× perturbed self-union of each query's corpus, with the
     // measured pair-growth exponent (log₁₀ of the pair ratio — ~1 means
     // the scheme spreads with the corpus, ~2 means quadratic creep).
+    val blockVolStart = offNow()
     val blockVol =
       if (only.isEmpty)
         try {
@@ -442,6 +468,7 @@ object Bench {
         }
       else ""
 
+    val calibEndStart = offNow()
     val calibEnd = calibrate(spark)
     val loadEnd = loadavg()
     val drift = if (calibStart > 0) calibEnd / calibStart else -1.0
@@ -475,6 +502,11 @@ object Bench {
         s""""dispersed_queries":${dispersed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""remeasured_queries":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""first_pass_times":$fpt,""" +
+        s""""run_order":${runOrder.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""remeasure_start_sec":${remeasureStartSec.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+        s""""section_start_sec":{"batch":0.0,"streaming":$streamingStart,""" +
+        s""""block_volume":$blockVolStart,"calib_end":$calibEndStart},""" +
         s""""contention_warning":$contended}"""
 
     // standing notes the artifact should carry (cost trades + env
@@ -531,25 +563,37 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$blockVol$sentinel$filtered,"sf":"$sfDir","notes":"$notes"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), fullJson)
-    // Compact stdout line, kept under the driver's ~2000-char line
-    // capture (see class doc): 2-decimal medians (trailing zeros
-    // stripped), warn flag, primary streaming rps. Full precision and
-    // every diagnostic section live in bench_result.json only.
+    // Compact stdout line (see class doc for why ≤ 1600 chars): total,
+    // warn flag, primary streaming rps, error COUNT (+ first few names),
+    // and the slowest-10 query medians — NOT all queries; the all-query
+    // line plus sbt's ~300-char trailer overflowed the driver's
+    // 2000-char tail capture every round since r4. Stdout medians are
+    // display-only (2 decimals); comparisons read bench_result.json.
     def short(v: Double): String = {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty || t == "-") "0" else t
     }
-    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + short(v._2) }
-      .mkString("{", ",", "}")
-    val errShort = if (errors.isEmpty) "" else s""","errors":$es"""
+    val bySlowest = results.sortBy(-_._2._2)
+    val errShort =
+      if (errors.isEmpty) s""","errors_n":0"""
+      else s""","errors_n":${errors.size},"errors_first":${errors.keys.take(5)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val rpsShort = streamRps.map(r => s""","stream_rps":${r.toLong}""").getOrElse("")
-    val compact =
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qsShort$errShort$rpsShort$filtered,"warn":$contended,"sf":"$sfDir"}"""
-    if (compact.length > 1850)
-      System.err.println(s"[bench] stdout line is ${compact.length} chars — " +
-        "over the driver's observed ~1900-char parse bound; trim query names " +
-        "or precision")
+    def compactLine(n: Int): String = {
+      val qsShort = bySlowest.take(n)
+        .map { case (k, v) => "\"" + k + "\":" + short(v._2) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qsShort,"queries_run":${results.size},"slowest_n":$n$errShort$rpsShort$filtered,"warn":$contended,"sf":"$sfDir"}"""
+    }
+    // trim loop, not a warning: the bound holds by construction even if
+    // query names grow or a pathological run floods errors_first
+    var nShow = math.min(10, bySlowest.size)
+    var compact = compactLine(nShow)
+    while (compact.length > 1600 && nShow > 0) {
+      nShow -= 1
+      compact = compactLine(nShow)
+    }
     println(compact)
     spark.stop()
   }

@@ -391,10 +391,17 @@ object Dedup {
       Seq("tbl", "band_key"))
 
   /** [[blockVolume]] over [[semanticDedup]]'s cells under `centroids` —
-    * single-sourced with the dedup itself via [[assignCells]]. */
+    * single-sourced with the dedup itself via [[assignCells]] AND
+    * [[splitOvergrownCells]] (the volume canary must measure the cells
+    * the pairwise pass actually joins on, split included, or the split
+    * fix would be invisible to the bench's scale curve). */
   def semanticCellVolume(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): BlockVolume =
-    blockVolume(assignCells(emb, idCol, vecCol, centroids), Seq("cell"))
+      centroids: DataFrame, splitCellsOver: Long = 1000L,
+      splitTarget: Long = 500L, splitIters: Int = 1): BlockVolume =
+    blockVolume(
+      splitOvergrownCells(assignCells(emb, idCol, vecCol, centroids),
+        splitCellsOver, splitTarget, splitIters),
+      Seq("cell"))
 
   /** Exact pairwise n-gram Jaccard within blocking groups, emitting the
     * in-block pairs with similarity ≥ `threshold`. The blocking columns
@@ -566,11 +573,14 @@ object Dedup {
     * swaps in k-means centroids and nothing else changes). Plan shape
     * at 100 TB: centroids BROADCAST for the assignment (one narrow
     * pass + a max_by aggregate — no window sort over the nCells×N
-    * intermediate), the in-cell self-join shuffles on the cell id, and
-    * the same pair-budget guard as [[ngramJaccardPairs]] fails loudly
-    * BEFORE the cosine pass if any cell outgrew `maxPairsPerCell` —
-    * at scale you raise nCells (cells per corpus grows with N, so cell
-    * size stays bounded), and the guard is what tells you when.
+    * intermediate), cells that outgrew `splitCellsOver` members are
+    * re-clustered by [[splitOvergrownCells]] (linear nCells bounds the
+    * MEAN cell, the split bounds the MAX — the skew the 10× bench curve
+    * exposed), the in-cell self-join shuffles on the (split) cell id,
+    * and the same pair-budget guard as [[ngramJaccardPairs]] fails
+    * loudly BEFORE the cosine pass if any post-split cell still exceeds
+    * `maxPairsPerCell` — that residue means nCells itself is too small
+    * for the corpus, and the guard is what tells you when.
     *
     * @return (id, keeper_id, n_better, max_cosine) — one row per DROPPED
     *         vector: its canonical keeper (smallest qualifying lower id),
@@ -592,6 +602,143 @@ object Dedup {
       .groupBy(col("id"))
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
         max_by(col("v"), struct(col("sim"), -col("cell"))).as("v"))
+
+  /** Composite-cell stride for [[splitOvergrownCells]]: final cell id =
+    * parent·2²⁰ + sub. 2²⁰ subcells per parent is far beyond any split
+    * one recursion level produces, and parent·2²⁰ stays well inside a
+    * Long for any realistic nCells (2⁴³ parents). */
+  private[operators] val SplitBase: Long = 1L << 20
+
+  /** Bound the LARGEST cell of a nearest-centroid assignment by one
+    * recursion level of in-cell k-means — the dd9 scale fix. The linear
+    * `suggestedCells` rule keeps the MEAN cell size constant as the
+    * corpus grows, but not the max: on the bench's 10× corpus the
+    * hottest cell grew 300 → 2,162 (≈ 2.3 M in-cell pairs) while the
+    * mean stayed put, an in-cell pair exponent of 1.62 that would trip
+    * `maxPairsPerCell` long before 100×. Splitting re-clusters exactly
+    * the overgrown cells, so pair volume stays O(cellTarget²·nCells) by
+    * construction instead of by hope.
+    *
+    * The sub-clustering runs on MEAN-CENTERED residuals, not the raw
+    * vectors: a cell is overgrown precisely because its members share a
+    * dominant direction (the 10× curve's hot cells are blobs whose
+    * vectors all point ~at the cell centroid — raw cosine ties at ~1.0
+    * across the whole blob and no Voronoi split can separate it; Lloyd
+    * rounds on raw vectors moved the max subcell only 747 → 624 → 476).
+    * Subtracting the per-cell mean removes exactly that shared
+    * component, so the residual directions carry the members'
+    * INTRA-cell diversity and the same cosine Voronoi machinery
+    * separates them. A member whose residual is the all-zero vector
+    * (exact duplicates of the cell mean — N identical vectors fold to
+    * an exact mean in double), or a pivot whose residual is all-zero,
+    * gets similarity pinned to −2.0 instead of the NaN a 0-norm cosine
+    * would produce (NaN ordering is an engine-semantics trap; the
+    * explicit pin is portable): zero-residual members collapse into the
+    * smallest-sub pivot — they are genuinely identical, in-cell
+    * pairwise on them is inherent — and zero-residual pivots never
+    * attract non-zero members.
+    *
+    * Mechanics (every step deterministic and bit-replayed by the dd9
+    * DuckDB oracle): cells with more than `splitOver` members get
+    * `kc = ceil(members/target)` sub-centroids; the per-cell mean is
+    * folded in DOUBLE over members in id order and rounded once to
+    * FLOAT, residuals are the elementwise FLOAT subtraction v − μ;
+    * sub-centroids initialize to the residuals of the kc members with
+    * the smallest multiplicative-hash rank `(id·2654435761) mod
+    * 1000003` (ties by id — the same hash-seeded init as
+    * [[kmeansCentroids]]); `iters` Lloyd rounds follow (same cosine
+    * argmax + smallest-sub tie-break as [[assignCells]] but over
+    * residuals, means folded in DOUBLE over members in id order,
+    * rounded once to FLOAT, starved subcells keep their previous
+    * centroid); the final pass re-assigns the overgrown cells' members
+    * to their cell's sub-centroids. Result keeps (id, cell, v) with
+    * `cell = parent·SplitBase + sub` (sub = 0 for untouched cells) so
+    * downstream in-cell self-joins are unchanged.
+    *
+    * Scale shape: the member set is only the overgrown cells (a small
+    * fraction by construction), per-round state is the tiny
+    * (cell, sub, centroid) table (localCheckpoint'd like
+    * [[kmeansCentroids]] — constant plan growth per round), and both
+    * the Lloyd rounds and the final re-assignment are broadcast joins
+    * against that table — no corpus shuffle is added. One level
+    * suffices at the measured 1.62 exponent; a subcell that STILL
+    * exceeds the pair budget afterwards hits [[semanticDedup]]'s
+    * fail-loud guard, which is the signal to raise nCells. */
+  private[operators] def splitOvergrownCells(assigned: DataFrame,
+      splitOver: Long, target: Long, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overgrown = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > splitOver)
+      .select(col("cell"),
+        ceil(col("cnt") / lit(target.toDouble)).cast("long").as("kc"))
+      .localCheckpoint() // tiny: one row per overgrown cell
+    val members = assigned.join(broadcast(overgrown), Seq("cell"))
+    // per-cell mean (DOUBLE fold in id order, one FLOAT rounding) and
+    // mean-centered residuals; `rz` marks all-zero residuals so the
+    // similarity pin below never consults NaN ordering
+    val cellMean = members
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("mem"))
+      .select(col("cell"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (aggregate(col("mem"), lit(0.0d),
+            (acc, m) => acc + get(m.getField("v"), j).cast("double"))
+            / size(col("mem")).cast("double")).cast("float"))
+          .as("mu"))
+      .localCheckpoint() // tiny: one row per overgrown cell
+    val rmembers = members.join(broadcast(cellMean), Seq("cell"))
+      .select(col("cell"), col("kc"), col("id"), col("v"),
+        zip_with(col("v"), col("mu"), (a, b) => (a - b).cast("float")).as("rv"))
+      .withColumn("rz", !exists(col("rv"), x => x =!= lit(0.0f)))
+    // hash-ranked pivot init: row_number per cell over the (shuffled)
+    // overgrown members — a per-cell sort, bounded by the overgrown
+    // fraction, never the corpus
+    var subCents = rmembers
+      .withColumn("r", pmod(col("id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("sub",
+        (row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("r"), col("id"))) - 1)
+          .cast("long"))
+      .filter(col("sub") < col("kc"))
+      .select(col("cell"), col("sub"), col("rv").as("centroid"))
+      .localCheckpoint()
+    def assignSub(cents: DataFrame): DataFrame = rmembers
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("sim",
+        when(col("rz") || !exists(col("centroid"), x => x =!= lit(0.0f)),
+          lit(-2.0d))
+          .otherwise(VectorFunctions.cosine(col("rv"), col("centroid"))))
+      .groupBy(col("cell"), col("id"))
+      .agg(max_by(col("sub"), struct(col("sim"), -col("sub"))).as("sub"),
+        max_by(col("v"), struct(col("sim"), -col("sub"))).as("v"),
+        max_by(col("rv"), struct(col("sim"), -col("sub"))).as("rv"))
+    for (_ <- 1 to iters) {
+      val recomputed = assignSub(subCents)
+        .groupBy(col("cell"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("id"), col("rv")))).as("mem"))
+        .select(col("cell"), col("sub"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (aggregate(col("mem"), lit(0.0d),
+              (acc, m) => acc + get(m.getField("rv"), j).cast("double"))
+              / size(col("mem")).cast("double")).cast("float"))
+            .as("new_centroid"))
+      subCents = subCents.join(recomputed, Seq("cell", "sub"), "left")
+        .select(col("cell"), col("sub"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    // untouched cells pass through on a broadcast ANTI join (narrow —
+    // the corpus is not shuffled to learn it was not split); only the
+    // overgrown members pay the re-assignment aggregation
+    val untouched = assigned
+      .join(broadcast(overgrown.select(col("cell"))), Seq("cell"), "left_anti")
+      .select(col("id"), (col("cell") * lit(SplitBase)).as("cell"), col("v"))
+    val reassigned = assignSub(subCents)
+      .select(col("id"),
+        (col("cell") * lit(SplitBase) + col("sub")).as("cell"), col("v"))
+    untouched.union(reassigned)
+  }
 
   /** Cell count for [[kmeansCentroids]]: grows LINEARLY with the corpus
     * (target ~`targetCellSize` vectors per cell, floor `minCells`), so
@@ -677,17 +824,23 @@ object Dedup {
 
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double = 0.95,
-      maxPairsPerCell: Long = 10000000L): DataFrame = {
-    val assigned = assignCells(emb, idCol, vecCol, centroids)
+      maxPairsPerCell: Long = 10000000L, splitCellsOver: Long = 1000L,
+      splitTarget: Long = 500L, splitIters: Int = 1): DataFrame = {
+    // overgrown cells (skew the linear-nCells rule cannot bound) are
+    // split by one level of in-cell k-means BEFORE the pairwise pass;
+    // the fail-loud budget guard then checks the cells actually joined
+    val assigned = splitOvergrownCells(
+      assignCells(emb, idCol, vecCol, centroids),
+      splitCellsOver, splitTarget, splitIters)
     if (maxPairsPerCell < Long.MaxValue) {
       val vol = blockVolume(assigned, Seq("cell"))
       val worst = vol.maxBlock * (vol.maxBlock - 1) / 2
       if (worst > maxPairsPerCell)
         throw new IllegalArgumentException(
-          s"semanticDedup: hottest cell has ${vol.maxBlock} vectors = " +
-            s"$worst pairs > budget $maxPairsPerCell (${vol.nBlocks} cells, " +
-            s"${vol.totalPairs} total pairs). Raise nCells so cell size " +
-            "stays bounded as the corpus grows.")
+          s"semanticDedup: hottest cell (post-split) has ${vol.maxBlock} " +
+            s"vectors = $worst pairs > budget $maxPairsPerCell " +
+            s"(${vol.nBlocks} cells, ${vol.totalPairs} total pairs). " +
+            "Raise nCells so cell size stays bounded as the corpus grows.")
     }
     val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))

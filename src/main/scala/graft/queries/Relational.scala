@@ -342,11 +342,22 @@ object Relational extends QueryModule {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
-    // Exact + approximate distinct (approx has no cross-engine oracle —
-    // rows-only check; the exact twin is hash-matched).
+    // Approximate distinct with a BOUNDED-ERROR contract instead of a
+    // raw sketch count: HLL estimates are not cross-engine comparable
+    // (Spark and DuckDB run different sketches), so the query emits the
+    // exact count plus the boolean "the approx landed within 5% of it".
+    // Both engines' sketches hold a ~2% standard error at this
+    // cardinality, so the boolean is deterministically true on BOTH
+    // sides and every column hash-matches — the approx path stays the
+    // thing under test (it must actually land inside the bound), and
+    // the oracle gap that stood since round 4 closes.
     "h1_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("within_5pct"))),
 
     "h2_count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -560,6 +571,18 @@ object Relational extends QueryModule {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    // DuckDB's own approx_count_distinct (a different HLL than Spark's)
+    // satisfies the same 5% bound, so rows/schema/hash all match while
+    // each engine's sketch is genuinely exercised.
+    "h1_approx_distinct" ->
+      """SELECT l_returnflag, n_exact,
+        |  abs(CAST(approx AS DOUBLE) - CAST(n_exact AS DOUBLE))
+        |    / CAST(n_exact AS DOUBLE) <= 0.05 AS within_5pct
+        |FROM (SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS n_exact,
+        |    approx_count_distinct(l_partkey) AS approx
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
 
     "h2_count_distinct" ->
       """SELECT l_returnflag,

@@ -103,8 +103,20 @@ object TrainingDataQueries extends QueryModule {
     "dd9_semantic_dedup" -> {
       val emb = scaleEmb(nearDupEmb(s, d), copies)
       Dedup.semanticCellVolume(emb, "vec_id", "embedding",
-        dd9Centroids(emb))
+        dd9Centroids(emb), splitCellsOver = dd9SplitOver,
+        splitTarget = dd9SplitTarget)
     })
+
+  /** dd9's cell-split constants — tight enough that the overgrown-cell
+    * split ([[Dedup.splitOvergrownCells]]) actually fires on the sf0.01
+    * correctness corpus (525 vectors, 8 cells, hottest 74 members —
+    * probed), so the DuckDB oracle verifies the split arithmetic
+    * end-to-end every round instead of replaying dead CTEs (the library
+    * defaults 1000/500 would only trigger at bench scale and the
+    * sub-k-means would never be cross-engine-checked). Single-sourced
+    * between the query, the block-volume canary, and the oracle SQL. */
+  private val dd9SplitOver = 60L
+  private val dd9SplitTarget = 40L
 
   /** dd9's corpus-derived centroids — deterministic sampled k-means with
     * nCells growing linearly in corpus size (single-sourced between the
@@ -439,12 +451,16 @@ object TrainingDataQueries extends QueryModule {
     // k-means, hash-seeded init, fixed iterations — bit-replayed by the
     // DuckDB oracle), then in-cell pairwise cosine ≥ 0.95 → one row per
     // dropped vector with its keeper. nCells grows linearly with the
-    // corpus (Dedup.suggestedCells), so cell size stays bounded and the
-    // pair-budget guard stops tripping by construction at scale.
+    // corpus (Dedup.suggestedCells) bounding the MEAN cell; cells that
+    // still outgrow dd9SplitOver members are re-clustered by one level
+    // of in-cell k-means (Dedup.splitOvergrownCells — also replayed by
+    // the oracle) bounding the MAX, so the in-cell pair volume survives
+    // skew, not just growth.
     "dd9_semantic_dedup" -> ((s, d) => {
       val emb = nearDupEmb(s, d)
       Dedup.semanticDedup(emb, "vec_id", "embedding", dd9Centroids(emb),
-        threshold = 0.95)
+        threshold = 0.95, splitCellsOver = dd9SplitOver,
+        splitTarget = dd9SplitTarget)
         .select(col("id").as("vec_id"), col("keeper_id"),
           col("n_better"), col("max_cosine"))
     }),
@@ -655,6 +671,68 @@ object TrainingDataQueries extends QueryModule {
          |  FROM cent${i - 1} p LEFT JOIN new$i n ON p.cell = n.cell)""".stripMargin
     }.mkString(",\n")
     s"$pts,\n$rounds,\ncents AS (SELECT cell, centroid FROM cent$iters)"
+  }
+
+  /** CTE chain bit-replaying [[Dedup.splitOvergrownCells]] over an `asg`
+    * CTE (id, v, cell) with one Lloyd round (= the query's splitIters):
+    * cells over `splitOver` members get ceil(members/target) hash-ranked
+    * member pivots; the sub-clustering runs on MEAN-CENTERED residuals
+    * (per-cell DOUBLE fold in id order rounded once to FLOAT, residual
+    * = elementwise FLOAT v − μ) with all-zero residuals/pivots pinned
+    * to similarity −2.0 (never NaN ordering); one assign+mean round
+    * (same cosine argmax / smallest-sub tie-break / ordered-double-fold
+    * mean as the outer k-means, over residuals), then a final
+    * re-assignment; untouched cells pass through with sub 0. Final
+    * table is the CTE `splitasg` (id, v, cell) with
+    * cell = parent·2²⁰ + sub. */
+  private def cellSplitSql(splitOver: Long, target: Long): String = {
+    val rsim = s"""CASE WHEN m.rz OR len(list_filter(c.centroid, x -> x <> 0)) = 0
+       THEN -2.0 ELSE ${cos("m.rv", "c.centroid")} END"""
+    s"""scnt AS (SELECT cell, count(*) AS c FROM asg GROUP BY cell),
+       |sov AS (SELECT cell, CAST(ceil(c / $target.0) AS BIGINT) AS kc
+       |  FROM scnt WHERE c > $splitOver),
+       |som AS (SELECT a.id, a.v, a.cell, o.kc
+       |  FROM asg a JOIN sov o ON a.cell = o.cell),
+       |smu AS (
+       |  SELECT cell, list_transform(range(64), j ->
+       |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(vs, e -> CAST(e[j+1] AS DOUBLE))), (a, b) -> a + b)
+       |      / CAST(len(vs) AS DOUBLE) AS FLOAT)) AS mu
+       |  FROM (SELECT cell, array_agg(v ORDER BY id) AS vs
+       |        FROM som GROUP BY cell) g),
+       |smr AS (SELECT m.id, m.v, m.cell, m.kc,
+       |    list_transform(range(64), j -> CAST(m.v[j+1] - u.mu[j+1] AS FLOAT)) AS rv
+       |  FROM som m JOIN smu u ON m.cell = u.cell),
+       |smz AS (SELECT *, len(list_filter(rv, x -> x <> 0)) = 0 AS rz FROM smr),
+       |sc0 AS (SELECT cell, sub, centroid FROM (
+       |  SELECT cell, kc, rv AS centroid,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY (id * 2654435761) % 1000003, id) - 1 AS BIGINT) AS sub
+       |  FROM smz) r WHERE r.sub < r.kc),
+       |sasg1 AS (SELECT cell, id, v, rv, rz, sub FROM (
+       |  SELECT m.cell, m.id, m.v, m.rv, m.rz, c.sub,
+       |    row_number() OVER (PARTITION BY m.cell, m.id
+       |      ORDER BY ($rsim) DESC, c.sub) AS rn
+       |  FROM smz m JOIN sc0 c ON m.cell = c.cell) WHERE rn = 1),
+       |snew1 AS (
+       |  SELECT cell, sub, list_transform(range(64), j ->
+       |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(vs, e -> CAST(e[j+1] AS DOUBLE))), (a, b) -> a + b)
+       |      / CAST(len(vs) AS DOUBLE) AS FLOAT)) AS centroid
+       |  FROM (SELECT cell, sub, array_agg(rv ORDER BY id) AS vs
+       |        FROM sasg1 GROUP BY cell, sub) g),
+       |sc1 AS (SELECT p.cell, p.sub, coalesce(n.centroid, p.centroid) AS centroid
+       |  FROM sc0 p LEFT JOIN snew1 n ON p.cell = n.cell AND p.sub = n.sub),
+       |sfin AS (SELECT cell, id, v, sub FROM (
+       |  SELECT m.cell, m.id, m.v, c.sub,
+       |    row_number() OVER (PARTITION BY m.cell, m.id
+       |      ORDER BY ($rsim) DESC, c.sub) AS rn
+       |  FROM smz m JOIN sc1 c ON m.cell = c.cell) WHERE rn = 1),
+       |splitasg AS (
+       |  SELECT id, v, cell * 1048576 AS cell FROM asg
+       |  WHERE cell NOT IN (SELECT cell FROM sov)
+       |  UNION ALL
+       |  SELECT id, v, cell * 1048576 + sub AS cell FROM sfin)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -900,9 +978,10 @@ object TrainingDataQueries extends QueryModule {
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
          |  FROM cand e CROSS JOIN cents c) WHERE rn = 1),
+         |${cellSplitSql(dd9SplitOver, dd9SplitTarget)},
          |pairs AS (
          |  SELECT l.id AS id_a, r.id AS id_b, ${cos("l.v", "r.v")} AS cosine
-         |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.id < r.id
+         |  FROM splitasg l JOIN splitasg r ON l.cell = r.cell AND l.id < r.id
          |  WHERE ${cos("l.v", "r.v")} >= 0.95)
          |SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS keeper_id,
          |  CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cosine

@@ -205,6 +205,26 @@ class DedupSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("clusters: adversarial 60-chain aborts at the default diameter-50 bound; explicit maxIters converges") {
+    // The r11 scaladoc documents that the DEFAULT maxIters=50 bounds
+    // component diameter at 50 — general-purpose long-path graphs must
+    // opt in with an explicit budget. Pin both halves of that contract:
+    // a 61-node path (diameter 60, needs 61 rounds) must abort under
+    // the default with the documented message, and the SAME graph must
+    // converge when the caller raises the budget.
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, "doc_a", "doc_b").collect()
+    }
+    assert(e.getMessage.contains("50 rounds"), e.getMessage)
+    assert(e.getMessage.contains("raise maxIters"), e.getMessage)
+    val (labels, iters) = Dedup.clustersWithIters(
+      chain, "doc_a", "doc_b", maxIters = Int.MaxValue)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 61L).map((_, 1L)).toSet)
+    assert(iters == 61, s"expected diameter+1=61 rounds, got $iters")
+  }
+
   test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
     // same chain, diameter 5 (needs 6 rounds) — a 3-round budget must
     // fail with the round count, not return partially-propagated labels
@@ -298,6 +318,64 @@ class DedupSpec extends SparkTestBase {
     // identical scan-shaped plans (RDD ids differ, lengths match); an
     // unbroken lineage would be ~2^4 bigger at iters=5
     assert(p5 <= p1 + 64, s"plan grew with iters: $p1 -> $p5")
+  }
+
+  test("splitOvergrownCells bounds the hottest cell, preserves membership, leaves small cells intact") {
+    // one 500-member hot cell (vectors fanned over a half-circle in the
+    // first two dims, so sub-clustering has real geometry to separate)
+    // plus one 50-member cell that must pass through untouched
+    def fan(i: Int, n: Int): Array[Float] = {
+      val th = math.Pi * i / n
+      Array.tabulate(64)(j =>
+        if (j == 0) math.cos(th).toFloat
+        else if (j == 1) math.sin(th).toFloat else 0f)
+    }
+    val hot = (0 until 500).map(i => (i.toLong, 7L, fan(i, 500)))
+    val cold = (0 until 50).map(i => (1000L + i, 3L, fan(i, 50)))
+    val assigned = (hot ++ cold).toDF("id", "cell", "v")
+    def run() = Dedup.splitOvergrownCells(assigned,
+        splitOver = 100L, target = 50L, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = run()
+    // membership preserved exactly: same 550 ids, each once
+    assert(out.map(_._1) == (hot ++ cold).map(_._1).toSet)
+    assert(out.size == 550)
+    // the small cell passes through as parent*2^20 + 0 for every member
+    assert(out.filter(_._1 >= 1000L).map(_._2) == Set(3L * (1L << 20)))
+    // the hot cell split into multiple subcells, every one strictly
+    // smaller than the original and the hottest within ~3x of target
+    val subSizes = out.toSeq.filter(_._1 < 1000L).groupBy(_._2)
+      .map { case (_, ms) => ms.size }
+    assert(subSizes.size > 1, s"hot cell was not split: $subSizes")
+    assert(subSizes.max < 500, s"no subcell may keep the full cell: $subSizes")
+    assert(subSizes.max <= 150, s"hottest subcell ${subSizes.max} > 3x target")
+    // deterministic: a second run reproduces the assignment bit-exactly
+    assert(run() == out)
+  }
+
+  test("semanticDedup splits overgrown cells before the pair-budget guard (skewed corpus passes)") {
+    // 400 near-identical vectors (tiny angular jitter) all land in one
+    // k-means cell: without the split, C(400,2) = 79,800 pairs trips a
+    // 20k budget; the split must bound the cell and let the dedup run.
+    val rows = (0 until 400).map { i =>
+      val th = 0.001 * i
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == 0) math.cos(th).toFloat
+        else if (j == 1) math.sin(th).toFloat else 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Dedup.kmeansCentroids(emb, "vec_id", "embedding", nCells = 2)
+    // split disabled: guard trips (proves the corpus is genuinely skewed)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+        maxPairsPerCell = 20000L, splitCellsOver = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("pairs > budget"), e.getMessage)
+    // split enabled (defaults scaled down): guard holds, dedup runs, and
+    // the near-identical corpus still dedups heavily within subcells
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+      maxPairsPerCell = 20000L, splitCellsOver = 150L, splitTarget = 100L)
+    assert(out.count() > 300, "near-identical vectors must still dedup in-cell")
   }
 
   // ---- blocked pairwise n-gram Jaccard: the pair-budget guard ----
