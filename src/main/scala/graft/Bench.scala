@@ -553,7 +553,15 @@ object Bench {
       "(hamming-0 pairs emit from membership, only DISTINCT sigs band, " +
       "corpus shuffles once into two reused exchanges); pair counts " +
       "differ from r9. "
-    val notes = sentinelNote + streamingNote + blockNote + dd3Note +
+    val dd9Note =
+      "dd9 r12 changes: overgrown cells split by one level of in-cell " +
+      "k-means on mean-centered residuals before the pairwise pass - " +
+      "10x pairs exponent 1.62 -> 1.02, max cell 46 -> 76 at 10x (was " +
+      "300 -> 2162). The split runs at the bench constants (60/40), so " +
+      "dd9 wall time ~doubles vs r10 (3.4s -> ~6.8s): the extra pass " +
+      "is the price of the bounded scale curve; wall times not " +
+      "comparable with r11-. "
+    val notes = sentinelNote + streamingNote + blockNote + dd3Note + dd9Note +
       "kafka e2e: permanent-partial (FINAL, r7) - no spark-sql-kafka " +
       "jar and no egress in this container; wrappers and wire " +
       "projections are broker-less tested and bind to the standard " +
