@@ -673,6 +673,16 @@ object Dedup {
       .select(col("cell"),
         ceil(col("cnt") / lit(target.toDouble)).cast("long").as("kc"))
       .localCheckpoint() // tiny: one row per overgrown cell
+    // common-path short-circuit: with a well-sized nCells nothing is
+    // overgrown, and the split must cost zero jobs beyond the (already
+    // materialized) per-cell count above — not eight empty-input
+    // mean/pivot/Lloyd/assign stages. `overgrown` is localCheckpoint'd,
+    // so the emptiness probe is a local scan, not a recompute. The
+    // composite-id contract (cell·SplitBase, sub = 0) is kept so the
+    // output is bit-identical to the general path's untouched branch.
+    if (overgrown.isEmpty)
+      return assigned.select(col("id"),
+        (col("cell") * lit(SplitBase)).as("cell"), col("v"))
     val members = assigned.join(broadcast(overgrown), Seq("cell"))
     // per-cell mean (DOUBLE fold in id order, one FLOAT rounding) and
     // mean-centered residuals; `rz` marks all-zero residuals so the

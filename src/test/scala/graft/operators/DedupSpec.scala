@@ -320,6 +320,42 @@ class DedupSpec extends SparkTestBase {
     assert(p5 <= p1 + 64, s"plan grew with iters: $p1 -> $p5")
   }
 
+  test("splitOvergrownCells: nothing overgrown short-circuits to a pure projection (no joins, no exchange)") {
+    // the common path with a well-sized nCells: the split must cost the
+    // per-cell count and NOTHING else — the output keeps the composite
+    // cell-id contract (parent·2^20, sub 0) bit-identically to the
+    // general path's untouched branch, and the plan is join-free
+    val assigned = (0 until 40).map(i => (i.toLong, (i % 4).toLong,
+      Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.0f)))
+      .toDF("id", "cell", "v")
+    val out = Dedup.splitOvergrownCells(assigned,
+      splitOver = 50L, target = 25L, iters = 1)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 40).map(i =>
+      (i.toLong, (i % 4).toLong * (1L << 20))).toSet)
+  }
+
+  test("splitOvergrownCells plan: centroid-side joins broadcast; one member exchange (the argmax partial agg)") {
+    // the scale contract of the split itself: the corpus side is joined
+    // against the tiny overgrown/mean/sub-centroid tables ONLY via
+    // broadcast (no SortMergeJoin, no cartesian), and the member set
+    // crosses the wire exactly once — the (cell, id) partial-aggregate
+    // requirement of the final argmax. The Lloyd-round lineage is
+    // localCheckpoint'd, so it cannot leak exchanges into this plan.
+    val hot = (0 until 200).map(i => (i.toLong, 7L,
+      Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.1f * (i % 5))))
+      .toDF("id", "cell", "v")
+    val p = Dedup.splitOvergrownCells(hot, 50L, 25L, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("splitOvergrownCells bounds the hottest cell, preserves membership, leaves small cells intact") {
     // one 500-member hot cell (vectors fanned over a half-circle in the
     // first two dims, so sub-clustering has real geometry to separate)

@@ -181,6 +181,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("max_by"), p)
   }
 
+  test("dd9_semantic_dedup: centroids broadcast into a partial-agg argmax; no cartesian, untouched cells anti-join broadcast") {
+    val p = plan("dd9_semantic_dedup")
+    // cell assignment: tiny centroid table broadcast against the corpus
+    // (BroadcastNestedLoopJoin Cross over k rows, never CartesianProduct),
+    // reduced by a map-side partial max_by — not a window sort over the
+    // nCells×N intermediate
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max_by"), p)
+    // the split's untouched-cells branch learns it was not split via a
+    // broadcast anti-join — the corpus is never shuffled for the answer
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("windowspecdefinition(id"), p)
+  }
+
   test("sim1_topk_bruteforce: queries broadcast; no global per-query sort of the corpus") {
     val p = plan("sim1_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
