@@ -667,7 +667,18 @@ object Dedup {
   private[operators] def splitOvergrownCells(assigned: DataFrame,
       splitOver: Long, target: Long, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val overgrown = assigned.groupBy(col("cell"))
+    // Materialize the corpus assignment ONCE. The assignment is the
+    // expensive pass (an O(N·nCells) broadcast cross + argmax), and an
+    // unbroken lineage recomputes it for every consumer below — the
+    // overgrown count, the members/mean/residual chain, the untouched
+    // anti-join — and then AGAIN for each of the caller's branches
+    // (pair-budget guard + both self-join sides): ~9 full passes for
+    // dd9. Executor block storage for one (id, cell, v) row per vector
+    // is the same speed-vs-resilience trade documented on [[clusters]];
+    // multi-TB runs that must survive executor loss should stage the
+    // assignment through a reliable checkpoint dir instead.
+    val a = assigned.localCheckpoint()
+    val overgrown = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > splitOver)
       .select(col("cell"),
@@ -681,9 +692,9 @@ object Dedup {
     // composite-id contract (cell·SplitBase, sub = 0) is kept so the
     // output is bit-identical to the general path's untouched branch.
     if (overgrown.isEmpty)
-      return assigned.select(col("id"),
+      return a.select(col("id"),
         (col("cell") * lit(SplitBase)).as("cell"), col("v"))
-    val members = assigned.join(broadcast(overgrown), Seq("cell"))
+    val members = a.join(broadcast(overgrown), Seq("cell"))
     // per-cell mean (DOUBLE fold in id order, one FLOAT rounding) and
     // mean-centered residuals; `rz` marks all-zero residuals so the
     // similarity pin below never consults NaN ordering
@@ -696,11 +707,17 @@ object Dedup {
             (acc, m) => acc + get(m.getField("v"), j).cast("double"))
             / size(col("mem")).cast("double")).cast("float"))
           .as("mu"))
-      .localCheckpoint() // tiny: one row per overgrown cell
+    // not checkpointed: its only consumer is the rmembers checkpoint
+    // below, so it is evaluated exactly once (inside that job) — a
+    // separate materialization would only add a job barrier
+    // residual members feed the pivot init, every Lloyd round, AND the
+    // final re-assignment (which itself is re-read by each caller
+    // branch) — materialize once; bounded by the overgrown fraction
     val rmembers = members.join(broadcast(cellMean), Seq("cell"))
       .select(col("cell"), col("kc"), col("id"), col("v"),
         zip_with(col("v"), col("mu"), (a, b) => (a - b).cast("float")).as("rv"))
       .withColumn("rz", !exists(col("rv"), x => x =!= lit(0.0f)))
+      .localCheckpoint()
     // hash-ranked pivot init: row_number per cell over the (shuffled)
     // overgrown members — a per-cell sort, bounded by the overgrown
     // fraction, never the corpus
@@ -712,7 +729,14 @@ object Dedup {
           .cast("long"))
       .filter(col("sub") < col("kc"))
       .select(col("cell"), col("sub"), col("rv").as("centroid"))
-      .localCheckpoint()
+    // the init table is not checkpointed: the first Lloyd round
+    // references it twice (assignment + starved-subcell keep) but both
+    // references sit inside that round's own checkpoint job, and the
+    // window is a cheap per-cell sort over the already-materialized
+    // residual scan. With iters = 0 (no Lloyd round) the final
+    // re-assignment is the single consumer, and each caller branch
+    // would re-run the window — materialize only then.
+    if (iters == 0) subCents = subCents.localCheckpoint()
     def assignSub(cents: DataFrame): DataFrame = rmembers
       .join(broadcast(cents), Seq("cell"))
       .withColumn("sim",
@@ -741,7 +765,7 @@ object Dedup {
     // untouched cells pass through on a broadcast ANTI join (narrow —
     // the corpus is not shuffled to learn it was not split); only the
     // overgrown members pay the re-assignment aggregation
-    val untouched = assigned
+    val untouched = a
       .join(broadcast(overgrown.select(col("cell"))), Seq("cell"), "left_anti")
       .select(col("id"), (col("cell") * lit(SplitBase)).as("cell"), col("v"))
     val reassigned = assignSub(subCents)
@@ -838,10 +862,17 @@ object Dedup {
       splitTarget: Long = 500L, splitIters: Int = 1): DataFrame = {
     // overgrown cells (skew the linear-nCells rule cannot bound) are
     // split by one level of in-cell k-means BEFORE the pairwise pass;
-    // the fail-loud budget guard then checks the cells actually joined
+    // the fail-loud budget guard then checks the cells actually joined.
+    // The split output is materialized once: its three consumers — the
+    // guard's volume count and BOTH sides of the in-cell self-join —
+    // would otherwise each re-evaluate the untouched/reassigned
+    // branches. Executor block storage for one (id, cell, v) row per
+    // vector, the same speed-vs-resilience trade documented on
+    // [[clusters]] and [[splitOvergrownCells]].
     val assigned = splitOvergrownCells(
       assignCells(emb, idCol, vecCol, centroids),
       splitCellsOver, splitTarget, splitIters)
+      .localCheckpoint()
     if (maxPairsPerCell < Long.MaxValue) {
       val vol = blockVolume(assigned, Seq("cell"))
       val worst = vol.maxBlock * (vol.maxBlock - 1) / 2

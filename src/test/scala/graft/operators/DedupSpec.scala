@@ -340,11 +340,16 @@ class DedupSpec extends SparkTestBase {
 
   test("splitOvergrownCells plan: centroid-side joins broadcast; one member exchange (the argmax partial agg)") {
     // the scale contract of the split itself: the corpus side is joined
-    // against the tiny overgrown/mean/sub-centroid tables ONLY via
-    // broadcast (no SortMergeJoin, no cartesian), and the member set
-    // crosses the wire exactly once — the (cell, id) partial-aggregate
-    // requirement of the final argmax. The Lloyd-round lineage is
-    // localCheckpoint'd, so it cannot leak exchanges into this plan.
+    // against the tiny overgrown/sub-centroid tables ONLY via broadcast
+    // (no SortMergeJoin, no cartesian), and the member set crosses the
+    // wire exactly once — the (cell, id) partial-aggregate requirement
+    // of the final argmax. The assignment input, the residual-member
+    // table, and the Lloyd-round lineage are all localCheckpoint'd, so
+    // the final plan is exactly: scan(assignment) anti-join
+    // broadcast(overgrown) unioned with scan(residuals) join
+    // broadcast(sub-centroids) → one argmax exchange. The mean/residual
+    // broadcasts ran eagerly at checkpoint time and by design do NOT
+    // recompute here.
     val hot = (0 until 200).map(i => (i.toLong, 7L,
       Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.1f * (i % 5))))
       .toDF("id", "cell", "v")
@@ -352,8 +357,29 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2, p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // both corpus-side inputs are materialized scans — the O(N·nCells)
+    // assignment cannot be silently recomputed per consumer
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("assignCells plan: centroids broadcast into a partial-agg argmax — no cartesian, no corpus window sort") {
+    // the O(N·nCells) assignment fragment feeding dd9/semanticDedup:
+    // tiny centroid table broadcast against the corpus
+    // (BroadcastNestedLoopJoin Cross over k rows, never
+    // CartesianProduct), reduced by a map-side partial max_by — not a
+    // row_number window sort over the nCells×N intermediate. Pinned
+    // here because semanticDedup's final plan reads the materialized
+    // split output, so the assignment shape no longer appears there.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Dedup.kmeansCentroids(emb, "vec_id", "embedding", 8)
+    val ap = Dedup.assignCells(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"), ap)
+    assert(ap.contains("partial_max_by"), ap)
+    assert(!ap.contains("windowspecdefinition(id"), ap)
   }
 
   test("splitOvergrownCells bounds the hottest cell, preserves membership, leaves small cells intact") {
