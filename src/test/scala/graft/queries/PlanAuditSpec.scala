@@ -334,4 +334,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("timestamp filters push into the scan through the NTZ normalization cast") {
+    // Tables.load casts TIMESTAMP_NTZ columns to session-tz TimestampType
+    // (UTC sessions — value-preserving). Catalyst must unwrap that cast in
+    // comparisons so the predicate still reaches the parquet reader as a
+    // PushedFilter on the raw column — the property that keeps row-group
+    // pruning alive at 100 TB. Asserted on the actual testdata flavor,
+    // whichever timestamp encoding this generation shipped.
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val p = li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .select("l_orderkey").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
 }
