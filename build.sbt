@@ -35,9 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Committed heap = max heap: a growing heap makes the JVM emit GC
-  // ergonomics warnings at unpredictable points, and one landing after
-  // the bench's final JSON line eats into the driver's 2000-char stdout
-  // tail capture (the r11 record was front-truncated exactly this way).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
