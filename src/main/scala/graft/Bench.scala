@@ -557,10 +557,11 @@ object Bench {
       "dd9 r12 changes: overgrown cells split by one level of in-cell " +
       "k-means on mean-centered residuals before the pairwise pass - " +
       "10x pairs exponent 1.62 -> 1.02, max cell 46 -> 76 at 10x (was " +
-      "300 -> 2162). The split runs at the bench constants (60/40), so " +
-      "dd9 wall time ~doubles vs r10 (3.4s -> ~6.8s): the extra pass " +
-      "is the price of the bounded scale curve; wall times not " +
-      "comparable with r11-. "
+      "300 -> 2162). The split's extra pass is the price of the " +
+      "bounded scale curve; the r12 single-evaluation materialization " +
+      "(assignment/residual/split localCheckpoints) absorbs most of it " +
+      "(clean r13 median ~3.6s vs r10's 3.4s pre-split); wall times " +
+      "not comparable with r11-. "
     val notes = sentinelNote + streamingNote + blockNote + dd3Note + dd9Note +
       "kafka e2e: permanent-partial (FINAL, r7) - no spark-sql-kafka " +
       "jar and no egress in this container; wrappers and wire " +

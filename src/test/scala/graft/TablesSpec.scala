@@ -13,9 +13,18 @@ import org.apache.spark.sql.types._
   */
 class TablesSpec extends SparkTestBase {
 
-  test("load casts TIMESTAMP_NTZ columns to session-tz TimestampType, values preserved") {
-    val dir = Files.createTempDirectory("graft-tables-ntz").toFile
-    dir.deleteOnExit()
+  private def withTempDir[A](body: java.io.File => A): A = {
+    val dir = Files.createTempDirectory("graft-tables-spec").toFile
+    try body(dir)
+    finally { // File.deleteOnExit does not recurse; clean up explicitly
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("load casts TIMESTAMP_NTZ columns to session-tz TimestampType, values preserved") { withTempDir { dir =>
     val micros = Seq(0L, 1700000000000000L, 1700000123456789L)
     val schema = StructType(Seq(
       StructField("id", LongType),
@@ -41,9 +50,30 @@ class TablesSpec extends SparkTestBase {
     micros.zipWithIndex.foreach { case (us, i) =>
       assert(got(i.toLong) == us, s"row $i: expected $us got ${got(i.toLong)}")
     }
-  }
+  }}
 
-  test("load leaves non-NTZ schemas untouched (no projection inserted over the scan)") {
+  test("load passes non-NTZ schemas through unchanged — no projection over the scan") { withTempDir { dir =>
+    // a UTC-adjusted (session-tz TimestampType) parquet — the flavor that
+    // needs NO normalization; load must return the bare relation, not a
+    // cast projection over it
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, ts)), 1), schema)
+    df.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(spark.read.parquet(s"$dir/t.parquet").schema("ts").dataType == TimestampType)
+
+    val loaded = Tables.load(spark, dir.toString, "t")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    // pass-through: the analyzed plan is the bare relation — no Project
+    // node that would sit between future filters and the scan
+    val analyzed = loaded.queryExecution.analyzed
+    assert(!analyzed.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]),
+      analyzed.toString)
+  }}
+
+  test("current testdata loads with session-tz TimestampType and working epoch arithmetic") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     // whichever flavor this testdata generation shipped, the result is
     // session-tz TimestampType and epoch arithmetic works
