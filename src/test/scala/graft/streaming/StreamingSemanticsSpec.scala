@@ -517,16 +517,22 @@ class StreamingSemanticsSpec extends SparkTestBase {
         Thread.sleep(50)
       assert(m.totalRows >= 1000)
       // a warm JVM can run the whole batch in < 1 ms, in which case
-      // triggerExecution rounds to 0 and rps is legitimately 0. The two
-      // accessors read the adders at different instants while the async
-      // bus may still be mid-delivery (rows land before seconds in the
-      // handler), so poll until the pair is consistent rather than
-      // asserting on one possibly-torn read.
+      // triggerExecution rounds to 0 and rps is legitimately 0. The
+      // seconds adder is monotonic and the async bus may deliver it any
+      // time after the rows land, so capture ONE ordered pair (seconds
+      // BEFORE rps — if the captured seconds is positive, the later rps
+      // read can only see an equal-or-larger denominator with rows
+      // already >= 1000, hence rps > 0) and assert on the captured
+      // values, never on re-reads the bus can race.
       val deadline2 = System.currentTimeMillis() + 5000
-      while (m.recordsPerSec == 0.0 && m.totalSeconds > 0.0 &&
-          System.currentTimeMillis() < deadline2)
+      var secs = m.totalSeconds
+      var rps = m.recordsPerSec
+      while (secs == 0.0 && System.currentTimeMillis() < deadline2) {
         Thread.sleep(20)
-      assert(m.recordsPerSec > 0.0 || m.totalSeconds == 0.0)
+        secs = m.totalSeconds
+        rps = m.recordsPerSec
+      }
+      assert(rps > 0.0 || secs == 0.0, s"rps=$rps secs=$secs")
       // per-batch latency percentiles: present once a batch reported,
       // internally ordered (p50 <= p95 <= max)
       val lat = m.batchLatencyMs
