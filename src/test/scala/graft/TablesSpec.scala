@@ -52,6 +52,33 @@ class TablesSpec extends SparkTestBase {
     }
   }}
 
+  test("NTZ normalization preserves arbitrary instants, pre-epoch included (property)") { withTempDir { dir =>
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // ±~30,000 years of microseconds — far past any data a pipeline
+    // ships, incl. negative (pre-1970) values where div/mod arithmetic
+    // on epoch micros is easiest to get wrong
+    val genMicros = Gen.choose(-1000000000000000L, 1000000000000000L)
+    val prop = Prop.forAll(Gen.listOfN(8, genMicros)) { micros =>
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampNTZType)))
+      val rows = micros.zipWithIndex.map { case (us, i) =>
+        Row(i.toLong, java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC))
+      }
+      val sub = s"$dir/p${math.abs(micros.hashCode)}"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$sub/t.parquet")
+      import org.apache.spark.sql.functions._
+      val got = Tables.load(spark, sub, "t")
+        .select(col("id"), expr("unix_micros(ts)").as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      micros.zipWithIndex.forall { case (us, i) => got(i.toLong) == us }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }}
+
   test("load passes non-NTZ schemas through unchanged — no projection over the scan") { withTempDir { dir =>
     // a UTC-adjusted (session-tz TimestampType) parquet — the flavor that
     // needs NO normalization; load must return the bare relation, not a
