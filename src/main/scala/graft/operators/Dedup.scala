@@ -450,6 +450,120 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Shingle table shared by [[prefixJaccardPairs]] and
+    * [[prefixJaccardVolume]]: `(id, sh, sz)` for every non-null-text doc
+    * with a non-empty distinct-shingle set (an empty set has Jaccard 0
+    * against everything, so it can never clear a positive threshold). */
+  private[operators] def prefixShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .filter(col("sz") > 0)
+
+  /** Prefix-token table shared by [[prefixJaccardPairs]] and
+    * [[prefixJaccardVolume]] (single-sourced so the volume canary
+    * measures exactly the tokens the join runs on): for each doc, the
+    * first `sz − floor(threshold·sz) + 1` distinct shingles in the
+    * global (document-frequency asc, hash asc) canonical order.
+    *
+    * Why that prefix suffices (the prefix-filter theorem of the
+    * set-similarity-join literature — SSJoin / All-Pairs / PPJoin):
+    * J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so B must hit A somewhere in
+    * A's first |A| − ⌈t·|A|⌉ + 1 elements of ANY order shared by both
+    * sides — skipping them all would leave fewer than ⌈t·|A|⌉ elements
+    * to intersect. The floor form keeps the prefix ≥ the ceil form
+    * (conservative, never drops a true pair) and replays bit-for-bit in
+    * any IEEE-double engine. Ordering by ascending document frequency
+    * puts the RAREST shingles in the prefix, which is what bounds the
+    * candidate join: a shingle shared by half the corpus sits at the
+    * END of every doc's order and never lands in a prefix, so no
+    * stop-word-shaped token can form a quadratic bucket. */
+  private[operators] def prefixTokens(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = sh.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+    // df over the same exploded table the join side reads — the
+    // aggregate's exchange on t is shared with the join's (ReusedExchange)
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
+      .select(col("t"), col("id"), col("sz"))
+  }
+
+  /** Exact n-gram Jaccard pairs WITHOUT blocking keys — the 100 TB path
+    * for exact-threshold similarity that [[ngramJaccardPairs]]'s
+    * caller-supplied blocking cannot provide (a natural key's
+    * cardinality is often constant in corpus size, so its in-block
+    * pairs creep quadratic; the guard fails loudly but the answer is
+    * "use a different algorithm" — this one).
+    *
+    * Candidates come from prefix filtering (see [[prefixTokens]]):
+    * docs sharing at least one of each other's rarest
+    * `(1−threshold)·|shingles|+1` shingles, then a size-compatibility
+    * prune (J ≥ t forces min/max sizes ≥ t; the 1e-9 slack keeps the
+    * double-arithmetic prune strictly conservative at exact-boundary
+    * pairs), then ONE exact Jaccard verify per distinct candidate pair.
+    * Output is EXACTLY the brute-force all-pairs result at `threshold`
+    * — the filter is lossless by the prefix theorem — which is how the
+    * oracle checks it (DuckDB runs the unfiltered n² form).
+    *
+    * Scale shape: one text scan (the shingle table is materialized via
+    * `localCheckpoint` and feeds the explode AND both verify sides —
+    * executor-local blocks, same resilience trade as [[clusters]]'
+    * default), then every shuffle is keyed (shingle df on t, prefix
+    * rank on id, candidate join on t, verify on id). Candidate volume
+    * is governed by rare-shingle collision counts, not corpus²; the
+    * pair budget runs against the ALREADY-materialized prefix table
+    * (one cheap aggregate, not a second text scan) and fails loudly
+    * with the hottest token's volume before any verify work starts. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7,
+      maxCandidatePairs: Long = 10000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs needs a threshold in (0, 1]; got $threshold " +
+        "(a zero threshold is the global n^2 all-pairs join)")
+    val sh = prefixShingles(docs, idCol, textCol, n).localCheckpoint()
+    val prefix = prefixTokens(sh, threshold).localCheckpoint()
+    if (maxCandidatePairs < Long.MaxValue) {
+      val v = blockVolume(prefix, Seq("t"))
+      if (v.totalPairs > maxCandidatePairs)
+        throw new IllegalArgumentException(
+          s"prefixJaccardPairs: prefix join would generate ${v.totalPairs} " +
+            s"candidate pairs > budget $maxCandidatePairs (hottest shingle " +
+            s"${v.maxBlock} docs of ${v.nBlocks} prefix shingles). Raise the " +
+            "threshold (shorter prefixes), increase n (rarer shingles), or " +
+            "raise the budget if the corpus genuinely carries this much " +
+            "near-duplicate mass.")
+    }
+    val cand = prefix.select(col("t"), col("id").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("t"), col("id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
+          - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardShingles(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[blockVolume]] over [[prefixJaccardPairs]]' prefix-shingle buckets
+    * — the exact candidate-pair count its join generates (pre-size-prune,
+    * pre-distinct), single-sourced with the operator via
+    * [[prefixTokens]]. */
+  def prefixJaccardVolume(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): BlockVolume =
+    blockVolume(
+      prefixTokens(prefixShingles(docs, idCol, textCol, n), threshold),
+      Seq("t"))
+
   /** Connected components over a near-duplicate pair list: every doc
     * gets its cluster's minimum doc id as `cluster_id` (the canonical
     * "keeper"), turning pairwise dedup output into per-cluster keep/drop

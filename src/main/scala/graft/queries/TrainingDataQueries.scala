@@ -93,6 +93,15 @@ object TrainingDataQueries extends QueryModule {
         .withColumn("len_band",
           floor(length(col("text")) / 64).cast("long")),
       Seq("lang", "source", "len_band")),
+    // dd11's prefix-shingle buckets (pre-size-prune, pre-distinct) on
+    // its own corpus. Like dd2, the scaled self-union gives every doc
+    // ~copies-1 true near-dup partners, so the inherent-pairs floor is
+    // quadratic in `copies`; the scheme-creep signal is the HOTTEST
+    // bucket staying bounded (a df-ordered prefix keeps corpus-wide
+    // shingles out of every prefix, so no bucket tracks corpus size).
+    "dd11_jaccard_prefix" -> Dedup.prefixJaccardVolume(
+      scaleDocs(nearDupDocs(s, d), copies), "doc_id", "text",
+      n = 3, threshold = 0.7),
     // Banded queries: candidate-pair volume of the band-bucket self-join
     // (pre-distinct), same corpora and parameters as dd2/dd3/dd9.
     "dd2_minhash_lsh" -> Dedup.minHashBandVolume(
@@ -435,6 +444,15 @@ object TrainingDataQueries extends QueryModule {
         "doc_id", "text",
         blockCols = Seq("lang", "source", "len_band"), n = 3,
         threshold = 0.01)),
+
+    // The UNBLOCKED exact-Jaccard path: prefix filtering (rarest
+    // (1-t)·|shingles|+1 shingles per doc in global df order) generates
+    // the candidates, one exact verify per pair. Lossless by the prefix
+    // theorem, so the oracle is the brute-force n² join — the check
+    // proves the filter drops nothing, not merely that DuckDB replays it.
+    "dd11_jaccard_prefix" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(nearDupDocs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.7)),
 
     "dd5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(nearDupEmb(s, d), "vec_id", "embedding",
@@ -1047,6 +1065,17 @@ object TrainingDataQueries extends QueryModule {
          |  ON l.lang = r.lang AND l.source = r.source
          |  AND l.len_band = r.len_band AND l.id < r.id
          |WHERE ${jac("l.shs", "r.shs")} >= 0.01""".stripMargin,
+
+    // Deliberately the UNFILTERED n² form: dd11's prefix filter is
+    // claimed lossless, so the oracle must not replay the filter — a
+    // hash match here proves the filtered result IS the brute force.
+    "dd11_jaccard_prefix" ->
+      s"""WITH cand AS ($nearDupDocsSql),
+         |sh AS (SELECT doc_id AS id, ${sh3("text")} AS shs FROM cand
+         |  WHERE text IS NOT NULL)
+         |SELECT l.id AS doc_a, r.id AS doc_b, ${jac("l.shs", "r.shs")} AS jaccard
+         |FROM sh l JOIN sh r ON l.id < r.id
+         |WHERE ${jac("l.shs", "r.shs")} >= 0.7""".stripMargin,
 
     "dd5_embedding_neardup" ->
       s"""WITH cand AS ($nearDupEmbSql),

@@ -146,6 +146,119 @@ class DedupSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- prefix-filtered exact Jaccard ----
+
+  test("prefixJaccardPairs equals pure-Scala brute force on random corpora (the filter is lossless)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "a.b,c", "x-y!", "")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[(List[String], Double)] = for {
+      base <- Gen.choose(1, 20)
+      docs <- Gen.listOfN(base, genDoc)
+      nDup <- Gen.choose(0, base)
+      dups <- Gen.listOfN(nDup, Gen.oneOf(docs))
+      thr <- Gen.oneOf(0.3, 0.5, 0.7, 1.0)
+      withNull <- Gen.oneOf(true, false)
+    } yield (docs ++ dups ++ (if (withNull) List(null: String) else Nil), thr)
+    val k = 2
+    val prop = Prop.forAll(genCorpus) { case (texts, thr) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val clean = texts.zipWithIndex.collect { case (t, i) if t != null => (i.toLong, t) }
+      val brute = (for {
+        (ia, ta) <- clean; (ib, tb) <- clean if ia < ib
+        j = jacS(shingleSetS(ta, k), shingleSetS(tb, k)) if j >= thr
+      } yield (ia, ib, j)).toSet
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", k, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ok = got == brute
+      if (!ok) println(s"corpus=$texts thr=$thr\ngot=$got want=$brute")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("prefixJaccardPairs: exact-boundary pair (J = 7/10 at t = 0.7) survives the size prune and verify") {
+    // 1-shingles: A has 10 distinct tokens, B the first 7 — overlap 7,
+    // union 10, J = 7/10 whose double equals the 0.7 literal exactly.
+    // The size prune (least >= t*greatest - 1e-9: 7 >= 6.999...) and the
+    // verify (J >= t at equality) must BOTH keep it — the seam where a
+    // sloppier double prune would silently drop a mathematically-true
+    // pair.
+    val a = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 7).map(i => s"tok$i").mkString(" ")
+    val got = Dedup.prefixJaccardPairs(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+      n = 1, threshold = 0.7).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) == 0.7)
+  }
+
+  test("prefixJaccardPairs: candidate-pair budget fails loudly before the verify starts") {
+    // 40 identical docs: every prefix shingle lands in all 40 prefixes,
+    // so the hottest bucket alone is 40*39/2 = 780 pairs > budget 100.
+    val docs = (1L to 40L).map(i => (i, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.7, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+    // the same corpus passes under the default budget and emits all pairs
+    assert(Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.7).count() == 40L * 39 / 2)
+  }
+
+  test("prefixTokens plan: df aggregate partials map-side; rank window is per-doc, never global") {
+    // The deliberate NON-reuse: the df branch's explode is column-pruned
+    // to the bare token, so its partial_count collapses tokens per
+    // partition and the aggregate exchange ships (t, count) — sharing
+    // the join side's exchange would instead ship the FULL (t, id, sz)
+    // token stream into the aggregate. A regression that loses the
+    // partial (shipping raw tokens to count them) fails here.
+    val docs = (1L to 50L).map(i => (i, s"a b c d$i e f")).toDF("doc_id", "text")
+    val p = Dedup.prefixTokens(Dedup.prefixShingles(docs, "doc_id", "text", 3), 0.7)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_count"))
+    assert(partialIdx >= 0, p)
+    // the partial sits BELOW (after, in printed order) its exchange
+    assert(lines.take(partialIdx).exists(_.contains("Exchange hashpartitioning(t#")), p)
+    // the prefix rank is a per-doc window (shuffle on id), not a global sort
+    assert(p.contains("windowspecdefinition(id#"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+  }
+
+  test("prefixJaccardPairs plan: join stages read materialized scans; corpus arrays exchanged once") {
+    // Post-checkpoint shape: shingling ran exactly once (no Generate —
+    // both the candidate join and the verify sides read the
+    // materialized prefix/shingle scans), and the array-bearing corpus
+    // table is exchanged ONCE with the second verify side reading it as
+    // ReusedExchange.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 60L).map(i =>
+        (i, if (i % 10 == 0) "a b c d e f g h" else s"a b c d$i e f g$i h"))
+        .toDF("doc_id", "text")
+      val p = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"), p)
+      assert(!p.contains("Generate"), p)
+      assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 1, p)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   // ---- connected components ----
 
   test("clusters: empty pair input converges to an empty result (no NPE)") {
