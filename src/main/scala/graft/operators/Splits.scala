@@ -119,4 +119,68 @@ object Splits {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= perStratum)
   }
+
+  /** CCNet-style per-stratum quantile bucketing: rank every row within
+    * its stratum by `score` descending (ties broken by `tieBreak`) and
+    * label it `head` / `middle` / `tail` by exact terciles of the
+    * stratum size — the "keep the best-scoring third per language"
+    * filter from perplexity-bucketed corpus curation (CCNet's
+    * head/middle/tail split).
+    *
+    * Semantics are an exact GLOBAL per-stratum rank, but a stratum is a
+    * language — a handful of enormous partitions at 100 TB — so the plan
+    * must not sort whole strata on single reducers. Same two-phase shape
+    * as [[tokenBudgetShards]]:
+    *
+    *  1. scores band into `bands` coarse buckets (`floor(score·bands)` —
+    *     monotone in score, so band order refines score order);
+    *  2. per-(stratum, band) counts aggregate map-side into a table of
+    *     at most |strata|·bands rows; a window over THAT small table
+    *     yields each band's higher-score prefix count and the stratum
+    *     total;
+    *  3. offsets broadcast back and a window PARTITIONED BY
+    *     (stratum, band) ranks within bands — per-reducer work is one
+    *     band of one stratum, 1/`bands` of the old partition, and the
+    *     sort key spreads over |strata|·bands reducers instead of
+    *     |strata|.
+    *
+    * Equal scores always share a band, so banded rank ≡ global rank
+    * exactly (property-tested against the naive window). Assumes
+    * `score` ∈ [0, 1] — scores outside only coarsen banding (floor
+    * clamps into the end bands' key space), never change the output.
+    *
+    * Returns df's columns + (`stratum_rank`, `bucket`). */
+  def quantileBuckets(df: DataFrame, strata: Seq[String], score: Column,
+      tieBreak: Column, bands: Int = 256): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    val sCols = strata.map(col)
+    // Materialize the slim (row, score, band) table once: both passes
+    // (band counting, final rank) read it, and the scorer — often a
+    // heavyweight text expression — runs ONCE per row instead of once
+    // per pass plus once inside join-key null filters. Callers pass a
+    // projection that carries only what the output needs; this is the
+    // stage boundary a production pipeline would checkpoint at anyway.
+    val base = df.withColumn("__score", score)
+      .withColumn("__band", floor(col("__score") * bands).cast("long"))
+      .localCheckpoint()
+    val bandCounts = base.groupBy(sCols :+ col("__band"): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val wHigher = Window.partitionBy(sCols: _*)
+      .orderBy(col("__band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.partitionBy(sCols: _*)
+    val offsets = bandCounts
+      .withColumn("__offset", coalesce(sum(col("__bc")).over(wHigher), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(wTotal))
+      .select(sCols :+ col("__band") :+ col("__offset") :+ col("__n"): _*)
+    val wLocal = Window.partitionBy(sCols :+ col("__band"): _*)
+      .orderBy(col("__score").desc, tieBreak)
+    base.join(broadcast(offsets), strata :+ "__band")
+      .withColumn("stratum_rank", col("__offset") + row_number().over(wLocal))
+      .withColumn("bucket",
+        when(col("stratum_rank") * 3 <= col("__n"), lit("head"))
+          .when(col("stratum_rank") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__score", "__band", "__offset", "__n")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Relevance, Similarity, Splits}
+import graft.operators.{Chunker, Decontaminate, Dedup, Importance, Multimodal, Relevance, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -390,6 +390,29 @@ object TrainingDataQueries extends QueryModule {
         domain = col("lang"), on = concat(col("text"), lit("#mix")),
         ratesPct = Map("en" -> 90, "zh" -> 30, "de" -> 60), defaultPct = 50)
         .select(col("doc_id"), col("lang"))),
+
+    // DSIR importance weighting: target model = the curated 'src0'
+    // slice, raw model = the whole corpus, both hashed-unigram tables
+    // of 256 rows that broadcast back over the token stream; per-doc
+    // weight = integer micro-nat sum (quantized at the model, so the
+    // corpus-wide reduction is exact integer math — cross-engine ln
+    // jitter cannot accumulate). The oracle replays models + sum.
+    "mx2_dsir_weights" -> ((s, d) =>
+      Importance.dsirLogWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("source") === "src0", buckets = 256)),
+
+    // CCNet-style per-language quality terciles (head/middle/tail by
+    // exact per-stratum rank). Semantics = a global per-language window;
+    // the plan is the two-phase banded rank in Splits.quantileBuckets —
+    // a language never sorts on one reducer. The oracle states the
+    // naive global-window form and this plan must reproduce it exactly.
+    "x14_quantile_filter" -> ((s, d) =>
+      Splits.quantileBuckets(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          T.qualityScore(col("text")).as("quality")),
+        strata = Seq("lang"), score = col("quality"), tieBreak = col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("stratum_rank"), col("bucket"))),
 
     // ---- Deduplication ----
     // Keyed on (fingerprint64, length), not the raw text: the dedup
@@ -987,6 +1010,52 @@ object TrainingDataQueries extends QueryModule {
          |  FROM documents)
          |WHERE h < CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 30
          |  WHEN 'de' THEN 60 ELSE 50 END""".stripMargin,
+
+    "mx2_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tb AS (SELECT doc_id, source, ${ph("token")} % 256 AS bucket FROM tok),
+         |cr AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY 1),
+         |ct AS (SELECT bucket, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1),
+         |tr AS (SELECT sum(cr) AS tr FROM cr),
+         |tt AS (SELECT sum(ct) AS tt FROM ct),
+         |model AS (SELECT bucket,
+         |    CAST(floor((
+         |      ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(coalesce(tt, 0) + 256 AS DOUBLE))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+         |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tt)
+         |SELECT doc_id, CAST(sum(lr) AS BIGINT) AS logw_micro,
+         |  CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) > 0 AS target_like
+         |FROM tb JOIN model USING (bucket) GROUP BY doc_id""".stripMargin,
+
+    "x14_quantile_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+         |    CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> list_contains($enStops, w))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  least(n_tok / 50.0, 1.0) * 0.3
+         |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3
+         |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
+         |  FROM t),
+         |r AS (SELECT doc_id, lang, quality,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS BIGINT) AS stratum_rank,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         |  FROM q)
+         |SELECT doc_id, lang, quality, stratum_rank,
+         |  CASE WHEN stratum_rank * 3 <= n THEN 'head'
+         |       WHEN stratum_rank * 3 <= n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
 
     "dd9_semantic_dedup" ->
       s"""WITH cand AS ($nearDupEmbSql),

@@ -4,10 +4,12 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Semantics the DuckDB oracles can't pin down for the round-7 pipeline
+/** Semantics the DuckDB oracles can't pin down for the pipeline
   * operators: chunk coverage/overlap invariants, two-phase prefix-sum
   * equivalence to the naive global window (and invariance to the bucket
-  * granularity), mixture-rate edge cases, the SemDeDup pair-budget
+  * granularity), banded-rank equivalence for quantile bucketing (incl.
+  * adversarial tie/out-of-range scores), DSIR weight invariants and
+  * plan shape, mixture-rate edge cases, the SemDeDup pair-budget
   * guard, and the no-shuffle plan shape of the narrow operators.
   */
 class PipelineOpsSpec extends SparkTestBase {
@@ -131,6 +133,130 @@ class PipelineOpsSpec extends SparkTestBase {
     for (orig <- plantedIds)
       assert(out.get(orig + 100000).contains(orig),
         s"copy of $orig not dropped with keeper $orig")
+  }
+
+  // ---- quantileBuckets ----
+
+  private def scoredDocs =
+    docs.select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+
+  test("quantileBuckets: banded rank equals the naive global per-stratum window, for any band count") {
+    val naive = scoredDocs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("rn"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    for (bands <- Seq(1, 7, 256)) {
+      val out = Splits
+        .quantileBuckets(scoredDocs, Seq("lang"), col("q"), col("doc_id"), bands)
+        .select(col("doc_id"), col("stratum_rank"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(out == naive, s"bands=$bands diverged from the naive per-stratum window")
+    }
+  }
+
+  test("quantileBuckets: tercile sizes follow the exact rank formula per stratum") {
+    val out = Splits.quantileBuckets(scoredDocs, Seq("lang"), col("q"), col("doc_id"))
+    val sizes = out.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ns = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- ns) {
+      assert(sizes.getOrElse((lang, "head"), 0L) == n / 3, s"$lang head")
+      assert(sizes.getOrElse((lang, "head"), 0L) +
+        sizes.getOrElse((lang, "middle"), 0L) == 2 * n / 3, s"$lang head+middle")
+    }
+  }
+
+  test("quantileBuckets equals pure-Scala ranking on adversarial scores (ties, negatives, out-of-range)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // heavy ties (small discrete pool), exact band-boundary multiples,
+    // and scores outside [0, 1] — the banding edges where a monotone-
+    // refinement bug would hide
+    val genScore: Gen[Double] = Gen.oneOf(
+      Gen.oneOf(0.0, 1.0, 0.5, 3.0 / 16, 15.0 / 16, -0.25, 1.75),
+      Gen.choose(-2.0, 2.0))
+    val genRows: Gen[List[(Long, String, Double)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        st <- Gen.oneOf("A", "B")
+        sc <- genScore
+      } yield (st, sc))
+    } yield rows.zipWithIndex.map { case ((st, sc), i) => (i.toLong, st, sc) }
+    val prop = Prop.forAll(genRows) { rows =>
+      val df = rows.toDF("id", "st", "score")
+      val got = Splits
+        .quantileBuckets(df, Seq("st"), col("score"), col("id"), bands = 16)
+        .select(col("id"), col("stratum_rank"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (-r._3, r._1))
+        val n = sorted.size
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          val rn = i + 1L
+          val bucket = if (rn * 3 <= n) "head"
+            else if (rn * 3 <= 2L * n) "middle" else "tail"
+          (id, rn, bucket)
+        }
+      }.toSet
+      val ok = got == want
+      if (!ok) println(s"rows=$rows\ngot=$got\nwant=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- dsirLogWeights ----
+
+  private def docsWithSource =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+
+  test("dsirLogWeights: identical texts weigh identically; n_tokens is the token count") {
+    val planted = docsWithSource.union(
+      docsWithSource.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
+    val out = Importance.dsirLogWeights(planted, "doc_id", "text",
+      col("source") === "src0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val copies = out.keys.filter(_ >= 100000)
+    assert(copies.nonEmpty)
+    for (id <- copies)
+      assert(out(id) == out(id - 100000), s"copy of ${id - 100000} diverged")
+    val toks = docsWithSource.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, nt) <- toks)
+      assert(out(id)._2 == nt, s"doc $id n_tokens")
+  }
+
+  test("dsirLogWeights: target docs outscore the rest per token (the importance-ratio direction)") {
+    val out = Importance.dsirLogWeights(docsWithSource, "doc_id", "text",
+      col("source") === "src0")
+      .join(docsWithSource.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy((col("source") === "src0").as("tgt"))
+      .agg(avg(col("logw_micro").cast("double") / col("n_tokens").cast("double"))
+        .as("per_token"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(out(true) > out(false),
+      s"target per-token weight ${out(true)} !> raw ${out(false)}")
+  }
+
+  test("dsirLogWeights: two corpus scans, broadcast model join, map-side partial per-doc sum") {
+    val p = Importance.dsirLogWeights(docsWithSource, "doc_id", "text",
+      col("source") === "src0").queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2,
+      s"expected probe + model-build scans only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    // the only corpus-sized exchange is the per-doc aggregate's
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(__id")) == 1, p)
   }
 
   test("semanticDedup: pair-budget guard trips when one cell swallows the corpus") {

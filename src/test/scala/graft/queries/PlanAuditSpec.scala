@@ -352,6 +352,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x14_quantile_filter: the per-stratum rank runs banded — no whole-language sort on one reducer") {
+    val p = plan("x14_quantile_filter")
+    // every corpus-row window (the row_number rank) partitions by
+    // (lang, __band), never lang alone — the partition key that spreads
+    // a language across bands·reducers. The lang-alone windows in this
+    // plan run over the aggregated band-counts table only.
+    val rankLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rankLines.nonEmpty, p)
+    assert(rankLines.forall(_.contains("__band")),
+      s"rank window lost its band partition key:\n$p")
+    // the band-offsets table joins back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mx2_dsir_weights: one model-building pass, broadcast model join, map-side partial sum") {
+    val p = plan("mx2_dsir_weights")
+    // probe scan + model-build scan only: raw and target counts come
+    // from ONE aggregate (conditional count), totals from a window over
+    // the 256-row model — a regression to per-model aggregation trees
+    // shows up as extra corpus scans.
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("timestamp filters push into the scan through the NTZ normalization cast") {
     // Tables.load casts TIMESTAMP_NTZ columns to session-tz TimestampType
     // (UTC sessions — value-preserving). Catalyst must unwrap that cast in
