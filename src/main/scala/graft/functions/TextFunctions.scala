@@ -233,6 +233,44 @@ object TextFunctions {
           .cast("double") / size(bg).cast("double"))
     })
 
+  /** Gopher "fraction of characters in the most frequent n-gram":
+    * char mass (occurrences · gram length) of the top n-gram over the
+    * doc's char length. Native expression ([[NgramCharFracExpr]]). */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    ncol(NgramCharFracExpr(nexpr(text), n, dup = false))
+
+  /** Gopher "fraction of characters in duplicated n-grams": total char
+    * mass of n-grams occurring ≥ 2 times over the doc's char length
+    * (all occurrences counted). Native ([[NgramCharFracExpr]]). */
+  def dupNgramCharFrac(text: Column, n: Int): Column =
+    ncol(NgramCharFracExpr(nexpr(text), n, dup = true))
+
+  /** Declarative twin of [[topNgramCharFrac]]/[[dupNgramCharFrac]] —
+    * O(n²) per row, parity-test specification only. Grams key on
+    * `(polyHash·31 + len) mod P` exactly like the native loop (and the
+    * DuckDB oracle), so hash collisions — if one ever fired — would
+    * merge identically everywhere. */
+  def ngramCharFracHof(text: Column, n: Int, dup: Boolean): Column =
+    bind(transform(shingles(text, n),
+      s => (polyHashHof(s) * 31L + length(s)) % P * lit(1L << 20) + length(s)), { ks =>
+      // key packs (hashKey << 20 | len) so the lambda can recover the
+      // gram length without a second shingle pass (len < 2^20 always:
+      // gram len ≤ text len and these corpora are single documents)
+      val masses = transform(array_distinct(ks), k =>
+        struct(size(filter(ks, y => y === k)).cast("long").as("cnt"),
+          pmod(k, lit(1L << 20)).as("len")))
+      val sel =
+        if (dup)
+          aggregate(masses, lit(0L),
+            (acc, m) => acc + when(m.getField("cnt") >= 2L,
+              m.getField("cnt") * m.getField("len")).otherwise(0L))
+        else
+          aggregate(masses, lit(0L),
+            (acc, m) => greatest(acc, m.getField("cnt") * m.getField("len")))
+      when(length(text) === 0 || size(ks) === 0, lit(0.0))
+        .otherwise(sel.cast("double") / length(text).cast("double"))
+    })
+
   /** Set Jaccard similarity of two hash arrays (duplicates inside either
     * input are deduplicated, matching the HOF twin's `array_intersect`/
     * `array_distinct` semantics; set sizes are exact ints, the division

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** The Gopher quality-filter rule battery ("Scaling Language Models:
+  * Methods, Analysis & Insights from Training Gopher", Rae et al. 2021,
+  * Table A1) — the canonical document-level pretraining filter, as one
+  * wide deterministic projection:
+  *
+  *  - word count within [minWords, maxWords];
+  *  - mean word length within [3, 10];
+  *  - ≥ 80% of words contain at least one alphabetic character;
+  *  - at least 2 distinct "required" stopwords present (the Gopher
+  *    stopword-presence rule, with this library's English function-word
+  *    list standing in for Gopher's {the, be, to, of, and, that, have,
+  *    with});
+  *  - top n-gram character fraction ≤ {0.20, 0.18, 0.16} for n = 2,3,4;
+  *  - duplicated n-gram character fraction ≤ {0.15, …, 0.10} for
+  *    n = 5..10.
+  *
+  * Gopher's remaining rules are line-based (bullet-start / ellipsis-end
+  * ratios) or symbol-based (#, …); this corpus is single-line lowercase
+  * [a-z ] text, so those rules are identically-true and deliberately
+  * omitted rather than carried as dead columns.
+  *
+  * Scale shape: a pure NARROW projection — no shuffle, no join, no
+  * aggregate; every statistic is a single compiled pass per row
+  * ([[graft.functions.NgramCharFracExpr]] et al.), so the filter
+  * streams through executors at scan speed however large the corpus.
+  * The n-gram fractions are char-MASS fractions (occurrences · gram
+  * length / doc length), the NeMo-Curator/Dolma reading of the rule;
+  * the DuckDB oracle restates every statistic from list primitives.
+  */
+object GopherRules {
+
+  /** (n, threshold) for the top-n-gram char-fraction rules. */
+  val topNgramMax: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** (n, threshold) for the duplicated-n-gram char-fraction rules. */
+  val dupNgramMax: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Per-document rule report: every statistic, the two rule-family
+    * verdicts, and the overall keep flag. Null texts fail everything
+    * (`keep = false`, stats null) — a null document is not trainable.
+    *
+    * @return (idCol, n_tokens, mean_tok_len, alpha_word_frac,
+    *         stop_hits, top{2,3,4}gram_frac, dup{5..10}gram_frac,
+    *         pass_quality, pass_repetition, keep)
+    */
+  def report(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val ts = TextFunctions.tokens(t)
+    val nTok = size(ts).cast("long")
+    val meanLen = TextFunctions.meanTokenLen(t)
+    val alphaWords =
+      size(filter(ts, w => w.rlike("[a-z]"))).cast("double") /
+        size(ts).cast("double")
+    val stopHits = size(filter(
+      array(TextFunctions.stopwords.toMap.apply("en").map(lit): _*),
+      sw => array_contains(ts, sw))).cast("long")
+    val tops = topNgramMax.map { case (n, _) =>
+      n -> TextFunctions.topNgramCharFrac(t, n) }
+    val dups = dupNgramMax.map { case (n, _) =>
+      n -> TextFunctions.dupNgramCharFrac(t, n) }
+
+    val passQuality =
+      nTok.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        (alphaWords >= 0.8) &&
+        (stopHits >= 2L)
+    val passRepetition =
+      (topNgramMax.map { case (n, thr) =>
+        (tops.toMap.apply(n) <= thr): Column } ++
+        dupNgramMax.map { case (n, thr) =>
+          (dups.toMap.apply(n) <= thr): Column }).reduce(_ && _)
+
+    df.select(
+      (Seq(col(idCol),
+        nTok.as("n_tokens"),
+        meanLen.as("mean_tok_len"),
+        alphaWords.as("alpha_word_frac"),
+        stopHits.as("stop_hits")) ++
+        tops.map { case (n, c) => c.as(s"top${n}gram_frac") } ++
+        dups.map { case (n, c) => c.as(s"dup${n}gram_frac") } ++
+        Seq(
+          coalesce(passQuality, lit(false)).as("pass_quality"),
+          coalesce(passRepetition, lit(false)).as("pass_repetition"),
+          coalesce(passQuality && passRepetition, lit(false)).as("keep"))): _*)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Chunker, Decontaminate, Dedup, Importance, Multimodal, Relevance, Similarity, Splits}
+import graft.operators.{Chunker, Decontaminate, Dedup, GopherRules, Importance, Multimodal, Relevance, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -414,6 +414,14 @@ object TrainingDataQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("quality"),
           col("stratum_rank"), col("bucket"))),
 
+    // The full Gopher rule battery (Rae et al. 2021 Table A1): word
+    // count / word shape / stopword-presence quality rules plus the
+    // char-mass n-gram repetition rules (top 2..4-gram, duplicated
+    // 5..10-gram). One narrow projection, every statistic a single
+    // compiled pass per row.
+    "x15_gopher_rules" -> ((s, d) =>
+      GopherRules.report(Tables.documents(s, d), "doc_id", "text")),
+
     // ---- Deduplication ----
     // Keyed on (fingerprint64, length), not the raw text: the dedup
     // shuffle carries 16 bytes/row — the formulation that holds at
@@ -585,6 +593,37 @@ object TrainingDataQueries extends QueryModule {
       s"range(1, greatest(len(string_split($text, ' ')) - 1, 0) + 1), " +
       s"i -> array_to_string(list_slice(string_split($text, ' '), i, i + 1), ' ')), " +
       s"s -> ${ph("s")})"
+
+  /** n-gram keys for the Gopher char-mass rules over a `ts` token-list
+    * column: gram strings → `((ph·31 + len) mod P)·2²⁰ + len`, the exact
+    * key of [[graft.functions.NativeText.ngramCharFrac]] (length packed
+    * into the key so collisions — if any — merge identically in both
+    * engines). */
+  private def ngramKeysSql(n: Int): String =
+    s"list_transform(list_transform(" +
+      s"range(1, greatest(len(ts) - ${n - 1}, 0) + 1), " +
+      s"i -> array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), " +
+      s"x -> ((${ph("x")} * 31 + length(x)) % 1000000007) * 1048576 + length(x))"
+
+  /** Char mass of the most frequent gram in a keys-list column `k`. */
+  private def topMassSql(k: String): String =
+    s"CAST(list_max(list_transform(list_distinct($k), q -> " +
+      s"CAST(len(list_filter($k, y -> y = q)) AS BIGINT) * (q % 1048576))) AS DOUBLE)"
+
+  /** Total char mass of grams occurring ≥ 2 times in keys column `k`. */
+  private def dupMassSql(k: String): String =
+    s"CAST(coalesce(list_sum(list_transform(list_distinct($k), q -> " +
+      s"CASE WHEN len(list_filter($k, y -> y = q)) >= 2 " +
+      s"THEN CAST(len(list_filter($k, y -> y = q)) AS BIGINT) * (q % 1048576) " +
+      s"ELSE 0 END)), 0) AS DOUBLE)"
+
+  /** Char-mass fraction with the empty-text / no-grams guard of the
+    * native loop. */
+  private def ngramFracSql(k: String, dup: Boolean): String = {
+    val mass = if (dup) dupMassSql(k) else topMassSql(k)
+    s"CASE WHEN length(text) = 0 OR len($k) = 0 THEN 0.0 " +
+      s"ELSE $mass / CAST(length(text) AS DOUBLE) END"
+  }
 
   /** Jaccard of two distinct-hash lists with empty-union guard. */
   private def jac(a: String, b: String): String =
@@ -1056,6 +1095,42 @@ object TrainingDataQueries extends QueryModule {
          |       WHEN stratum_rank * 3 <= n * 2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM r""".stripMargin,
+
+    "x15_gopher_rules" -> {
+      val keyCols = (GopherRules.topNgramMax ++ GopherRules.dupNgramMax)
+        .map { case (n, _) => s"    ${ngramKeysSql(n)} AS k$n" }
+        .mkString(",\n")
+      val fracCols = (GopherRules.topNgramMax.map { case (n, _) =>
+        s"    ${ngramFracSql(s"k$n", dup = false)} AS top${n}gram_frac" } ++
+        GopherRules.dupNgramMax.map { case (n, _) =>
+          s"    ${ngramFracSql(s"k$n", dup = true)} AS dup${n}gram_frac" })
+        .mkString(",\n")
+      val passQ = "n_tokens BETWEEN 50 AND 100000 " +
+        "AND mean_tok_len BETWEEN 3.0 AND 10.0 " +
+        "AND alpha_word_frac >= 0.8 AND stop_hits >= 2"
+      val passR = (GopherRules.topNgramMax.map { case (n, thr) =>
+        s"top${n}gram_frac <= $thr" } ++
+        GopherRules.dupNgramMax.map { case (n, thr) =>
+          s"dup${n}gram_frac <= $thr" }).mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, text, ts,
+         |$keyCols
+         |  FROM t),
+         |s AS (SELECT doc_id, text,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS DOUBLE)
+         |      / CAST(len(ts) AS DOUBLE) AS mean_tok_len,
+         |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(ts) AS DOUBLE) AS alpha_word_frac,
+         |    CAST(len(list_filter($enStops, sw -> list_contains(ts, sw))) AS BIGINT) AS stop_hits,
+         |$fracCols
+         |  FROM g)
+         |SELECT * EXCLUDE (text),
+         |  coalesce($passQ, false) AS pass_quality,
+         |  coalesce($passR, false) AS pass_repetition,
+         |  coalesce(($passQ) AND ($passR), false) AS keep
+         |FROM s""".stripMargin
+    },
 
     "dd9_semantic_dedup" ->
       s"""WITH cand AS ($nearDupEmbSql),

@@ -43,6 +43,20 @@ class NativeExprParitySpec extends SparkTestBase {
     assert(df.filter(!(col("n") <=> col("h"))).count() == 0)
   }
 
+  test("native ngramCharFrac ≡ HOF twin (top + dup, n ∈ {2, 5, 10})") {
+    val checks = for {
+      n <- Seq(2, 5, 10)
+      dup <- Seq(false, true)
+    } yield (T.topNgramCharFrac(col("text"), n), // native top unused when dup
+      if (dup) T.dupNgramCharFrac(col("text"), n) else T.topNgramCharFrac(col("text"), n),
+      T.ngramCharFracHof(col("text"), n, dup))
+    val df = corpus.select(checks.zipWithIndex.flatMap { case ((_, nat, hof), i) =>
+      Seq(nat.as(s"n$i"), hof.as(s"h$i")) }: _*)
+    val bad = df.filter(checks.indices.map(i =>
+      !(col(s"n$i") <=> col(s"h$i"))).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
   test("native jaccard ≡ HOF twin (incl. empty-set edge)") {
     val pairs = corpus.as("a").crossJoin(corpus.limit(5).as("b"))
       .select(T.shingleHashes(col("a.text"), 3).as("sa"),

@@ -233,6 +233,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("x15_gopher_rules: the full rule battery is a narrow projection — zero exchanges") {
+    val p = plan("x15_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("sp2_sample: rank<=k pushes below the sort as a WindowGroupLimit (hot-stratum safety)") {
     // without the group limit a hot stratum is fully sorted on one
     // reducer; with it every map task keeps only perStratum rows per
