@@ -183,4 +183,45 @@ object Splits {
           .otherwise(lit("tail")))
       .drop("__score", "__band", "__offset", "__n")
   }
+
+  /** Temperature-weighted domain resampling (the UniMax / multilingual-
+    * mixture rule: kept counts ∝ n_d^α): each domain keeps the
+    * deterministic fraction `(n_min / n_d)^(1-α)`, so after filtering
+    * the domain shares follow the α-tempered distribution with the
+    * smallest domain kept whole — α = 1 keeps everything (natural
+    * mixture), α = 0 equalizes every domain down to n_min, α = 0.5 is
+    * the square-root tempering common in multilingual pretraining.
+    *
+    * The keep/drop decision is the same content-hash gate as
+    * [[mixtureSample]] (`polyHash(on) mod 10⁶ < rate_ppm`) — pure,
+    * reproducible, stable under re-partitioning. Rates quantize to
+    * integer parts-per-million via one `floor`; for α = 0.5 the math is
+    * a single IEEE `sqrt` (correctly rounded by every engine, so the
+    * DuckDB oracle reproduces rates bit-for-bit). Other α use `pow`,
+    * which carries a ≤1-ulp cross-engine caveat at floor boundaries.
+    *
+    * Scale shape: pass 1 aggregates per-domain counts — a map-side-
+    * combined aggregate over a scan COLUMN-PRUNED to the domain column
+    * alone; `n_min` derives from a window over the |domains|-row count
+    * table; the tiny rate table then broadcast-joins back and the gate
+    * is a narrow filter. The corpus itself never shuffles. Null-domain
+    * rows have no defined rate and are dropped.
+    *
+    * @return df's columns + `rate_ppm` (kept rows only)
+    */
+  def temperatureMixture(df: DataFrame, domain: Column, on: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      "alpha in [0, 1]: a hash-gate filter can only downsample (alpha > 1 would need upsampling)")
+    val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratio = min(col("__n")).over(wAll).cast("double") / col("__n").cast("double")
+    val keepFrac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = counts
+      .select(col("__dom"), floor(keepFrac * lit(1e6)).cast("long").as("rate_ppm"))
+    df.join(broadcast(rates), domain === col("__dom"))
+      .filter(pmod(TextFunctions.polyHash(on), lit(1000000L)) < col("rate_ppm"))
+      .drop("__dom")
+  }
 }

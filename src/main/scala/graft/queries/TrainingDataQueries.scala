@@ -401,6 +401,18 @@ object TrainingDataQueries extends QueryModule {
       Importance.dsirLogWeights(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("source") === "src0", buckets = 256)),
 
+    // Temperature-weighted (UniMax-style) domain resampling: kept
+    // counts ∝ n_d^0.5, smallest domain kept whole, decided by a salted
+    // content hash against a per-domain ppm rate derived from one
+    // column-pruned count pass. The corpus never shuffles. Domain =
+    // language (the sources are uniform by construction — a gate that
+    // never fires would leave the filter arithmetic oracle-unchecked).
+    "mx3_temperature_mixture" -> ((s, d) =>
+      Splits.temperatureMixture(Tables.documents(s, d),
+        domain = col("lang"), on = concat(col("text"), lit("#temp")),
+        alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))),
+
     // CCNet-style per-language quality terciles (head/middle/tail by
     // exact per-stratum rank). Semantics = a global per-language window;
     // the plan is the two-phase banded rank in Splits.quantileBuckets —
@@ -1067,6 +1079,17 @@ object TrainingDataQueries extends QueryModule {
          |SELECT doc_id, CAST(sum(lr) AS BIGINT) AS logw_micro,
          |  CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) > 0 AS target_like
          |FROM tb JOIN model USING (bucket) GROUP BY doc_id""".stripMargin,
+
+    "mx3_temperature_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT lang,
+         |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS rate_ppm
+         |  FROM c CROSS JOIN m)
+         |SELECT doc_id, lang, rate_ppm
+         |FROM documents JOIN r USING (lang)
+         |WHERE ${ph("text || '#temp'")} % 1000000 < rate_ppm""".stripMargin,
 
     "x14_quantile_filter" ->
       s"""WITH t AS (

@@ -113,6 +113,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n$plan")
   }
 
+  // ---- temperatureMixture ----
+
+  test("temperatureMixture: alpha=1 keeps everything; alpha=0 equalizes toward n_min; kept shares track n^alpha") {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val n = base.count()
+    val all = Splits.temperatureMixture(base, col("lang"),
+      concat(col("text"), lit("#t")), alpha = 1.0)
+    assert(all.count() == n) // rate_ppm = 1e6 for every domain
+    val counts = base.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val nMin = counts.values.min
+    val eq = Splits.temperatureMixture(base, col("lang"),
+      concat(col("text"), lit("#t")), alpha = 0.0)
+    val eqCounts = eq.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // alpha=0: every domain's EXPECTED kept count is n_min; the hash
+    // gate is binomial around it — at these sizes allow a wide margin,
+    // and pin the exact rate arithmetic instead
+    eqCounts.foreach { case (l, k) =>
+      assert(k <= counts(l), s"$l kept more than it had")
+      assert(math.abs(k - nMin) <= math.max(6L, nMin / 2), s"$l: kept $k, n_min $nMin")
+    }
+    val half = Splits.temperatureMixture(base, col("lang"),
+      concat(col("text"), lit("#t")), alpha = 0.5)
+    val rates = half.select(col("lang"), col("rate_ppm")).distinct()
+      .as[(String, Long)].collect().toMap
+    rates.foreach { case (l, ppm) =>
+      assert(ppm == math.floor(math.sqrt(nMin.toDouble / counts(l)) * 1e6).toLong,
+        s"$l rate mismatch")
+    }
+    // smallest domain is kept whole
+    val minLang = counts.minBy(c => (c._2, c._1))._1
+    assert(rates(minLang) == 1000000L)
+    // deterministic across runs
+    assert(half.collect().toSet == half.collect().toSet)
+  }
+
+  test("temperatureMixture: corpus never shuffles — only the domain-count aggregate exchanges, rate join is broadcast") {
+    val out = Splits.temperatureMixture(docs, col("lang"),
+      concat(col("text"), lit("#t")), alpha = 0.5)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // exchanges may exist only under the tiny count aggregate (rows =
+    // |domains|), never carrying the text column
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => !l.contains("text#")), p)
+  }
+
   // ---- semanticDedup ----
 
   private def emb =
