@@ -434,6 +434,18 @@ object TrainingDataQueries extends QueryModule {
     "x15_gopher_rules" -> ((s, d) =>
       GopherRules.report(Tables.documents(s, d), "doc_id", "text")),
 
+    // CCNet-style LM quality score: hashed-bigram model with unigram
+    // backoff trained on the curated 'src0' slice, scoring every doc's
+    // mean token log-likelihood in integer micro-nats (log-space
+    // interpolation quantizes both factors at the model, so the
+    // corpus-wide reduction is exact integer math — cross-engine ln
+    // jitter cannot accumulate). One grouping-sets model pass, two
+    // dense broadcast models, one id-keyed shuffle.
+    "x16_bigram_logprob" -> ((s, d) =>
+      Importance.hashedBigramLogProb(Tables.documents(s, d), "doc_id", "text",
+        isModel = col("source") === "src0",
+        uniBuckets = 256, biBuckets = 4096, lambdaPct = 70)),
+
     // ---- Deduplication ----
     // Keyed on (fingerprint64, length), not the raw text: the dedup
     // shuffle carries 16 bytes/row — the formulation that holds at
@@ -1079,6 +1091,40 @@ object TrainingDataQueries extends QueryModule {
          |SELECT doc_id, CAST(sum(lr) AS BIGINT) AS logw_micro,
          |  CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) > 0 AS target_like
          |FROM tb JOIN model USING (bucket) GROUP BY doc_id""".stripMargin,
+
+    "x16_bigram_logprob" -> {
+      // single-sourced with hashedBigramLogProb(lambdaPct = 70): the
+      // unigram weight is the Scala-computed 1.0 - 0.7 interpolated at
+      // full precision (0.30000000000000004 — writing 0.3 would be a
+      // DIFFERENT double and shift micro-nat floors)
+      val lam = 70 / 100.0
+      val wU = 1.0 - lam
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+         |      i -> [${ph("ts[i] || ' ' || ts[i+1]")} % 4096,
+         |            ${ph("ts[i+1]")} % 256])) AS p
+         |  FROM tok),
+         |s AS (SELECT doc_id, source, p[1] AS bb, p[2] AS ub FROM bg),
+         |cb AS (SELECT bb, count(*) AS c FROM s WHERE source = 'src0' GROUP BY 1),
+         |cu AS (SELECT ub, count(*) AS c FROM s WHERE source = 'src0' GROUP BY 1),
+         |mt AS (SELECT count(*) AS t FROM s WHERE source = 'src0'),
+         |bi AS (SELECT bb,
+         |    CAST(floor($lam * ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+         |      / CAST(t + 4096 AS DOUBLE)) * 1e6) AS BIGINT) AS lrb
+         |  FROM range(4096) AS r(bb) LEFT JOIN cb USING (bb) CROSS JOIN mt),
+         |uni AS (SELECT ub,
+         |    CAST(floor($wU * ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+         |      / CAST(t + 256 AS DOUBLE)) * 1e6) AS BIGINT) AS lru
+         |  FROM range(256) AS r(ub) LEFT JOIN cu USING (ub) CROSS JOIN mt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lrb + lru) AS BIGINT) AS logp_micro,
+         |  CAST(CAST(sum(lrb + lru) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_logp_micro
+         |FROM s JOIN bi USING (bb) JOIN uni USING (ub)
+         |GROUP BY doc_id""".stripMargin
+    },
 
     "mx3_temperature_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

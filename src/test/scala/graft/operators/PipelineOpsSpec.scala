@@ -306,6 +306,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(__id")) == 1, p)
   }
 
+  // ---- hashedBigramLogProb ----
+
+  test("hashedBigramLogProb: identical texts score identically; n_bigrams = tokens - 1; short docs drop") {
+    val planted = docsWithSource.union(
+      docsWithSource.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
+      .union(Seq((999999L, "srcX", "solo")).toDF("doc_id", "source", "text"))
+    val out = Importance.hashedBigramLogProb(planted, "doc_id", "text",
+      col("source") === "src0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(999999L)) // 1 token -> no bigrams -> dropped
+    val copies = out.keys.filter(k => k >= 100000 && k < 999999)
+    assert(copies.nonEmpty)
+    for (id <- copies)
+      assert(out(id) == out(id - 100000), s"copy of ${id - 100000} diverged")
+    val toks = docsWithSource.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, nt) <- toks if nt >= 2)
+      assert(out(id)._1 == nt - 1, s"doc $id n_bigrams")
+  }
+
+  test("hashedBigramLogProb: in-domain text outscores out-of-vocabulary gibberish per bigram") {
+    // model = the real corpus; score a verbatim model doc vs a doc of
+    // tokens that hash to (mostly) never-seen buckets
+    val modelDoc = docsWithSource.orderBy("doc_id").select(col("text"))
+      .as[String].head()
+    val gibberish = (1 to 40).map(i => s"zzqx$i").mkString(" ")
+    val probe = Seq((1L, "m", modelDoc), (2L, "g", gibberish))
+      .toDF("doc_id", "tag", "text")
+    val scored = Importance.hashedBigramLogProb(
+      docsWithSource.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), col("text"))
+        .unionByName(probe.select(col("doc_id"),
+          lit("srcP").as("source"), col("text"))),
+      "doc_id", "text", isModel = col("source") =!= "srcP")
+      .filter(col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(1L) > scored(2L),
+      s"model text ${scored(1L)} !> gibberish ${scored(2L)}")
+  }
+
   test("semanticDedup: pair-budget guard trips when one cell swallows the corpus") {
     // a single centroid → every vector lands in one cell → guard fires
     val oneCell = emb.filter(col("vec_id") === 0)

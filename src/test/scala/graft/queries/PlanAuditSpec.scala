@@ -382,6 +382,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("x16_bigram_logprob: ONE materialized model pass, dense broadcast models, id-keyed partial sum") {
+    val p = plan("x16_bigram_logprob")
+    // probe scan only: the grouping-sets model pass localCheckpoints,
+    // and BOTH dense model tables read that one materialized RDD (a
+    // regression re-runs the model-subset explode per model — a second
+    // FileScan or an in-plan Expand)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(__id")) == 1, p)
+  }
+
   test("timestamp filters push into the scan through the NTZ normalization cast") {
     // Tables.load casts TIMESTAMP_NTZ columns to session-tz TimestampType
     // (UTC sessions — value-preserving). Catalyst must unwrap that cast in
