@@ -124,4 +124,70 @@ object Decontaminate {
     train.select(col(idCol))
       .join(confirmed, Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination: flag training documents NEAR-duplicating a
+    * benchmark document (MinHash-LSH candidates, verified by exact
+    * shingle Jaccard ≥ `threshold`) — the guard [[shingleOverlap]]'s
+    * exact n-gram matching cannot give: a benchmark item that was
+    * lightly paraphrased, truncated, or reformatted before leaking into
+    * the crawl still bands with its source (the GPT-3/PaLM-style
+    * "fuzzy dedup against the eval set" step).
+    *
+    * The 100 TB shape exploits the corpus/benchmark asymmetry harder
+    * than any dedup query can: the BENCHMARK side's exploded band keys
+    * (bands × bench rows, with their shingle arrays riding along)
+    * broadcast, so candidate generation AND Jaccard verification both
+    * happen MAP-SIDE inside the broadcast hash join — the corpus is
+    * never shuffled, not even its band keys. The only exchanges carry
+    * verified-contaminated (doc, bench) pairs — for a clean corpus,
+    * near-empty. The price of verifying inside the band join is that a
+    * pair agreeing in j bands verifies j times (≤ `bands`, exact
+    * duplicates the pair-dedup aggregate then collapses); the
+    * alternative — dedup candidates first — would shuffle every
+    * candidate's shingle array. Per row the corpus runs two single-pass
+    * native expressions (band keys, shingle hashes) and drops nothing
+    * else.
+    *
+    * @return (idCol, n_bench_matches, max_jaccard, contaminated) — one
+    *         row per training doc; unmatched docs carry (0, 0.0, false).
+    */
+  def fuzzyLshOverlap(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val benchSide = bench
+      .select(col(idCol).as("__bid"),
+        minHashBandKeys(col(textCol), k, numHashes, bands).as("__bkeys"),
+        coalesce(shingleHashes(col(textCol), k),
+          array().cast("array<long>")).as("__bsh"))
+      .select(col("__bid"), col("__bsh"),
+        posexplode_outer(col("__bkeys")).as(Seq("__band", "__key")))
+      .filter(col("__key").isNotNull)
+    val trainSide = train
+      .select(col(idCol),
+        minHashBandKeys(col(textCol), k, numHashes, bands).as("__tkeys"),
+        coalesce(shingleHashes(col(textCol), k),
+          array().cast("array<long>")).as("__tsh"))
+      .select(col(idCol), col("__tsh"),
+        posexplode_outer(col("__tkeys")).as(Seq("__band", "__key")))
+      .filter(col("__key").isNotNull)
+    val pairs = trainSide
+      .join(broadcast(benchSide), Seq("__band", "__key"))
+      .select(col(idCol), col("__bid"),
+        jaccardShingles(col("__tsh"), col("__bsh")).as("__j"))
+      .filter(col("__j") >= threshold)
+      .groupBy(col(idCol), col("__bid"))
+      .agg(max(col("__j")).as("__j"))
+    val perDoc = pairs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("__j")).as("max_jaccard"))
+    train.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0L).as("contaminated"))
+  }
 }

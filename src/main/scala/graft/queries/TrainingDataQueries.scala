@@ -212,6 +212,23 @@ object TrainingDataQueries extends QueryModule {
         "doc_id", "text", k = 3, threshold = 0.5)
     }),
 
+    // FUZZY decontamination: the benchmark stand-ins are 80%-prefix
+    // TRUNCATIONS of every 97th doc (near- but not exact copies — what
+    // x7's exact shingle matching is blind to when paraphrase shifts
+    // most shingles). MinHash-LSH candidates verify by exact Jaccard
+    // map-side inside the broadcast band join; the corpus never
+    // shuffles.
+    "x17_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ts = split(col("text"), " ")
+      val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(slice(ts, lit(1), nKeep), " ").as("text"))
+      Decontaminate.fuzzyLshOverlap(docs, bench, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    }),
+
     // Corpus-wide heavy hitters: exact top-50 tokens by occurrence count
     // with document frequency. The scale shape: explode is a pipelined
     // generator, the count aggregate combines map-side, and the top-k is
@@ -928,6 +945,37 @@ object TrainingDataQueries extends QueryModule {
          |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) * 2 > len(t.shs) AS contaminated
          |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
+
+    "x17_fuzzy_decontaminate" ->
+      s"""WITH bench AS (SELECT doc_id + 2000000 AS bid,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |bsig AS (SELECT bid, ${sh3("text")} AS shs,
+         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
+         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
+         |  FROM bench),
+         |bband AS (SELECT bid, shs, t.b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
+         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
+         |  FROM bsig CROSS JOIN range(8) AS t(b)),
+         |tsig AS (SELECT doc_id, ${sh3("text")} AS shs,
+         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
+         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
+         |  FROM documents),
+         |tband AS (SELECT doc_id, shs, t.b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
+         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
+         |  FROM tsig CROSS JOIN range(8) AS t(b)),
+         |pairs AS (SELECT DISTINCT t.doc_id, b.bid, ${jac("t.shs", "b.shs")} AS j
+         |  FROM tband t JOIN bband b ON t.band = b.band AND t.band_key = b.band_key),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+         |    max(j) AS max_jaccard
+         |  FROM pairs WHERE j >= 0.5 GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(h.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+         |  coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+         |  coalesce(h.n_bench_matches, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "x9_heavy_hitters" ->
       """WITH tok AS (

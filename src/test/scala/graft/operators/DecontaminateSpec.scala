@@ -66,4 +66,54 @@ class DecontaminateSpec extends SparkTestBase {
     }
     assert(expected == Set(2L, 4L, 5L)) // docs 1 and 3 share benchmark shingles
   }
+
+  test("fuzzyLshOverlap: truncated paraphrase flagged, unrelated and null docs clean") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val train = Seq(
+      (1L, base), // its 80% truncation is in the bench set
+      (2L, "completely unrelated content words nothing shared here at all today friend"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // bench = first 16 of the 20 tokens (Jaccard vs full = 14/18 ≈ 0.78)
+    val bench = Seq((100L, base.split(" ").take(16).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._3, s"paraphrase not flagged: ${out(1L)}")
+    assert(out(1L)._1 == 1L)
+    assert(out(1L)._2 == 14.0 / 18.0) // exact shingle Jaccard, bit-pinned
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(3L) == ((0L, 0.0, false)))
+  }
+
+  test("fuzzyLshOverlap: Jaccard threshold is verified, not just banded") {
+    // the same (doc, truncation) pair the previous test proves BANDS
+    // (it reaches the verify stage) — raising the threshold above its
+    // exact Jaccard of 14/18 must reject it there
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val train = Seq((1L, base)).toDF("doc_id", "text")
+    val bench = Seq((100L, base.split(" ").take(16).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text",
+      threshold = 0.9).collect()
+    assert(out.forall(!_.getBoolean(3)), out.mkString(";"))
+  }
+
+  test("fuzzyLshOverlap plan: corpus band keys never shuffle — bench broadcasts, only verified pairs exchange") {
+    val train = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val bench = train.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val p = Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no exchange may carry a shingle array or a band key — the only
+    // shuffles key on verified (doc, bench) pairs / doc ids
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => !l.contains("__tsh#") && !l.contains("__bsh#")
+      && !l.contains("__key#")), p)
+  }
 }
