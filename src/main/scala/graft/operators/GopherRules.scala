@@ -43,6 +43,35 @@ object GopherRules {
   val dupNgramMax: Seq[(Int, Double)] =
     Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
+  /** The quality-family verdict (word count / word shape / alpha words
+    * / stopword presence) as a tri-state column (null for null text). */
+  def passQuality(t: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L): Column = {
+    val ts = TextFunctions.tokens(t)
+    size(ts).cast("long").between(minWords, maxWords) &&
+      TextFunctions.meanTokenLen(t).between(3.0, 10.0) &&
+      (size(filter(ts, w => w.rlike("[a-z]"))).cast("double") /
+        size(ts).cast("double") >= 0.8) &&
+      (size(filter(
+        array(TextFunctions.stopwords.toMap.apply("en").map(lit): _*),
+        sw => array_contains(ts, sw))).cast("long") >= 2L)
+  }
+
+  /** The repetition-family verdict (all 9 n-gram char-mass rules) as a
+    * tri-state column (null for null text). */
+  def passRepetition(t: Column): Column =
+    (topNgramMax.map { case (n, thr) =>
+      (TextFunctions.topNgramCharFrac(t, n) <= thr): Column } ++
+      dupNgramMax.map { case (n, thr) =>
+        (TextFunctions.dupNgramCharFrac(t, n) <= thr): Column })
+      .reduce(_ && _)
+
+  /** The overall keep gate as a single boolean column (false for null
+    * text) — the composable form pipeline filters use without carrying
+    * the full report. */
+  def keep(t: Column, minWords: Long = 50L, maxWords: Long = 100000L): Column =
+    coalesce(passQuality(t, minWords, maxWords) && passRepetition(t), lit(false))
+
   /** Per-document rule report: every statistic, the two rule-family
     * verdicts, and the overall keep flag. Null texts fail everything
     * (`keep = false`, stats null) — a null document is not trainable.
@@ -68,16 +97,8 @@ object GopherRules {
     val dups = dupNgramMax.map { case (n, _) =>
       n -> TextFunctions.dupNgramCharFrac(t, n) }
 
-    val passQuality =
-      nTok.between(minWords, maxWords) &&
-        meanLen.between(3.0, 10.0) &&
-        (alphaWords >= 0.8) &&
-        (stopHits >= 2L)
-    val passRepetition =
-      (topNgramMax.map { case (n, thr) =>
-        (tops.toMap.apply(n) <= thr): Column } ++
-        dupNgramMax.map { case (n, thr) =>
-          (dups.toMap.apply(n) <= thr): Column }).reduce(_ && _)
+    val passQ = passQuality(t, minWords, maxWords)
+    val passR = passRepetition(t)
 
     df.select(
       (Seq(col(idCol),
@@ -88,8 +109,8 @@ object GopherRules {
         tops.map { case (n, c) => c.as(s"top${n}gram_frac") } ++
         dups.map { case (n, c) => c.as(s"dup${n}gram_frac") } ++
         Seq(
-          coalesce(passQuality, lit(false)).as("pass_quality"),
-          coalesce(passRepetition, lit(false)).as("pass_repetition"),
-          coalesce(passQuality && passRepetition, lit(false)).as("keep"))): _*)
+          coalesce(passQ, lit(false)).as("pass_quality"),
+          coalesce(passR, lit(false)).as("pass_repetition"),
+          coalesce(passQ && passR, lit(false)).as("keep"))): _*)
   }
 }

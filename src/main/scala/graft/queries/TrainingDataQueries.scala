@@ -362,6 +362,31 @@ object TrainingDataQueries extends QueryModule {
             .as("kept"))
     }),
 
+    // The round-13 curation pipeline: Gopher rule gate → temperature-
+    // weighted language rebalance → fuzzy benchmark decontamination.
+    // The gate is the expensive narrow stage (9 compiled n-gram passes
+    // per row) and fans out to the mixture's count pass, its filter
+    // side, and both decontamination consumers — localCheckpoint
+    // materializes it once (the pl1 stage-boundary discipline).
+    "pl3_curation" -> ((s, d) => {
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(GopherRules.keep(col("text")))
+        .localCheckpoint()
+      val sampled = Splits.temperatureMixture(gated, col("lang"),
+        concat(col("text"), lit("#temp")), alpha = 0.5)
+      val ts = split(col("text"), " ")
+      val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(slice(ts, lit(1), nKeep), " ").as("text"))
+      val flags = Decontaminate.fuzzyLshOverlap(sampled, bench,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      sampled.join(flags.filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))
+    }),
+
     // ---- Deterministic splitting / sampling ----
     "sp1_split" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -729,6 +754,65 @@ object TrainingDataQueries extends QueryModule {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents
       |WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Full x15 oracle query (the Gopher rule battery) — also embedded as
+    * a CTE by pl3's curation-pipeline oracle. */
+  private lazy val x15Sql: String = {
+    val keyCols = (GopherRules.topNgramMax ++ GopherRules.dupNgramMax)
+      .map { case (n, _) => s"    ${ngramKeysSql(n)} AS k$n" }
+      .mkString(",\n")
+    val fracCols = (GopherRules.topNgramMax.map { case (n, _) =>
+      s"    ${ngramFracSql(s"k$n", dup = false)} AS top${n}gram_frac" } ++
+      GopherRules.dupNgramMax.map { case (n, _) =>
+        s"    ${ngramFracSql(s"k$n", dup = true)} AS dup${n}gram_frac" })
+      .mkString(",\n")
+    val passQ = "n_tokens BETWEEN 50 AND 100000 " +
+      "AND mean_tok_len BETWEEN 3.0 AND 10.0 " +
+      "AND alpha_word_frac >= 0.8 AND stop_hits >= 2"
+    val passR = (GopherRules.topNgramMax.map { case (n, thr) =>
+      s"top${n}gram_frac <= $thr" } ++
+      GopherRules.dupNgramMax.map { case (n, thr) =>
+        s"dup${n}gram_frac <= $thr" }).mkString(" AND ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |g AS (SELECT doc_id, text, ts,
+       |$keyCols
+       |  FROM t),
+       |s AS (SELECT doc_id, text,
+       |    CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS DOUBLE)
+       |      / CAST(len(ts) AS DOUBLE) AS mean_tok_len,
+       |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |      / CAST(len(ts) AS DOUBLE) AS alpha_word_frac,
+       |    CAST(len(list_filter($enStops, sw -> list_contains(ts, sw))) AS BIGINT) AS stop_hits,
+       |$fracCols
+       |  FROM g)
+       |SELECT * EXCLUDE (text),
+       |  coalesce($passQ, false) AS pass_quality,
+       |  coalesce($passR, false) AS pass_repetition,
+       |  coalesce(($passQ) AND ($passR), false) AS keep
+       |FROM s""".stripMargin
+  }
+
+  /** sig + band CTE pair replaying `minHashBandKeys` (k = 3, 32 hashes,
+    * 8 bands) over CTE/table `src` carrying (`idCol`, text) — emits
+    * `<pfx>band(idCol, shs, band, band_key)`. Shared by x17 and pl3. */
+  private def bandSql(pfx: String, src: String, idCol: String): String =
+    s"""${pfx}sig AS (SELECT $idCol, ${sh3("text")} AS shs,
+       |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
+       |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
+       |  FROM $src),
+       |${pfx}band AS (SELECT $idCol, shs, t.b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
+       |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
+       |  FROM ${pfx}sig CROSS JOIN range(8) AS t(b))""".stripMargin
+
+  /** The x17/pl3 benchmark stand-ins: 80%-prefix truncations of every
+    * 97th document. */
+  private val fuzzyBenchSql: String =
+    """SELECT doc_id + 2000000 AS bid,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+      |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
   /** Full dd2 oracle query — also embedded as a CTE by dd6's recursive
     * connected-components oracle. */
   private lazy val dd2Sql: String =
@@ -947,26 +1031,9 @@ object TrainingDataQueries extends QueryModule {
          |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
 
     "x17_fuzzy_decontaminate" ->
-      s"""WITH bench AS (SELECT doc_id + 2000000 AS bid,
-         |    array_to_string(list_slice(string_split(text, ' '), 1,
-         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
-         |  FROM documents WHERE doc_id % 97 = 0),
-         |bsig AS (SELECT bid, ${sh3("text")} AS shs,
-         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
-         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
-         |  FROM bench),
-         |bband AS (SELECT bid, shs, t.b AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
-         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
-         |  FROM bsig CROSS JOIN range(8) AS t(b)),
-         |tsig AS (SELECT doc_id, ${sh3("text")} AS shs,
-         |    list_transform(range(32), i -> CAST(list_min(list_transform(${sh3("text")},
-         |      h -> (h * (2*i + 1) + (7919*i + 13)) % 1000000007)) AS BIGINT)) AS mh
-         |  FROM documents),
-         |tband AS (SELECT doc_id, shs, t.b AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(mh, t.b*4 + 1, t.b*4 + 4)),
-         |      (a, v) -> (a*31 + v) % 1000000007) AS band_key
-         |  FROM tsig CROSS JOIN range(8) AS t(b)),
+      s"""WITH bench AS ($fuzzyBenchSql),
+         |${bandSql("b", "bench", "bid")},
+         |${bandSql("t", "documents", "doc_id")},
          |pairs AS (SELECT DISTINCT t.doc_id, b.bid, ${jac("t.shs", "b.shs")} AS j
          |  FROM tband t JOIN bband b ON t.band = b.band AND t.band_key = b.band_key),
          |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
@@ -1083,6 +1150,31 @@ object TrainingDataQueries extends QueryModule {
          |  CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
          |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS kept
          |FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id""".stripMargin,
+
+    "pl3_curation" ->
+      s"""WITH gop AS (
+         |$x15Sql
+         |),
+         |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN gop ON d.doc_id = gop.doc_id WHERE gop.keep),
+         |c AS (SELECT lang, count(*) AS n FROM kept GROUP BY 1),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT lang,
+         |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS rate_ppm
+         |  FROM c CROSS JOIN m),
+         |sampled AS (SELECT k.doc_id, k.lang, k.text, r.rate_ppm
+         |  FROM kept k JOIN r USING (lang)
+         |  WHERE ${ph("k.text || '#temp'")} % 1000000 < r.rate_ppm),
+         |bench AS ($fuzzyBenchSql),
+         |${bandSql("b", "bench", "bid")},
+         |${bandSql("t", "sampled", "doc_id")},
+         |pairs AS (SELECT DISTINCT t.doc_id, b.bid, ${jac("t.shs", "b.shs")} AS j
+         |  FROM tband t JOIN bband b ON t.band = b.band AND t.band_key = b.band_key),
+         |hits AS (SELECT doc_id FROM pairs WHERE j >= 0.5 GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.rate_ppm
+         |FROM sampled s LEFT JOIN hits h USING (doc_id)
+         |WHERE h.doc_id IS NULL""".stripMargin,
 
     "sp1_split" ->
       s"""WITH t AS (SELECT doc_id, ${ph("text")} % 100 AS h100,
@@ -1213,41 +1305,7 @@ object TrainingDataQueries extends QueryModule {
          |       ELSE 'tail' END AS bucket
          |FROM r""".stripMargin,
 
-    "x15_gopher_rules" -> {
-      val keyCols = (GopherRules.topNgramMax ++ GopherRules.dupNgramMax)
-        .map { case (n, _) => s"    ${ngramKeysSql(n)} AS k$n" }
-        .mkString(",\n")
-      val fracCols = (GopherRules.topNgramMax.map { case (n, _) =>
-        s"    ${ngramFracSql(s"k$n", dup = false)} AS top${n}gram_frac" } ++
-        GopherRules.dupNgramMax.map { case (n, _) =>
-          s"    ${ngramFracSql(s"k$n", dup = true)} AS dup${n}gram_frac" })
-        .mkString(",\n")
-      val passQ = "n_tokens BETWEEN 50 AND 100000 " +
-        "AND mean_tok_len BETWEEN 3.0 AND 10.0 " +
-        "AND alpha_word_frac >= 0.8 AND stop_hits >= 2"
-      val passR = (GopherRules.topNgramMax.map { case (n, thr) =>
-        s"top${n}gram_frac <= $thr" } ++
-        GopherRules.dupNgramMax.map { case (n, thr) =>
-          s"dup${n}gram_frac <= $thr" }).mkString(" AND ")
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
-         |g AS (SELECT doc_id, text, ts,
-         |$keyCols
-         |  FROM t),
-         |s AS (SELECT doc_id, text,
-         |    CAST(len(ts) AS BIGINT) AS n_tokens,
-         |    CAST(CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS DOUBLE)
-         |      / CAST(len(ts) AS DOUBLE) AS mean_tok_len,
-         |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-         |      / CAST(len(ts) AS DOUBLE) AS alpha_word_frac,
-         |    CAST(len(list_filter($enStops, sw -> list_contains(ts, sw))) AS BIGINT) AS stop_hits,
-         |$fracCols
-         |  FROM g)
-         |SELECT * EXCLUDE (text),
-         |  coalesce($passQ, false) AS pass_quality,
-         |  coalesce($passR, false) AS pass_repetition,
-         |  coalesce(($passQ) AND ($passR), false) AS keep
-         |FROM s""".stripMargin
-    },
+    "x15_gopher_rules" -> x15Sql,
 
     "dd9_semantic_dedup" ->
       s"""WITH cand AS ($nearDupEmbSql),
