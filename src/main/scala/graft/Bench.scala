@@ -403,6 +403,21 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
+    // Release batch-section residue before the streaming legs: the query
+    // repeats leave localCheckpoint RDDs (the dd9/dd11/x14/x16/pl1/pl3
+    // stage boundaries) and cached relations pinned in the block
+    // manager, and that heap pressure lands inside the streaming window
+    // (observed: AvailableNow runs decaying 99k→63k rec/s across the 5
+    // repeats once the round-13 queries joined the batch set). The
+    // streaming legs must measure the engine, not the batch section's
+    // shadow. Safe: every checkpointed DataFrame is dead after its
+    // timed runs, and the block-volume section builds fresh plans.
+    if (only.isEmpty) {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => scala.util.Try(r.unpersist(blocking = true)))
+      System.gc()
+    }
     val streamingStart = offNow()
     var streamRps: Option[Double] = None
     val streaming =
