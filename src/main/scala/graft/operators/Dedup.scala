@@ -1041,4 +1041,44 @@ object Dedup {
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-document content NOVELTY (the SlimPajama-style "how much of
+    * this doc is new content" selection signal): the fraction of a
+    * doc's distinct k-shingles whose FIRST corpus occurrence (minimum
+    * doc id over every doc containing the shingle) is this doc.
+    * Verbatim copies of earlier documents score 0, fresh content
+    * scores 1, remixes land in between — the scalar complement of the
+    * pairwise dedup family (dd1-dd11 ask "which docs repeat EACH
+    * OTHER"; this asks "how much does each doc repeat the CORPUS").
+    *
+    * Scale shape: no join between corpus-sized shingle streams. The
+    * novel-count needs no shingles-to-owner join at all — a shingle is
+    * novel to exactly the doc that owns its minimum id, so
+    * `min-by-shingle → count-by-owner` is a two-aggregate chain
+    * (shuffle 1 keyed on the 8-byte shingle hash with a map-side
+    * partial min, shuffle 2 keyed on the owner id; no exchange ever
+    * carries text or arrays). The per-doc shingle count comes from the
+    * narrow second scan, and the only corpus×corpus join is the final
+    * id-keyed attach. Null/short texts have 0 shingles and novelty 0.
+    *
+    * @return (idCol, n_shingles, n_novel, novelty)
+    */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol),
+      coalesce(shingleHashes(col(textCol), k),
+        array().cast("array<long>")).as("__sh"))
+    val novel = base
+      .select(col(idCol), explode_outer(col("__sh")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    base.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+  }
 }

@@ -212,6 +212,14 @@ object TrainingDataQueries extends QueryModule {
         "doc_id", "text", k = 3, threshold = 0.5)
     }),
 
+    // Content novelty over the planted-duplicate corpus: exact copies
+    // score 0 (their shingles' first occurrence is the original),
+    // fresh docs ~1 — the scalar "how much of this doc is new"
+    // selection signal. Two 8-byte-keyed aggregates, no text/array
+    // exchange.
+    "x18_novelty" -> ((s, d) =>
+      Dedup.shingleNovelty(exactDupDocs(s, d), "doc_id", "text", k = 3)),
+
     // FUZZY decontamination: the benchmark stand-ins are 80%-prefix
     // TRUNCATIONS of every 97th doc (near- but not exact copies — what
     // x7's exact shingle matching is blind to when paraphrase shifts
@@ -1029,6 +1037,20 @@ object TrainingDataQueries extends QueryModule {
          |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) * 2 > len(t.shs) AS contaminated
          |FROM train t LEFT JOIN ov o USING (doc_id)""".stripMargin,
+
+    "x18_novelty" ->
+      s"""WITH corpus AS ($exactDupDocsSql),
+         |sh AS (SELECT doc_id, ${sh3("text")} AS shs FROM corpus),
+         |ex AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+         |own AS (SELECT h, min(doc_id) AS doc_id FROM ex GROUP BY 1),
+         |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM own GROUP BY 1)
+         |SELECT s.doc_id, CAST(len(s.shs) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN len(s.shs) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+         |      / CAST(len(s.shs) AS DOUBLE) END AS novelty
+         |FROM sh s LEFT JOIN nov n USING (doc_id)""".stripMargin,
 
     "x17_fuzzy_decontaminate" ->
       s"""WITH bench AS ($fuzzyBenchSql),

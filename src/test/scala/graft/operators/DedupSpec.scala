@@ -638,4 +638,44 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(strided.toSeq == Seq((1L, 2L)), strided.toSeq)
   }
+
+  // ---- shingleNovelty ----
+
+  test("shingleNovelty: fresh content 1.0, verbatim copy 0.0, remix in between, null/short 0") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"    // 6 shingles
+    val b = "one two three four five six seven eight nine ten" // 8 shingles
+    val docs = Seq(
+      (1L, a),
+      (2L, b),
+      (3L, a), // verbatim copy of 1 (higher id): novelty 0
+      // first 5 tokens of a (3 shingles, all owned by doc 1) + 5 fresh
+      // tokens: shingles crossing the seam + the fresh tail are novel
+      (4L, a.split(" ").take(5).mkString(" ") + " xx yy zz ww vv"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "just two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.shingleNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)))
+    assert(out(2L) == ((8L, 8L, 1.0)))
+    assert(out(3L) == ((6L, 0L, 0.0)))
+    // doc 4: 8 shingles; 3 are a's prefix shingles (owned by doc 1),
+    // the 5 crossing/fresh ones are first-seen here
+    assert(out(4L) == ((8L, 5L, 5.0 / 8.0)))
+    assert(out(5L) == ((0L, 0L, 0.0)))
+    assert(out(6L) == ((0L, 0L, 0.0)))
+  }
+
+  test("shingleNovelty plan: exchanges carry the 8-byte shingle key / ids, never text or arrays; partials map-side") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = Dedup.shingleNovelty(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => !l.contains("text#") && !l.contains("__sh#")), p)
+  }
 }
