@@ -184,6 +184,29 @@ object Splits {
       .drop("__score", "__band", "__offset", "__n")
   }
 
+  /** Leakage-safe train/val/test assignment: rows assign by their
+    * near-dup CLUSTER's canonical id, not their own content — every
+    * member of a duplicate cluster lands in the SAME split, so a
+    * near-copy of a training document can never leak into eval. (Plain
+    * [[assign]] on content already co-assigns EXACT duplicates; only
+    * cluster-level assignment co-assigns near-duplicates, the classic
+    * eval-contamination hole.) `labels` is the (idCol, clusterCol)
+    * output of [[Dedup.clusters]] over near-dup pairs; unlabeled rows
+    * (singletons) are their own cluster. The join is id-keyed; the
+    * assignment itself stays a narrow hash of the cluster id.
+    *
+    * @return df's columns + (`cluster_id`, `split`)
+    */
+  def clusterAssign(df: DataFrame, idCol: String, labels: DataFrame,
+      clusterCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.join(labels.select(col(idCol), col(clusterCol).as("__cl")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl")
+      .withColumn("split",
+        assign(concat(lit("c#"), col("cluster_id").cast("string")),
+          trainPct, valPct))
+
   /** Temperature-weighted domain resampling (the UniMax / multilingual-
     * mixture rule: kept counts ∝ n_d^α): each domain keeps the
     * deterministic fraction `(n_min / n_d)^(1-α)`, so after filtering

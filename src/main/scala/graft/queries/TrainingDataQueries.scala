@@ -370,6 +370,22 @@ object TrainingDataQueries extends QueryModule {
             .as("kept"))
     }),
 
+    // Leakage-safe splitting: near-dup clusters (dd6 labels) co-assign
+    // to one split via a hash of the canonical cluster id — a near-copy
+    // of a training doc can never land in eval. Content-hash assign
+    // (sp1) only co-assigns EXACT duplicates; this closes the near-dup
+    // leakage hole.
+    "sp3_cluster_split" -> ((s, d) => {
+      val corpus = nearDupDocs(s, d)
+      val labels = Dedup.clusters(
+        Dedup.minHashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      Splits.clusterAssign(corpus.select(col("doc_id")), "doc_id",
+        labels, "cluster_id")
+    }),
+
     // The round-13 curation pipeline: Gopher rule gate → temperature-
     // weighted language rebalance → fuzzy benchmark decontamination.
     // The gate is the expensive narrow stage (9 compiled n-gram passes
@@ -821,6 +837,22 @@ object TrainingDataQueries extends QueryModule {
       |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
       |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
 
+  /** Shared connected-components prelude (dd2 pairs → recursive
+    * reachability → min-id labels `lab` + `corpus`) — the cluster
+    * machinery pl2 and sp3 both replay. */
+  private lazy val ccLabSql: String =
+    s"""WITH RECURSIVE p AS (
+       |$dd2Sql
+       |),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.m FROM reach r JOIN edges e ON e.b = r.n),
+       |lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |corpus AS ($nearDupDocsSql)""".stripMargin
+
   /** Full dd2 oracle query — also embedded as a CTE by dd6's recursive
     * connected-components oracle. */
   private lazy val dd2Sql: String =
@@ -1157,21 +1189,22 @@ object TrainingDataQueries extends QueryModule {
          |SELECT lang, split, count(*) AS n_docs FROM asg GROUP BY 1, 2""".stripMargin,
 
     "pl2_cluster_keep" ->
-      s"""WITH RECURSIVE p AS (
-         |$dd2Sql
-         |),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |          UNION SELECT doc_b, doc_a FROM p),
-         |reach(n, m) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.m FROM reach r JOIN edges e ON e.b = r.n),
-         |lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-         |corpus AS ($nearDupDocsSql)
+      s"""$ccLabSql
          |SELECT c.doc_id,
          |  CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
          |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS kept
          |FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id""".stripMargin,
+
+    "sp3_cluster_split" ->
+      s"""$ccLabSql,
+         |asg AS (SELECT c.doc_id,
+         |    CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+         |  FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${ph("'c#' || CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${ph("'c#' || CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM asg""".stripMargin,
 
     "pl3_curation" ->
       s"""WITH gop AS (

@@ -113,6 +113,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n$plan")
   }
 
+  // ---- clusterAssign ----
+
+  test("clusterAssign: cluster members co-assign; singletons are their own cluster; assignment is the c#-salted hash") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Splits.clusterAssign(df, "doc_id", labels, "cluster_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(4L)._1 == 4L) // unlabeled singleton: own cluster
+    // leakage safety: every member of cluster 1 gets the SAME split
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    // and the assignment matches the documented c#-salted content hash
+    val h = graft.functions.NativeText.polyHash("c#1") % 100
+    val expected = if (h < 80) "train" else if (h < 90) "val" else "test"
+    assert(out(1L)._2 == expected)
+  }
+
   // ---- temperatureMixture ----
 
   test("temperatureMixture: alpha=1 keeps everything; alpha=0 equalizes toward n_min; kept shares track n^alpha") {
