@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Chunker, Decontaminate, Dedup, GopherRules, Importance, Multimodal, Relevance, Similarity, Splits}
+import graft.operators.{Chunker, Decontaminate, Dedup, GopherRules, Importance, Multimodal, Prototypes, Relevance, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -46,6 +46,38 @@ object TrainingDataQueries extends QueryModule {
       .select((col("vec_id") + 100000).as("vec_id"),
         V.scale(col("embedding"), 0.5f).as("embedding")))
   }
+
+  /** documents re-segmented into "sentences" for the sentence-boundary
+    * chunker: the corpus is single-line unpunctuated text, so sentence
+    * boundaries derive from a CLOSED-FORM cycling token-length pattern
+    * (lengths 5,9,7,3,11,4 — sentence i starts at token offset
+    * `39·(i div 6) + pref(i mod 6)`). Pure integer arithmetic on the
+    * real corpus tokens, so DuckDB replays the segmentation exactly and
+    * the varying lengths genuinely exercise the packer's boundary
+    * logic (a production caller would regex-split on terminal
+    * punctuation instead). */
+  private def sentencedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val ts = split(col("text"), " ")
+    val n = size(ts)
+    val lensArr = array(senLens.map(lit): _*)
+    val prefArr = array(senPref.map(lit): _*)
+    def off(i: Column) =
+      (lit(39) * floor(i / 6)).cast("int") +
+        element_at(prefArr, pmod(i, lit(6)) + 1)
+    def sent(i: Column) =
+      when(off(i) < n,
+        array_join(slice(ts, off(i) + 1,
+          element_at(lensArr, pmod(i, lit(6)) + 1)), " "))
+    val idxs = when(n > 0, sequence(lit(0), floor(n / 3).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val sents = filter(transform(idxs, i => sent(i)), x => x.isNotNull)
+    docs.select(col("doc_id"), sents.as("sentences"))
+  }
+  private val senLens = Seq(5, 9, 7, 3, 11, 4)
+  private val senPref = Seq(0, 5, 14, 21, 24, 35)
 
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
     * offsets and a per-copy tag token appended to the text — copies are
@@ -435,6 +467,20 @@ object TrainingDataQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("chunk_id"),
           col("chunk"), col("n_chars"))),
 
+    // Sentence-boundary token-budget packing (the RAG-style chunker):
+    // chunk boundaries fall between sentences at fixed token offsets
+    // (floor(tokens-before / 24) — the stateless pk1 rule, never a
+    // greedy sequential fold). The corpus has no punctuation, so the
+    // sentence segmentation derives from a closed-form cycling length
+    // pattern both engines replay exactly; the oracle states the packing
+    // as the naive explode + group-by, which the array-local zero-shuffle
+    // plan must reproduce bit-for-bit.
+    "ck2_sentence_pack" -> ((s, d) =>
+      Chunker.sentencePack(sentencedDocs(s, d), "doc_id",
+        col("sentences"), budget = 24)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
+          col("n_tokens"), col("n_sentences"))),
+
     // Token-budget shard packing: shard = floor(cumulative tokens before
     // this doc / 2048). Semantics are a GLOBAL running sum; the plan is
     // the two-phase distributed prefix sum in Splits.tokenBudgetShards —
@@ -628,6 +674,16 @@ object TrainingDataQueries extends QueryModule {
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64, multiProbe = true)
     }),
+
+    // Prototypicality pruning (SSL-prototypes): cosine of each vector to
+    // its label's integer-quantized mean centroid; the most prototypical
+    // (redundant) examples flag for pruning. The quantized centroid makes
+    // the group mean commutative-integer math — no ordered fold, no
+    // member collection — so the corpus never shuffles (only the
+    // (label,pos) sum partials do) and DuckDB replays the mean exactly.
+    "x19_prototypicality" -> ((s, d) =>
+      Prototypes.prototypicality(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", pruneAbove = 0.25)),
 
     // ---- Multimodal plumbing: opaque binary + derived metadata ----
     "mm1_media_meta" -> ((s, d) =>
@@ -1253,6 +1309,32 @@ object TrainingDataQueries extends QueryModule {
         |FROM (SELECT doc_id, text, unnest(range((length(text) + 149) // 150)) AS i
         |      FROM documents WHERE length(text) > 0)""".stripMargin,
 
+    // The packing restated as the naive explode + group-by; the
+    // segmentation replays the closed-form cycling length pattern
+    // (off(i) = 39*(i div 6) + pref[i mod 6], lens cycling 5,9,7,3,11,4).
+    // Note list_slice is END-INCLUSIVE where Spark's slice is
+    // length-based: list_slice(tk, a, a + len - 1 + 1) == slice(ts, a, len).
+    "ck2_sentence_pack" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |sen AS (SELECT doc_id, list_filter(list_transform(range(len(tk) // 3 + 1), i ->
+        |    CASE WHEN 39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] < len(tk)
+        |    THEN array_to_string(list_slice(tk,
+        |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + 1,
+        |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + ([5,9,7,3,11,4])[(i % 6) + 1]), ' ')
+        |    ELSE NULL END), s -> s IS NOT NULL AND len(s) > 0) AS sents FROM d),
+        |tkx AS (SELECT doc_id, sents,
+        |  list_transform(sents, s -> CAST(len(list_filter(string_split(s, ' '),
+        |    w -> len(w) > 0)) AS BIGINT)) AS tkc FROM sen),
+        |ex AS (SELECT doc_id, sents, tkc, unnest(range(len(sents))) AS i FROM tkx),
+        |rows0 AS (SELECT doc_id, i, sents[i + 1] AS s, tkc[i + 1] AS tk,
+        |  CAST(coalesce(list_sum(list_slice(tkc, 1, i)), 0) AS BIGINT) AS cumb FROM ex)
+        |SELECT doc_id, CAST(cumb // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(list(s ORDER BY i), ' ') AS chunk,
+        |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_sentences
+        |FROM rows0 GROUP BY doc_id, cumb // 24""".stripMargin,
+
     "pk1_token_shards" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
@@ -1479,6 +1561,27 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    // The quantized-mean centroid replayed exactly: floor(x · 2^20) per
+    // coordinate (the ×2^20 is exact), commutative integer sums, two
+    // IEEE divisions, one rounding to FLOAT — then the shared ordered
+    // cosine fold.
+    "x19_prototypicality" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |q AS (SELECT label, u.pos AS pos, u.qc AS qc FROM (
+         |  SELECT label, unnest(list_transform(range(64), i ->
+         |    {'pos': i, 'qc': CAST(floor(CAST(v[i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)})) AS u
+         |  FROM e) t),
+         |s AS (SELECT label, pos, CAST(sum(qc) AS BIGINT) AS qs,
+         |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY label, pos),
+         |c AS (SELECT label, list(
+         |    CAST((CAST(qs AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE) AS FLOAT)
+         |    ORDER BY pos) AS centroid
+         |  FROM s GROUP BY label)
+         |SELECT e.vec_id, e.label, ${cos("e.v", "c.centroid")} AS proto_cos,
+         |  (${cos("e.v", "c.centroid")} < 0.25) AS keep
+         |FROM e JOIN c USING (label)""".stripMargin,
 
     "sim1_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -61,6 +61,65 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  // ---- sentencePack ----
+
+  /** Pure-Scala boundary-aligned packing: the semantics sentencePack's
+    * array-local plan must reproduce. */
+  private def refPack(sents: Seq[String], budget: Int)
+      : Seq[(Long, String, Long, Long)] = {
+    val kept = sents.filter(s => s != null && s.nonEmpty)
+    val tkc = kept.map(s => s.split(" ").count(_.nonEmpty).toLong)
+    val cumb = tkc.scanLeft(0L)(_ + _).init
+    val ks = cumb.map(_ / budget)
+    ks.distinct.map { k =>
+      val idx = ks.zipWithIndex.filter(_._1 == k).map(_._2)
+      (k, idx.map(kept).mkString(" "), idx.map(tkc).sum, idx.size.toLong)
+    }
+  }
+
+  test("sentencePack: boundary-aligned pin — chunk = floor(tokens-before / budget), boundary sentence may overflow") {
+    // token counts 3,3,3 with budget 5: cum-before 0,3,6 -> chunks 0,0,1
+    val df = Seq((1L, Seq("a b c", "d e f", "g h i")))
+      .toDF("doc_id", "sentences")
+    val out = Chunker.sentencePack(df, "doc_id", col("sentences"), budget = 5)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, "a b c d e f", 6L, 2L), (1L, "g h i", 3L, 1L)))
+  }
+
+  test("sentencePack equals pure-Scala packing on adversarial sentence lists (nulls, empties, oversized)") {
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[(Long, Seq[String])] = (0L until 40L).map { id =>
+      val n = rnd.nextInt(12)
+      id -> (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => null
+          case 1 => ""
+          case 2 => Seq.fill(rnd.nextInt(40) + 1)("w").mkString(" ") // oversized
+          case _ => Seq.fill(rnd.nextInt(6) + 1)("t" + rnd.nextInt(9)).mkString(" ")
+        }
+      }
+    } :+ (99L -> Seq.empty[String])
+    val df = cases.toDF("doc_id", "sentences")
+    for (budget <- Seq(1, 7, 24)) {
+      val got = Chunker.sentencePack(df, "doc_id", col("sentences"), budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = cases.flatMap { case (id, sents) =>
+        refPack(sents, budget).map { case (k, c, tk, ns) => (id, k, c, tk, ns) }
+      }.toSet
+      assert(got == want, s"budget=$budget")
+    }
+  }
+
+  test("sentencePack: plan has no Exchange (array-local running sum, narrow generator)") {
+    val df = docs.select(col("doc_id"), split(col("text"), "x").as("sentences"))
+    val plan = Chunker.sentencePack(df, "doc_id", col("sentences"), budget = 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sentence packing must not shuffle:\n$plan")
+  }
+
   // ---- tokenBudgetShards ----
 
   test("tokenBudgetShards: equals the naive global running sum, for any bucket granularity") {
