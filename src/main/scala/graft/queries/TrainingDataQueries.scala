@@ -56,9 +56,12 @@ object TrainingDataQueries extends QueryModule {
     * the varying lengths genuinely exercise the packer's boundary
     * logic (a production caller would regex-split on terminal
     * punctuation instead). */
-  private def sentencedDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
+  private def sentencedDocs(s: SparkSession, d: String): DataFrame =
+    sentenced(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The segmentation itself, over any (doc_id, text) corpus. */
+  private def sentenced(src: DataFrame): DataFrame = {
+    val docs = src.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val ts = split(col("text"), " ")
     val n = size(ts)
@@ -443,6 +446,29 @@ object TrainingDataQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("rate_ppm"))
     }),
 
+    // The RAG-ingest pipeline: sentence-segment -> boundary-aligned
+    // chunk (ck2) -> corpus-wide exact chunk dedup (keep the first
+    // occurrence) -> content-hash shard assignment. The dedup shuffle
+    // carries only 8-byte values — (fingerprint64, length) key, owner
+    // ids, token count, shard — never the chunk text (the dd8
+    // discipline); the oracle groups the raw text, so a hash match
+    // proves the 16-byte-key plan reproduces it. The corpus is the
+    // planted near-dup union: prefix copies share chunk-aligned
+    // prefixes, so cross-document duplicate chunks genuinely occur and
+    // collapse to the original doc as keeper.
+    "pl4_rag_ingest" -> ((s, d) => {
+      val chunks = Chunker.sentencePack(sentenced(nearDupDocs(s, d)),
+        "doc_id", col("sentences"), budget = 24)
+      chunks
+        .groupBy(T.fingerprint64(col("chunk")).as("fp"),
+          length(col("chunk")).as("ln"))
+        .agg(min(struct(col("id"), col("chunk_id"))).as("o"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(Splits.shard(col("chunk"), 8)).as("shard"))
+        .select(col("o.id").as("doc_id"), col("o.chunk_id").as("chunk_id"),
+          col("n_tokens"), col("shard"))
+    }),
+
     // ---- Deterministic splitting / sampling ----
     "sp1_split" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -675,6 +701,25 @@ object TrainingDataQueries extends QueryModule {
         "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64, multiProbe = true)
     }),
 
+    // recall@5 of the IVF path against the exact brute-force top-5 —
+    // the ANN quality audit a production index build reports next to
+    // its latency (nProbe is THE recall/cost dial; this is how you pick
+    // it). Left join exact→approx on the query-set-sized result tables
+    // (both ≤ |Q|·k rows — nothing corpus-sized moves).
+    "sim5_ivf_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / 5)
+    }),
+
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
     // its label's integer-quantized mean centroid; the most prototypical
     // (redundant) examples flag for pruning. The quantized centroid makes
@@ -833,6 +878,66 @@ object TrainingDataQueries extends QueryModule {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents
       |WHERE doc_id % 10 = 0""".stripMargin
+
+  /** sim1 / sim3 as standalone statements — also composed by sim5's
+    * recall audit. */
+  private lazy val sim1Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cos("qv", "c.embedding")} AS cosine
+         |  FROM q, embeddings c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin
+  private lazy val sim3Sql: String =
+    s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |cells AS (
+         |  SELECT cell, neighbor_id, cv FROM (
+         |    SELECT c.cell, e.vec_id AS neighbor_id, e.embedding AS cv,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cell, query_id, qv FROM (
+         |    SELECT c.cell, q.vec_id AS query_id, q.embedding AS qv,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+         |  FROM probes JOIN cells USING (cell) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin
+
+  /** The ck2 sentence segmentation + boundary-aligned packing as a CTE
+    * chain over `src` (any relation with doc_id, text), ending in table
+    * `ck2chunks(doc_id, chunk_id, chunk, n_tokens, n_sentences)`.
+    * Note list_slice is END-INCLUSIVE where Spark's slice is
+    * length-based: list_slice(tk, a, a + len - 1 + 1) == slice(ts, a, len). */
+  private def sentencePackSql(src: String, budget: Int): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM $src WHERE text IS NOT NULL),
+       |sen AS (SELECT doc_id, list_filter(list_transform(range(len(tk) // 3 + 1), i ->
+       |    CASE WHEN 39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] < len(tk)
+       |    THEN array_to_string(list_slice(tk,
+       |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + 1,
+       |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + ([5,9,7,3,11,4])[(i % 6) + 1]), ' ')
+       |    ELSE NULL END), s -> s IS NOT NULL AND len(s) > 0) AS sents FROM d),
+       |tkx AS (SELECT doc_id, sents,
+       |  list_transform(sents, s -> CAST(len(list_filter(string_split(s, ' '),
+       |    w -> len(w) > 0)) AS BIGINT)) AS tkc FROM sen),
+       |ex AS (SELECT doc_id, sents, tkc, unnest(range(len(sents))) AS i FROM tkx),
+       |rows0 AS (SELECT doc_id, i, sents[i + 1] AS s, tkc[i + 1] AS tk,
+       |  CAST(coalesce(list_sum(list_slice(tkc, 1, i)), 0) AS BIGINT) AS cumb FROM ex),
+       |ck2chunks AS (SELECT doc_id, CAST(cumb // $budget AS BIGINT) AS chunk_id,
+       |  array_to_string(list(s ORDER BY i), ' ') AS chunk,
+       |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_sentences
+       |  FROM rows0 GROUP BY doc_id, cumb // $budget)""".stripMargin
 
   /** Full x15 oracle query (the Gopher rule battery) — also embedded as
     * a CTE by pl3's curation-pipeline oracle. */
@@ -1312,28 +1417,22 @@ object TrainingDataQueries extends QueryModule {
     // The packing restated as the naive explode + group-by; the
     // segmentation replays the closed-form cycling length pattern
     // (off(i) = 39*(i div 6) + pref[i mod 6], lens cycling 5,9,7,3,11,4).
-    // Note list_slice is END-INCLUSIVE where Spark's slice is
-    // length-based: list_slice(tk, a, a + len - 1 + 1) == slice(ts, a, len).
     "ck2_sentence_pack" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |sen AS (SELECT doc_id, list_filter(list_transform(range(len(tk) // 3 + 1), i ->
-        |    CASE WHEN 39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] < len(tk)
-        |    THEN array_to_string(list_slice(tk,
-        |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + 1,
-        |      39*(i // 6) + ([0,5,14,21,24,35])[(i % 6) + 1] + ([5,9,7,3,11,4])[(i % 6) + 1]), ' ')
-        |    ELSE NULL END), s -> s IS NOT NULL AND len(s) > 0) AS sents FROM d),
-        |tkx AS (SELECT doc_id, sents,
-        |  list_transform(sents, s -> CAST(len(list_filter(string_split(s, ' '),
-        |    w -> len(w) > 0)) AS BIGINT)) AS tkc FROM sen),
-        |ex AS (SELECT doc_id, sents, tkc, unnest(range(len(sents))) AS i FROM tkx),
-        |rows0 AS (SELECT doc_id, i, sents[i + 1] AS s, tkc[i + 1] AS tk,
-        |  CAST(coalesce(list_sum(list_slice(tkc, 1, i)), 0) AS BIGINT) AS cumb FROM ex)
-        |SELECT doc_id, CAST(cumb // 24 AS BIGINT) AS chunk_id,
-        |  array_to_string(list(s ORDER BY i), ' ') AS chunk,
-        |  CAST(sum(tk) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS n_sentences
-        |FROM rows0 GROUP BY doc_id, cumb // 24""".stripMargin,
+      s"""WITH ${sentencePackSql("documents", 24)}
+         |SELECT doc_id, chunk_id, chunk, n_tokens, n_sentences
+         |FROM ck2chunks""".stripMargin,
+
+    // ck2's chunks over the near-dup corpus, first occurrence per
+    // distinct chunk text, content-hash shard — the oracle dedups on
+    // the RAW text; the 16-byte-key plan must reproduce it.
+    "pl4_rag_ingest" ->
+      s"""WITH src AS ($nearDupDocsSql),
+         |${sentencePackSql("src", 24)},
+         |kept AS (SELECT doc_id, chunk_id, chunk, n_tokens,
+         |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ck2chunks)
+         |SELECT doc_id, chunk_id, n_tokens, ${ph("chunk")} % 8 AS shard
+         |FROM kept WHERE rn = 1""".stripMargin,
 
     "pk1_token_shards" ->
       """WITH t AS (SELECT doc_id,
@@ -1583,15 +1682,18 @@ object TrainingDataQueries extends QueryModule {
          |  (${cos("e.v", "c.centroid")} < 0.25) AS keep
          |FROM e JOIN c USING (label)""".stripMargin,
 
-    "sim1_topk_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-         |scored AS (
-         |  SELECT query_id, c.vec_id AS neighbor_id, ${cos("qv", "c.embedding")} AS cosine
-         |  FROM q, embeddings c WHERE c.vec_id <> query_id)
-         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+    "sim1_topk_bruteforce" -> sim1Sql,
+
+    // recall@5 of the IVF path against the exact brute-force top-5 —
+    // the standard ANN quality audit a production index build reports
+    // next to its bench numbers (nProbe is THE recall/cost dial).
+    "sim5_ivf_recall" ->
+      s"""WITH ex AS ($sim1Sql), ap AS ($sim3Sql)
+         |SELECT ex.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(ap.neighbor_id) AS DOUBLE) / 5 AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
 
     "sim2_topk_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
@@ -1606,28 +1708,7 @@ object TrainingDataQueries extends QueryModule {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
-    "sim3_topk_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
-         |cells AS (
-         |  SELECT cell, neighbor_id, cv FROM (
-         |    SELECT c.cell, e.vec_id AS neighbor_id, e.embedding AS cv,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT cell, query_id, qv FROM (
-         |    SELECT c.cell, q.vec_id AS query_id, q.embedding AS qv,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cos("q.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20) WHERE rn <= 2),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
-         |  FROM probes JOIN cells USING (cell) WHERE neighbor_id <> query_id)
-         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+    "sim3_topk_ivf" -> sim3Sql,
 
     "mm1_media_meta" ->
       """SELECT doc_id, source,
