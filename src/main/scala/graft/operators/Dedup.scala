@@ -45,6 +45,82 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental snapshot dedup: the rows of `newDocs` whose exact text
+    * content does NOT already occur in `prior` — the ingest gate of an
+    * incremental crawl, where each snapshot admits only genuinely new
+    * content and everything already in the previous corpus drops at the
+    * door (re-crawls, mirrors, unchanged pages).
+    *
+    * Plan shape at 100 TB: both sides key on the 16-byte
+    * (fingerprint64, length) content key — the anti-join shuffles 16
+    * bytes per prior row, never the prior text (the [[exact]] /
+    * [[passageExactDedup]] collision contract: the oracle anti-joins
+    * the raw text, and the hashed plan must reproduce it). No
+    * distinct-ing of the prior key table: an anti join is insensitive
+    * to duplicate build keys, so the aggregate would be pure cost. */
+  def incrementalNew(newDocs: DataFrame, prior: DataFrame,
+      textCol: String): DataFrame =
+    newDocs
+      .withColumn("__fp", fingerprint64(col(textCol)))
+      .withColumn("__ln", length(col(textCol)).cast("long"))
+      .join(prior.select(fingerprint64(col(textCol)).as("__fp"),
+        length(col(textCol)).cast("long").as("__ln")),
+        Seq("__fp", "__ln"), "left_anti")
+      .drop("__fp", "__ln")
+
+  /** Within-document passage self-dedup: tile each document into
+    * `passageTokens`-token passages, DROP every passage whose exact
+    * text already occurred earlier in the same document, and re-join
+    * the survivors (plus the trailing partial passage, always kept)
+    * into the cleaned text — the in-page repetition stripper (nav
+    * boilerplate, templated footers, copy-pasted spans) that mutates
+    * the document rather than reporting on it, run before any
+    * corpus-level dedup so repeated boilerplate doesn't dominate
+    * shingle sets.
+    *
+    * One ordered array-local `aggregate` fold per document (the
+    * [[Chunker.sentencePack]] lesson: per-passage `filter`/lookup
+    * passes over an indexed array re-evaluate the whole passage-build
+    * expression per element; the fold's accumulator is a materialized
+    * value, so the seen-list scan is O(passages²) on values with the
+    * passage array built exactly once). Zero shuffles — a narrow
+    * projection that composes with everything downstream.
+    *
+    * @return (idCol, clean_text, n_kept, n_dropped) — n_kept/n_dropped
+    *         count full passages only; the tail rides along free.
+    */
+  def selfDedupPassages(docs: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    require(passageTokens > 0, s"passageTokens must be positive")
+    val p = passageTokens
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nP = floor(n / p).cast("int")
+    val passages = when(nP > 0,
+      transform(sequence(lit(0), nP - 1),
+        i => array_join(slice(toks, i * p + 1, lit(p)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val zero = struct(array().cast("array<string>").as("kept"),
+      lit(0L).as("nd"))
+    val folded = aggregate(passages, zero,
+      (acc, s) => {
+        val kept = acc.getField("kept")
+        val nd = acc.getField("nd")
+        when(array_position(kept, s) > 0,
+          struct(kept.as("kept"), (nd + 1L).as("nd")))
+          .otherwise(struct(concat(kept, array(s)).as("kept"), nd.as("nd")))
+      })
+    val tail = when(n > nP * p,
+      array(array_join(slice(toks, nP * p + 1, n - nP * p), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        array_join(concat(folded.getField("kept"), tail), " ").as("clean_text"),
+        size(folded.getField("kept")).cast("long").as("n_kept"),
+        folded.getField("nd").as("n_dropped"))
+  }
+
   /** Passage-level exact dedup: split each document into
     * `passageTokens`-token passages every `stride` tokens (trailing
     * partial passage dropped) and report every passage whose content

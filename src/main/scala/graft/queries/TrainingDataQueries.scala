@@ -82,6 +82,34 @@ object TrainingDataQueries extends QueryModule {
   private val senLens = Seq(5, 9, 7, 3, 11, 4)
   private val senPref = Seq(0, 5, 14, 21, 24, 35)
 
+  /** documents with an in-document repeat planted in every 5th doc: its
+    * first 20 tokens are PREPENDED, so the original's opening two
+    * 10-token passages recur at tile-aligned offsets 20 and 30 — the
+    * within-doc boilerplate shape [[Dedup.selfDedupPassages]] strips. */
+  private def selfRepDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val ts = split(col("text"), " ")
+    docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        array_join(concat(slice(ts, 1, 20), ts), " "))
+        .otherwise(col("text")))
+  }
+
+  /** The "new crawl" snapshot for incremental dedup: exact re-crawls of
+    * every 10th doc (must drop at the gate) plus 4/5-token-prefix
+    * truncations of the same docs (changed pages — must pass). */
+  private def newCrawlDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ts = split(col("text"), " ")
+    val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(slice(ts, lit(1), nKeep), " ").as("text")))
+  }
+
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
     * offsets and a per-copy tag token appended to the text — copies are
     * near-identical but not identical, so signatures/shingles/lengths
@@ -646,6 +674,22 @@ object TrainingDataQueries extends QueryModule {
     "dd11_jaccard_prefix" -> ((s, d) =>
       Dedup.prefixJaccardPairs(nearDupDocs(s, d), "doc_id", "text",
         n = 3, threshold = 0.7)),
+
+    // Incremental crawl ingest: only genuinely-new content passes the
+    // gate — exact re-crawls of prior docs drop, changed pages pass.
+    // The anti-join shuffles the 16-byte content key, never the prior
+    // text; the oracle anti-joins the raw text.
+    "dd12_incremental" -> ((s, d) =>
+      Dedup.incrementalNew(newCrawlDocs(s, d),
+          Tables.documents(s, d).select(col("text")), "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))),
+
+    // Within-document passage self-dedup (boilerplate stripping): the
+    // planted prepended-prefix docs lose exactly their two repeated
+    // opening passages; untouched docs pass through byte-identical.
+    "x20_self_dedup" -> ((s, d) =>
+      Dedup.selfDedupPassages(selfRepDocs(s, d), "doc_id", "text",
+        passageTokens = 10)),
 
     "dd5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(nearDupEmb(s, d), "vec_id", "embedding",
@@ -1631,6 +1675,45 @@ object TrainingDataQueries extends QueryModule {
          |SELECT l.id AS doc_a, r.id AS doc_b, ${jac("l.shs", "r.shs")} AS jaccard
          |FROM sh l JOIN sh r ON l.id < r.id
          |WHERE ${jac("l.shs", "r.shs")} >= 0.7""".stripMargin,
+
+    // Raw-text anti join; the 16-byte-key plan must reproduce it.
+    "dd12_incremental" ->
+      """WITH newc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT n.doc_id, CAST(length(n.text) AS BIGINT) AS n_chars
+        |FROM newc n WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents p WHERE p.text = n.text)""".stripMargin,
+
+    // The self-dedup fold restated as an indexed list_filter (DuckDB
+    // lambda index i is 1-BASED where Spark's is 0-based — earlier
+    // passages are list_slice(passages, 1, i - 1)).
+    "x20_self_dedup" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN array_to_string(
+        |    list_concat(list_slice(string_split(text, ' '), 1, 20), string_split(text, ' ')), ' ')
+        |  ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM src),
+        |ps AS (SELECT doc_id, tk, list_transform(range(len(tk) // 10), i ->
+        |    array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' ')) AS passages FROM t),
+        |kp AS (SELECT doc_id, tk, passages,
+        |  list_filter(passages, (s, i) ->
+        |    coalesce(list_position(list_slice(passages, 1, i - 1), s), 0) = 0) AS kept
+        |  FROM ps),
+        |fin AS (SELECT doc_id,
+        |  CASE WHEN len(tk) > (len(tk) // 10) * 10
+        |    THEN list_append(kept, array_to_string(list_slice(tk, (len(tk) // 10) * 10 + 1, len(tk)), ' '))
+        |    ELSE kept END AS parts,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(passages) - len(kept) AS BIGINT) AS n_dropped
+        |  FROM kp)
+        |SELECT doc_id, array_to_string(parts, ' ') AS clean_text, n_kept, n_dropped
+        |FROM fin""".stripMargin,
 
     "dd5_embedding_neardup" ->
       s"""WITH cand AS ($nearDupEmbSql),

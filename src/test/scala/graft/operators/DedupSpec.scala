@@ -678,4 +678,47 @@ class DedupSpec extends SparkTestBase {
     val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
     assert(shuffles.forall(l => !l.contains("text#") && !l.contains("__sh#")), p)
   }
+
+  test("selfDedupPassages: repeated passages drop, first occurrence and tail survive, clean text reconstructs") {
+    def toks(prefix: String, a: Int, b: Int): String =
+      (a until b).map(i => s"$prefix$i").mkString(" ")
+    val a10 = toks("a", 0, 10)
+    val b10 = toks("b", 0, 10)
+    val docs = Seq(
+      (1L, s"$a10 $b10 $a10 ${toks("t", 0, 3)}"), // a10 repeats; 3-token tail
+      (2L, a10),                                  // single passage, nothing drops
+      (3L, toks("y", 0, 7)),                      // < 10 tokens: all tail
+      (4L, s"$a10 $a10 $a10"),                    // two drops of the same passage
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.selfDedupPassages(docs, "doc_id", "text", passageTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"$a10 $b10 ${toks("t", 0, 3)}", 2L, 1L)))
+    assert(out(2L) == ((a10, 1L, 0L)))
+    assert(out(3L) == ((toks("y", 0, 7), 0L, 0L)))
+    assert(out(4L) == ((a10, 1L, 2L)))
+    assert(!out.contains(5L)) // null text dropped
+  }
+
+  test("selfDedupPassages: plan has no Exchange (array-local fold, narrow projection)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val p = Dedup.selfDedupPassages(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"self-dedup must not shuffle:\n$p")
+  }
+
+  test("incrementalNew: exact re-crawls drop at the gate, changed pages pass") {
+    val prior = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+      .select(col("text"))
+    val fresh = Seq(
+      (10L, "a b c"),   // unchanged re-crawl: drops
+      (11L, "d e f g"), // changed page: passes
+      (12L, "h i"))     // new page: passes
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(fresh, prior, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
 }
