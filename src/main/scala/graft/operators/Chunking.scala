@@ -76,20 +76,24 @@ object Chunker {
     * non-empty space-separated runs.
     *
     * The packing is ONE ordered array-local `aggregate` fold per
-    * document: the accumulator carries (running token count, chunk
-    * array) and each sentence either extends the open chunk or opens a
-    * new one — every sentence is visited once, exact integer
-    * arithmetic, no index lookups. (The obvious alternative —
-    * per-chunk `filter` passes over an indexed sentence array —
-    * re-evaluates the whole zip/cumsum expression tree for every
-    * chunk×field because Catalyst does not share subexpressions across
-    * nested lambda bodies; measured ~10× slower on the bench corpus.)
-    * The whole operator is a narrow generator projection: NO shuffle
-    * anywhere, same 100 TB contract as [[fixedWindows]] — chunking
-    * composes with a downstream embed/dedup stage without moving the
-    * corpus. Same `explode_outer` + null-filter discipline as
-    * [[fixedWindows]] (InferFiltersFromGenerate would clone the packing
-    * expression into an inferred filter under a bare explode).
+    * document: the accumulator carries (running token count, OPEN
+    * chunk, closed-chunk array) and each sentence either extends the
+    * open chunk or closes it and opens a new one — every sentence is
+    * visited once, exact integer arithmetic, and the closed array is
+    * copied only at chunk boundaries, so per-document work is
+    * O(sentences + chunks²) element copies (chunks²/2 from the
+    * append-per-boundary copy; chunks = docTokens/budget, far smaller
+    * than sentences×chunks). (The obvious alternative — per-chunk
+    * `filter` passes over an indexed sentence array — re-evaluates the
+    * whole zip/cumsum expression tree for every chunk×field because
+    * Catalyst does not share subexpressions across nested lambda
+    * bodies; measured ~10× slower on the bench corpus.) The whole
+    * operator is a narrow generator projection: NO shuffle anywhere,
+    * same 100 TB contract as [[fixedWindows]] — chunking composes with
+    * a downstream embed/dedup stage without moving the corpus. Same
+    * `explode_outer` + null-filter discipline as [[fixedWindows]]
+    * (InferFiltersFromGenerate would clone the packing expression into
+    * an inferred filter under a bare explode).
     *
     * @return (id, chunk_id, chunk, n_tokens, n_sentences) — one row per
     *         chunk; `chunk` is its sentences joined by a single space.
@@ -98,32 +102,39 @@ object Chunker {
       budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val sents = filter(sentences, s => s.isNotNull && length(s) > 0)
-    val chunksType =
-      "array<struct<chunk_id:bigint,chunk:string,n_tokens:bigint,n_sentences:bigint>>"
+    val chunkStruct =
+      "struct<chunk_id:bigint,chunk:string,n_tokens:bigint,n_sentences:bigint>"
     val zero = struct(lit(0L).as("cum"),
-      array().cast(chunksType).as("chunks"))
+      lit(null).cast(chunkStruct).as("open"),
+      array().cast(s"array<$chunkStruct>").as("closed"))
     val folded = aggregate(
       sents,
       zero,
       (acc, s) => {
         val cum = acc.getField("cum")
-        val chunks = acc.getField("chunks")
+        val open = acc.getField("open")
+        val closed = acc.getField("closed")
         val tk = size(filter(split(s, " "), w => length(w) > 0)).cast("long")
         val k = floor(cum / budget).cast("long")
-        val last = element_at(chunks, -1)
-        val sameChunk = size(chunks) > 0 && last.getField("chunk_id") === k
-        val extended = concat(slice(chunks, lit(1), size(chunks) - 1), array(struct(
+        // null open ⇒ null === k ⇒ false ⇒ the otherwise (open new) arm
+        val sameChunk = open.getField("chunk_id") === k
+        val extended = struct(
           k.as("chunk_id"),
-          concat(last.getField("chunk"), lit(" "), s).as("chunk"),
-          (last.getField("n_tokens") + tk).as("n_tokens"),
-          (last.getField("n_sentences") + lit(1L)).as("n_sentences"))))
-        val opened = concat(chunks, array(struct(
+          concat(open.getField("chunk"), lit(" "), s).as("chunk"),
+          (open.getField("n_tokens") + tk).as("n_tokens"),
+          (open.getField("n_sentences") + lit(1L)).as("n_sentences"))
+        val fresh = struct(
           k.as("chunk_id"), s.as("chunk"),
-          tk.as("n_tokens"), lit(1L).as("n_sentences"))))
-        struct((cum + tk).as("cum"),
-          when(sameChunk, extended).otherwise(opened).as("chunks"))
+          tk.as("n_tokens"), lit(1L).as("n_sentences"))
+        struct(
+          (cum + tk).as("cum"),
+          when(sameChunk, extended).otherwise(fresh).as("open"),
+          when(sameChunk || open.isNull, closed)
+            .otherwise(concat(closed, array(open))).as("closed"))
       },
-      acc => acc.getField("chunks"))
+      acc => when(acc.getField("open").isNull, acc.getField("closed"))
+        .otherwise(concat(acc.getField("closed"),
+          array(acc.getField("open")))))
     docs
       .select(col(idCol).as("id"), explode_outer(folded).as("c"))
       .filter(col("c").isNotNull)

@@ -96,10 +96,7 @@ object Dedup {
     val toks = split(col(textCol), " ")
     val n = size(toks)
     val nP = floor(n / p).cast("int")
-    val passages = when(nP > 0,
-      transform(sequence(lit(0), nP - 1),
-        i => array_join(slice(toks, i * p + 1, lit(p)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val passages = tokenPassages(toks, p, stride = p)
     val zero = struct(array().cast("array<string>").as("kept"),
       lit(0L).as("nd"))
     val folded = aggregate(passages, zero,
@@ -120,6 +117,19 @@ object Dedup {
         size(folded.getField("kept")).cast("long").as("n_kept"),
         folded.getField("nd").as("n_dropped"))
   }
+
+  /** `p`-token windows of a token array every `stride` tokens, each
+    * joined back to a passage string (full windows only — the trailing
+    * partial is the caller's business). Last window offset =
+    * floor((n − p) / stride); sequence(0, k) is invalid for k < 0, so
+    * docs shorter than one passage yield an empty array. Shared by
+    * [[passageExactDedup]] and [[selfDedupPassages]] — ONE tiling
+    * arithmetic, so both operators always tile a document identically. */
+  private def tokenPassages(toks: Column, p: Int, stride: Int): Column =
+    when(size(toks) >= p,
+      transform(sequence(lit(0), floor((size(toks) - p) / stride).cast("int")),
+        i => array_join(slice(toks, i * stride + 1, lit(p)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Passage-level exact dedup: split each document into
     * `passageTokens`-token passages every `stride` tokens (trailing
@@ -154,12 +164,7 @@ object Dedup {
     val toks = split(col(textCol), " ")
     val p = passageTokens
     val st = if (stride <= 0) passageTokens else stride
-    // last window offset = floor((n − p) / stride); sequence(0, k) is
-    // invalid for k < 0, so guard docs shorter than one passage
-    val passages = when(size(toks) >= p,
-      transform(sequence(lit(0), floor((size(toks) - p) / st).cast("int")),
-        i => array_join(slice(toks, i * st + 1, lit(p)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val passages = tokenPassages(toks, p, st)
     // explode_outer, not explode: InferFiltersFromGenerate would clone
     // the whole passage-building expression into a size(...) > 0 filter
     // under a non-outer generate, re-running the tokenize per row (same

@@ -61,15 +61,20 @@ object Prototypes {
       labelCol: String, pruneAbove: Double): DataFrame = {
     require(pruneAbove >= -1.0 && pruneAbove <= 1.0,
       s"pruneAbove is a cosine threshold in [-1, 1], got $pruneAbove")
+    // Malformed rows drop: null vector, null label, or a vector with a
+    // null ELEMENT (a null coordinate would silently bias the mean —
+    // sum skips it but a row count would not — and feed garbage to the
+    // cosine fold).
     val base = emb
-      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol).as("id"), col(labelCol).as("label"),
         col(vecCol).as("v"))
     val quantized = base.select(col("label"),
       posexplode(transform(col("v"),
         x => floor(x.cast("double") * Q).cast("long"))))
     val sums = quantized.groupBy(col("label"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("col")).as("s"), count(col("col")).as("n"))
     val centroids = sums
       .withColumn("c",
         ((col("s").cast("double") / lit(Q.toDouble))

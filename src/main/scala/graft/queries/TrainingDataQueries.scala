@@ -22,13 +22,23 @@ object TrainingDataQueries extends QueryModule {
   /** documents ∪ 80%-token-prefix copies of every 10th doc (near-dups). */
   private def nearDupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.union(prefixTruncated(docs, mod = 10, idOffset = 1000000L))
+  }
+
+  /** 4/5-token-prefix copies of every `mod`-th doc with an id offset —
+    * the ONE truncation rule every planted near-dup / changed-page /
+    * benchmark-item derivation shares. Every oracle CTE pins the same
+    * arithmetic (`greatest(floor(n*4/5), 1)`); change them in lockstep
+    * or the bit-exact compares break. A 1-token doc "truncates" to
+    * itself (the greatest(...,1) floor), so derived corpora only plant
+    * CHANGED pages for multi-token docs. */
+  private def prefixTruncated(docs: DataFrame, mod: Int,
+      idOffset: Long): DataFrame = {
     val ts = split(col("text"), " ")
     val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
-    val perturbed = Tables.documents(s, d)
-      .filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+    docs.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
         array_join(slice(ts, lit(1), nKeep), " ").as("text"))
-    docs.union(perturbed)
   }
 
   /** documents ∪ identical copies of every 10th doc (exact dups). */
@@ -101,13 +111,9 @@ object TrainingDataQueries extends QueryModule {
     * truncations of the same docs (changed pages — must pass). */
   private def newCrawlDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val ts = split(col("text"), " ")
-    val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
     docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      .union(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          array_join(slice(ts, lit(1), nKeep), " ").as("text")))
+      .union(prefixTruncated(docs, mod = 10, idOffset = 2000000L))
   }
 
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
@@ -291,11 +297,7 @@ object TrainingDataQueries extends QueryModule {
     // shuffles.
     "x17_fuzzy_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val ts = split(col("text"), " ")
-      val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          array_join(slice(ts, lit(1), nKeep), " ").as("text"))
+      val bench = prefixTruncated(docs, mod = 97, idOffset = 2000000L)
       Decontaminate.fuzzyLshOverlap(docs, bench, "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)
     }),
@@ -462,11 +464,8 @@ object TrainingDataQueries extends QueryModule {
         .localCheckpoint()
       val sampled = Splits.temperatureMixture(gated, col("lang"),
         concat(col("text"), lit("#temp")), alpha = 0.5)
-      val ts = split(col("text"), " ")
-      val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
-      val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          array_join(slice(ts, lit(1), nKeep), " ").as("text"))
+      val bench = prefixTruncated(Tables.documents(s, d), mod = 97,
+        idOffset = 2000000L)
       val flags = Decontaminate.fuzzyLshOverlap(sampled, bench,
         "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
       sampled.join(flags.filter(!col("contaminated")).select("doc_id"),
@@ -1750,7 +1749,8 @@ object TrainingDataQueries extends QueryModule {
     // cosine fold.
     "x19_prototypicality" ->
       s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          |q AS (SELECT label, u.pos AS pos, u.qc AS qc FROM (
          |  SELECT label, unnest(list_transform(range(64), i ->
          |    {'pos': i, 'qc': CAST(floor(CAST(v[i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)})) AS u
