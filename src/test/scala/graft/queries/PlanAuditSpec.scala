@@ -409,4 +409,19 @@ class PlanAuditSpec extends SparkTestBase {
       .select("l_orderkey").queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
+
+  test("pl4_rag_ingest: chunk dedup combines map-side on the 16-byte content key; no exchange ships chunk text") {
+    val p = staticScalePlan("pl4_rag_ingest")
+    assert(p.contains("partial_min"), p)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty, p)
+    assert(shuffles.forall(l => !l.contains("chunk#") && !l.contains("text#")), p)
+  }
+
+  test("dd12_incremental: anti join on the content key; the prior corpus scan prunes to the text column") {
+    val p = staticScalePlan("dd12_incremental")
+    assert(p.contains("LeftAnti"), p)
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(_.contains("struct<text:string>")), p)
+  }
 }
