@@ -85,6 +85,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most similar corpus vectors with a DIFFERENT label — the
+    * near-boundary negatives that carry the contrastive gradient
+    * (in-batch random negatives are overwhelmingly easy). Same
+    * broadcast-query scan and two-phase bounded-heap rank as
+    * [[bruteForceTopK]]; the label-mismatch predicate sits in the join
+    * condition, so positive pairs are never even scored. Rows with a
+    * null label match nothing (SQL `<>` semantics) — a label-less
+    * vector can't be certified negative. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("n_label"))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nCells`
     * coarse cells by nearest-centroid assignment; each query probes only
     * its `nProbe` nearest cells. Centroid "training" is a deterministic

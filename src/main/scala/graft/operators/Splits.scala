@@ -207,6 +207,61 @@ object Splits {
         assign(concat(lit("c#"), col("cluster_id").cast("string")),
           trainPct, valPct))
 
+  /** Token-budget allocation across domains — the data-recipe planning
+    * step run BEFORE any sampling: given a total training token budget
+    * and per-domain target mixture weights, how many tokens does each
+    * domain contribute, how many epochs (repeats) does that imply, and
+    * where does the recipe fall short because a domain is too small
+    * even at the repeat cap (the Llama/Gopher-style "weights × budget
+    * vs corpus size × max epochs" reconciliation).
+    *
+    * Exact integer arithmetic throughout, in overflow-safe split form
+    * (the mx2/x19 discipline — no double rounding anywhere near a
+    * floor):
+    *  - `target = floor(wPpm·T / 10⁶)` computed as
+    *    `wPpm·(T div 10⁶) + floor(wPpm·(T mod 10⁶)/10⁶)` — every
+    *    intermediate ≤ ~10¹³ for T up to ~9·10¹² tokens/million;
+    *  - `alloc = min(target, maxEpochs·n_d)`;
+    *  - `epochs_milli = floor(alloc·1000 / n_d)` as
+    *    `(alloc div n_d)·1000 + (alloc mod n_d)·1000 div n_d`.
+    *
+    * Plan: ONE map-side-combined count aggregate over a scan pruned to
+    * (domain, tokens); the |domains|-row result broadcast-joins the
+    * weight literals. Domains with zero tokens (or absent from
+    * `weightsPpm`) drop — no defined epoch count. The corpus never
+    * shuffles.
+    *
+    * @return (domain, n_tokens, w_ppm, target_tokens, alloc_tokens,
+    *         deficit_tokens, epochs_milli)
+    */
+  def tokenBudgetAllocation(df: DataFrame, domain: Column, tokens: Column,
+      weightsPpm: Map[String, Long], totalBudget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(totalBudget > 0 && maxEpochs > 0,
+      "budget and epoch cap must be positive")
+    require(weightsPpm.values.forall(w => w >= 0 && w <= 1000000L),
+      "weights are parts-per-million in [0, 1e6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val weights = weightsPpm.toSeq.toDF("domain", "w_ppm")
+    val tq = totalBudget / 1000000L
+    val tr = totalBudget % 1000000L
+    counts.join(broadcast(weights), Seq("domain"))
+      .withColumn("target_tokens",
+        col("w_ppm") * tq +
+          floor((col("w_ppm") * tr) / lit(1000000.0)).cast("long"))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), col("n_tokens") * maxEpochs))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("alloc_tokens"))
+      .withColumn("epochs_milli",
+        expr("alloc_tokens DIV n_tokens") * 1000L +
+          expr("alloc_tokens % n_tokens * 1000 DIV n_tokens"))
+  }
+
   /** Temperature-weighted domain resampling (the UniMax / multilingual-
     * mixture rule: kept counts ∝ n_d^α): each domain keeps the
     * deterministic fraction `(n_min / n_d)^(1-α)`, so after filtering

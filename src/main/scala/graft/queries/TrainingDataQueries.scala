@@ -578,6 +578,16 @@ object TrainingDataQueries extends QueryModule {
         alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("rate_ppm"))),
 
+    // Data-recipe reconciliation: weights × budget vs corpus size ×
+    // epoch cap. At this budget en/zh/es/de hit the 3-epoch cap
+    // (deficit > 0) while fr's target fits — both branches live.
+    "mx4_token_budget" -> ((s, d) =>
+      Splits.tokenBudgetAllocation(Tables.documents(s, d),
+        domain = col("lang"), tokens = size(split(col("text"), " ")),
+        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L,
+          "es" -> 150000L, "de" -> 100000L, "fr" -> 50000L),
+        totalBudget = 200000L, maxEpochs = 3)),
+
     // CCNet-style per-language quality terciles (head/middle/tail by
     // exact per-stratum rank). Semantics = a global per-language window;
     // the plan is the two-phase banded rank in Splits.quantileBuckets —
@@ -761,6 +771,14 @@ object TrainingDataQueries extends QueryModule {
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .withColumn("recall", col("n_hits").cast("double") / 5)
+    }),
+
+    // Hard-negative mining: per query, top-5 most similar vectors with
+    // a DIFFERENT label (the contrastive-training negative sampler).
+    "sim6_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", "label", k = 5)
     }),
 
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
@@ -1556,6 +1574,28 @@ object TrainingDataQueries extends QueryModule {
          |FROM documents JOIN r USING (lang)
          |WHERE ${ph("text || '#temp'")} % 1000000 < rate_ppm""".stripMargin,
 
+    // Integer split-form arithmetic replayed exactly (T = 200000 ⇒
+    // tq = 0, tr = 200000; target = (w_ppm·tr) // 10⁶).
+    "mx4_token_budget" ->
+      """WITH counts AS (SELECT lang AS domain,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang HAVING sum(len(string_split(text, ' '))) > 0),
+        |w(domain, w_ppm) AS (VALUES
+        |  ('en', CAST(500000 AS BIGINT)), ('zh', CAST(200000 AS BIGINT)),
+        |  ('es', CAST(150000 AS BIGINT)), ('de', CAST(100000 AS BIGINT)),
+        |  ('fr', CAST(50000 AS BIGINT))),
+        |j AS (SELECT domain, n_tokens, w_ppm,
+        |    CAST((w_ppm * 200000) // 1000000 AS BIGINT) AS target_tokens
+        |  FROM counts JOIN w USING (domain)),
+        |a AS (SELECT domain, n_tokens, w_ppm, target_tokens,
+        |    least(target_tokens, n_tokens * 3) AS alloc_tokens
+        |  FROM j)
+        |SELECT domain, n_tokens, w_ppm, target_tokens, alloc_tokens,
+        |  target_tokens - alloc_tokens AS deficit_tokens,
+        |  CAST((alloc_tokens // n_tokens) * 1000
+        |    + (alloc_tokens % n_tokens) * 1000 // n_tokens AS BIGINT) AS epochs_milli
+        |FROM a""".stripMargin,
+
     "x14_quantile_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
@@ -1738,6 +1778,17 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
          |  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1
          |  WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    "sim6_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cos("qv", "c.embedding")} AS cosine
+         |  FROM q, embeddings c WHERE c.vec_id <> query_id AND c.label <> ql)
          |SELECT query_id, neighbor_id, cosine, "rank" FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"

@@ -434,4 +434,45 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("pairs > budget"))
   }
+
+  // ---- tokenBudgetAllocation ----
+
+  test("tokenBudgetAllocation: capped and uncapped domains match a BigInt reference, incl. near-overflow magnitudes") {
+    import spark.implicits._
+    val rows = Seq(
+      ("big", 5000000000000L),  // 5e12 tokens
+      ("mid", 40000L),
+      ("tiny", 7L))
+    val df = rows.toDF("dom", "tk")
+    val weights = Map("big" -> 900000L, "mid" -> 99999L, "tiny" -> 1L)
+    val budget = 8999999999999L // ~9e12, tr != 0 exercises the split form
+    val maxEp = 3
+    val out = Splits.tokenBudgetAllocation(df, col("dom"), col("tk"),
+        weights, budget, maxEp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    for ((dom, n) <- rows.map(t => (t._1, BigInt(t._2)))) {
+      val w = BigInt(weights(dom))
+      val target = (w * budget) / 1000000
+      val alloc = target.min(n * maxEp)
+      val deficit = target - alloc
+      val epMilli = (alloc * 1000) / n
+      assert(out(dom) == ((n.toLong, target.toLong, alloc.toLong,
+        deficit.toLong, epMilli.toLong)),
+        s"$dom: got ${out(dom)}, want ($n, $target, $alloc, $deficit, $epMilli)")
+    }
+  }
+
+  test("tokenBudgetAllocation: zero-token and unweighted domains drop; corpus never shuffles (one count agg, broadcast weights)") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 0L), ("z", 0L), ("unlisted", 5L))
+      .toDF("dom", "tk")
+    val out = Splits.tokenBudgetAllocation(df, col("dom"), col("tk"),
+      Map("a" -> 500000L, "z" -> 500000L), totalBudget = 100L, maxEpochs = 2)
+    assert(out.select("domain").as[String].collect().toSeq == Seq("a"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

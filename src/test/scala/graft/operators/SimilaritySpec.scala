@@ -26,4 +26,30 @@ class SimilaritySpec extends SparkTestBase {
     val n = fromNumeric.collect().map(_.toSeq).toSet
     assert(s.nonEmpty && s == n)
   }
+
+  test("hardNegatives: every mined negative has a different label; ranks follow cosine; same-label twins are excluded") {
+    import spark.implicits._
+    // label 0: two near-identical vectors (would be each other's top-1
+    // under bruteForceTopK); label 1/2: progressively farther vectors
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.7f, 0.7f, 0.0f), 1),
+      (4L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df.filter(col("vec_id") <= 2), df,
+        "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val labels = Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2)
+    out.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"positive pair ($q, $n) mined as negative")
+    }
+    // query 1's hardest negative is vector 3 (cos ~0.70), then 4 or 5
+    val q1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(q1.head == 3L, q1)
+    // the same-label near-twin (2) never appears for query 1
+    assert(!out.filter(_._1 == 1L).map(_._2).contains(2L))
+  }
 }
