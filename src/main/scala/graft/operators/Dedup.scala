@@ -427,14 +427,22 @@ object Dedup {
   case class BlockVolume(nBlocks: Long, maxBlock: Long, totalPairs: Long)
 
   def blockVolume(docs: DataFrame, blockCols: Seq[String]): BlockVolume = {
+    // pair math in DECIMAL(38): c·(c−1)/2 overflows Long past ~3e9 rows
+    // in one block, which would silently disarm every guard that reads
+    // totalPairs/maxBlock. c·(c−1) is even so /2 is exact; the output
+    // clamps to Long.MaxValue (any corpus near the clamp has long since
+    // tripped the budget).
+    val pairs = (col("c").cast("decimal(38,0)") * (col("c") - 1)) / 2
     val r = docs.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("c"))
-      // c·(c−1) is even, so shiftright-by-1 is exact integer pair math
       .agg(count(lit(1)).as("nb"),
         coalesce(max(col("c")), lit(0L)).as("mx"),
-        coalesce(sum(shiftright(col("c") * (col("c") - 1), 1)), lit(0L)).as("tp"))
+        coalesce(sum(pairs), lit(0)).cast("decimal(38,0)").as("tp"))
       .collect()(0)
-    BlockVolume(r.getLong(0), r.getLong(1), r.getLong(2))
+    val tp = r.getDecimal(2).toBigInteger
+    val tpLong =
+      if (tp.bitLength >= 64) Long.MaxValue else tp.longValueExact()
+    BlockVolume(r.getLong(0), r.getLong(1), tpLong)
   }
 
   /** [[blockVolume]] over the LSH band buckets a [[minHashLsh]] call
@@ -478,10 +486,11 @@ object Dedup {
     * fix would be invisible to the bench's scale curve). */
   def semanticCellVolume(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, splitCellsOver: Long = 1000L,
-      splitTarget: Long = 500L, splitIters: Int = 1): BlockVolume =
+      splitTarget: Long = 500L, splitIters: Int = 1,
+      dim: Int = 64): BlockVolume =
     blockVolume(
       splitOvergrownCells(assignCells(emb, idCol, vecCol, centroids),
-        splitCellsOver, splitTarget, splitIters),
+        splitCellsOver, splitTarget, splitIters, dim),
       Seq("cell"))
 
   /** Exact pairwise n-gram Jaccard within blocking groups, emitting the
@@ -508,7 +517,9 @@ object Dedup {
         "blockCols is a global n² self-join — use minHashLsh/simHashDup")
     if (maxPairsPerBlock < Long.MaxValue) {
       val v = blockVolume(docs, blockCols)
-      val worst = v.maxBlock * (v.maxBlock - 1) / 2
+      // BigInt: maxBlock^2/2 overflows Long past ~3e9 rows per block —
+      // exactly the runaway corpus this guard exists to catch
+      val worst = BigInt(v.maxBlock) * (v.maxBlock - 1) / 2
       if (worst > maxPairsPerBlock)
         throw new IllegalArgumentException(
           s"ngramJaccardPairs: hottest block on (${blockCols.mkString(", ")}) " +
@@ -691,6 +702,21 @@ object Dedup {
   private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
       bCol: String, reliable: Boolean = false,
       maxIters: Int = 50): (DataFrame, Int) = {
+    // min-label propagation and the Σ-labels convergence check both
+    // need an integral id: min() on strings would pick lexicographic
+    // canonical ids, but sum() coerces strings to DOUBLE and the
+    // convergence collect throws ClassCastException mid-run — and a
+    // double Σ is inexact past 2^53 anyway. Fail loudly up front
+    // ([[minHashLsh]] supports string ids for PAIR GENERATION; hash
+    // them to 64-bit, e.g. xxhash64, before clustering).
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(dt.toString.replace("$", "")),
+        s"clusters requires integral ids for min-label propagation and " +
+          s"the exact Σ-labels convergence check; '$c' is $dt — hash " +
+          "non-numeric ids to 64-bit (xxhash64) first")
+    }
     def stage(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = stage(
@@ -860,7 +886,9 @@ object Dedup {
     * exceeds the pair budget afterwards hits [[semanticDedup]]'s
     * fail-loud guard, which is the signal to raise nCells. */
   private[operators] def splitOvergrownCells(assigned: DataFrame,
-      splitOver: Long, target: Long, iters: Int): DataFrame = {
+      splitOver: Long, target: Long, iters: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     import org.apache.spark.sql.expressions.Window
     // Materialize the corpus assignment ONCE. The assignment is the
     // expensive pass (an O(N·nCells) broadcast cross + argmax), and an
@@ -897,7 +925,7 @@ object Dedup {
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("mem"))
       .select(col("cell"),
-        transform(sequence(lit(0), lit(63)), j =>
+        transform(sequence(lit(0), lit(dim - 1)), j =>
           (aggregate(col("mem"), lit(0.0d),
             (acc, m) => acc + get(m.getField("v"), j).cast("double"))
             / size(col("mem")).cast("double")).cast("float"))
@@ -947,7 +975,7 @@ object Dedup {
         .groupBy(col("cell"), col("sub"))
         .agg(sort_array(collect_list(struct(col("id"), col("rv")))).as("mem"))
         .select(col("cell"), col("sub"),
-          transform(sequence(lit(0), lit(63)), j =>
+          transform(sequence(lit(0), lit(dim - 1)), j =>
             (aggregate(col("mem"), lit(0.0d),
               (acc, m) => acc + get(m.getField("rv"), j).cast("double"))
               / size(col("mem")).cast("double")).cast("float"))
@@ -1001,7 +1029,9 @@ object Dedup {
     * the cell id, and reduces to nCells rows. The full corpus is never
     * touched until the final [[assignCells]] pass inside the consumer. */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, sampleMod: Int = 20, iters: Int = 2): DataFrame = {
+      nCells: Int, sampleMod: Int = 20, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     import org.apache.spark.sql.expressions.Window
     val pts = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -1021,7 +1051,7 @@ object Dedup {
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("mem"))
         .select(col("cell"),
-          transform(sequence(lit(0), lit(63)), j =>
+          transform(sequence(lit(0), lit(dim - 1)), j =>
             (aggregate(col("mem"), lit(0.0d),
               (acc, m) => acc + get(m.getField("v"), j).cast("double"))
               / size(col("mem")).cast("double")).cast("float"))
@@ -1054,7 +1084,8 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double = 0.95,
       maxPairsPerCell: Long = 10000000L, splitCellsOver: Long = 1000L,
-      splitTarget: Long = 500L, splitIters: Int = 1): DataFrame = {
+      splitTarget: Long = 500L, splitIters: Int = 1,
+      dim: Int = 64): DataFrame = {
     // overgrown cells (skew the linear-nCells rule cannot bound) are
     // split by one level of in-cell k-means BEFORE the pairwise pass;
     // the fail-loud budget guard then checks the cells actually joined.
@@ -1066,11 +1097,11 @@ object Dedup {
     // [[clusters]] and [[splitOvergrownCells]].
     val assigned = splitOvergrownCells(
       assignCells(emb, idCol, vecCol, centroids),
-      splitCellsOver, splitTarget, splitIters)
+      splitCellsOver, splitTarget, splitIters, dim)
       .localCheckpoint()
     if (maxPairsPerCell < Long.MaxValue) {
       val vol = blockVolume(assigned, Seq("cell"))
-      val worst = vol.maxBlock * (vol.maxBlock - 1) / 2
+      val worst = BigInt(vol.maxBlock) * (vol.maxBlock - 1) / 2
       if (worst > maxPairsPerCell)
         throw new IllegalArgumentException(
           s"semanticDedup: hottest cell (post-split) has ${vol.maxBlock} " +

@@ -46,10 +46,13 @@ object Multimodal {
   }
 
   /** Batched decode: (id, media) → (id, n_bytes, width, height,
-    * n_frames). Partition-local, codec opened once per partition. */
+    * n_frames). Partition-local, codec opened once per partition.
+    * Null media (a failed fetch) drops before the codec — a real
+    * decoder would NPE on the first bad row and abort the job. */
   def decodeMeta(df: DataFrame, idCol: String, mediaCol: String,
       decoder: MediaDecoder = MediaDecoder.stub): DataFrame = {
-    val typed = df.select(col(idCol).cast("long"), col(mediaCol))
+    val typed = df.filter(col(mediaCol).isNotNull)
+      .select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     typed.mapPartitions { it =>
       decoder.open()
@@ -70,9 +73,18 @@ object Multimodal {
     require(stride > 0, "stride must be positive")
     val lastFrame = col("n_frames") - 1
     val upper = lastFrame - pmod(lastFrame, lit(stride)) // floor to stride grid
-    meta.select(col(idCol), col("n_frames"),
-      posexplode(sequence(lit(0),
-        least(upper, lit((maxFrames - 1) * stride)), lit(stride))))
+    // zero-frame media (a corrupt/empty file from a real codec) emits
+    // zero rows instead of crashing: lastFrame = -1 makes the sequence
+    // bounds inverted and Spark throws on start > stop with a positive
+    // step. posexplode_outer + null-filter, not a bare posexplode, for
+    // the InferFiltersFromGenerate reason documented on
+    // [[Chunker.fixedWindows]].
+    val frames = when(col("n_frames") > 0,
+      sequence(lit(0),
+        least(upper, lit((maxFrames - 1) * stride)), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    meta.select(col(idCol), col("n_frames"), posexplode_outer(frames))
+      .filter(col("col").isNotNull)
       .withColumnRenamed("pos", "sample_no")
       .withColumnRenamed("col", "frame_no")
   }

@@ -45,8 +45,14 @@ object ScalableWindows {
       .select(col("__k"), col("__b"), col("__off"))
 
     // drop every internal helper: callers get the input columns plus
-    // exactly one new column, __running
-    withinRunning.join(offsets, Seq("__k", "__b"))
+    // exactly one new column, __running. The stitch join is NULL-SAFE:
+    // Window.partitionBy groups null keys/buckets into one partition
+    // and emits them, so the two-phase rewrite must match them too — a
+    // plain equi-join would silently drop every null-key row and break
+    // the documented bit-equivalence with the single-partition window.
+    withinRunning.as("__l").join(offsets.as("__r"),
+        col("__l.__k") <=> col("__r.__k") && col("__l.__b") <=> col("__r.__b"))
+      .select(col("__l.*"), col("__r.__off"))
       .withColumn("__running", col("__run_in") + col("__off"))
       .drop("__run_in", "__k", "__b", "__off")
   }
@@ -82,7 +88,10 @@ object ScalableWindows {
     val prevB = base.groupBy(col("__k"), col("__b")).agg(max(t).as("__last"))
       .withColumn("__prev_last", lag(col("__last"), 1).over(byB))
       .select(col("__k"), col("__b"), col("__prev_last"))
-    val flagged = flagged0.join(prevB, Seq("__k", "__b"))
+    // null-safe for the same reason as runningSum's stitch join
+    val flagged = flagged0.as("__l").join(prevB.as("__r"),
+        col("__l.__k") <=> col("__r.__k") && col("__l.__b") <=> col("__r.__b"))
+      .select(col("__l.*"), col("__r.__prev_last"))
       .withColumn("__prev", coalesce(col("__prev_in"), col("__prev_last")))
       .withColumn("__is_new",
         when(col("__prev").isNull || (t - col("__prev") > gapSeconds), lit(1L))

@@ -67,7 +67,15 @@ object Similarity {
         case _ => false
       }
     }
-    val pruned = if (integralIds) partitionTopK(scored, k) else scored
+    // A zero-norm vector scores cosine = 0/0 = NaN. Drop those
+    // candidates up front: similarity to a zero vector is undefined,
+    // and the two phases would otherwise DISAGREE on it — the Scala
+    // heap's total order treats NaN as largest (evicted first, never
+    // ranked) while Spark's desc sort ranks NaN before every real
+    // cosine — making top-k depend on the id type. One rule, both
+    // paths: NaN never ranks.
+    val defined = scored.filter(!isnan(col("cosine")))
+    val pruned = if (integralIds) partitionTopK(defined, k) else defined
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pruned

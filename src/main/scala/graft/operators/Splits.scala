@@ -22,6 +22,9 @@ object Splits {
     * Duplicate contents land in the same split by construction, which is
     * exactly what leakage-safe splitting wants. */
   def assign(on: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be non-negative and sum to <= 100, " +
+        s"got train=$trainPct val=$valPct")
     val h = pmod(TextFunctions.polyHash(on), lit(100L))
     when(h < trainPct, lit("train"))
       .when(h < trainPct + valPct, lit("val"))
@@ -29,8 +32,10 @@ object Splits {
   }
 
   /** Deterministic shard id in [0, nShards) for write-partitioning. */
-  def shard(on: Column, nShards: Int): Column =
+  def shard(on: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     pmod(TextFunctions.polyHash(on), lit(nShards.toLong))
+  }
 
   /** Token-budget shard packing: documents in id order are packed
     * greedily into shards of ~`capacity` tokens — shard = floor(cumulative
@@ -175,7 +180,17 @@ object Splits {
       .select(sCols :+ col("__band") :+ col("__offset") :+ col("__n"): _*)
     val wLocal = Window.partitionBy(sCols :+ col("__band"): _*)
       .orderBy(col("__score").desc, tieBreak)
-    base.join(broadcast(offsets), strata :+ "__band")
+    // NULL-SAFE offsets join: a null stratum value (or a null score ⇒
+    // null band) forms its own group under Window.partitionBy and must
+    // rank like any other — a plain equi-join would silently drop those
+    // rows and diverge from the naive per-stratum window this operator
+    // is property-tested against. Null bands sort last under the desc
+    // band window (Spark desc = nulls last), exactly where null scores
+    // land in the naive formulation.
+    val joinCond = (strata :+ "__band").map(n =>
+      col(s"__l.$n") <=> col(s"__r.$n")).reduce(_ && _)
+    base.as("__l").join(broadcast(offsets).as("__r"), joinCond)
+      .select(col("__l.*"), col("__r.__offset"), col("__r.__n"))
       .withColumn("stratum_rank", col("__offset") + row_number().over(wLocal))
       .withColumn("bucket",
         when(col("stratum_rank") * 3 <= col("__n"), lit("head"))
@@ -291,7 +306,12 @@ object Splits {
       alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       "alpha in [0, 1]: a hash-gate filter can only downsample (alpha > 1 would need upsampling)")
-    val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+    // null-domain rows are dropped from the OUTPUT (no defined rate), so
+    // they must not join the count table either — a null group smaller
+    // than every real domain would otherwise define n_min and silently
+    // decimate the whole corpus toward the size of an excluded group
+    val counts = df.filter(domain.isNotNull)
+      .groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val ratio = min(col("__n")).over(wAll).cast("double") / col("__n").cast("double")

@@ -721,4 +721,12 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L, 12L))
   }
+
+  test("clusters fails loudly on non-integral ids instead of crashing mid-propagation") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, "doc_a", "doc_b")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

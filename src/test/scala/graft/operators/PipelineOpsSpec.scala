@@ -475,4 +475,52 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  // ---- review-fix regressions ----
+
+  test("temperatureMixture: a null-domain group neither defines n_min nor appears in the output") {
+    val rows = Seq(
+      ("a", "t1"), ("a", "t2"), ("a", "t3"), ("a", "t4"),
+      ("b", "t5"),
+      (null.asInstanceOf[String], "t6")) // singleton null group
+      .toDF("dom", "text")
+    val out = Splits.temperatureMixture(rows, col("dom"), col("text"), alpha = 0.0)
+    // alpha = 0 equalizes toward n_min; n_min must be |b| = 1, not the
+    // null group's 1-row count pretending to be a domain. Domain b
+    // (the true smallest) keeps rate 1e6 — kept whole.
+    val rates = out.select(col("dom"), col("rate_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!rates.contains(null), "null-domain rows must drop")
+    assert(rates.get("b").forall(_ == 1000000L), rates.toString)
+  }
+
+  test("quantileBuckets: null stratum and null score rows rank instead of vanishing") {
+    val rows = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.5), (3L, "en", 0.1),
+      (4L, null.asInstanceOf[String], 0.7),           // null stratum
+      (5L, "en", Double.NaN))                          // NaN floors to null band? no - NaN banding
+      .toDF("id", "lang", "score")
+      .withColumn("score", when(col("id") === 5L, lit(null).cast("double"))
+        .otherwise(col("score")))                      // make row 5 a true null score
+    val out = Splits.quantileBuckets(rows, Seq("lang"), col("score"),
+      tieBreak = col("id"), bands = 4)
+    assert(out.count() == 5, "null stratum/score rows must not be dropped")
+    val en = out.filter(col("lang") === "en")
+      .select(col("id"), col("stratum_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null score ranks LAST in its stratum (desc = nulls last), like
+    // the naive window
+    assert(en(5L) == 4L, en.toString)
+    assert(en(1L) == 1L && en(2L) == 2L && en(3L) == 3L, en.toString)
+  }
+
+  test("assign and shard reject degenerate parameters") {
+    intercept[IllegalArgumentException] {
+      Splits.assign(col("x"), trainPct = 80, valPct = 30)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assign(col("x"), trainPct = 120, valPct = 0)
+    }
+    intercept[IllegalArgumentException] { Splits.shard(col("x"), 0) }
+  }
 }

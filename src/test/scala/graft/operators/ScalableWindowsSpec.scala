@@ -49,4 +49,26 @@ class ScalableWindowsSpec extends SparkTestBase {
     assert(joined.filter(col("expected") =!= col("session_no")).count() == 0)
     assert(joined.count() == events.count())
   }
+
+  test("null keys and null buckets survive the two-phase rewrite and match the single-partition window") {
+    import spark.implicits._
+    // null user (unauthenticated events) and null ts (bucket null)
+    val rows = Seq(
+      (1L, Option(10L), Option(100L), 5L),
+      (2L, Option(10L), Option(200L), 7L),
+      (3L, Option.empty[Long], Option(150L), 11L), // null key
+      (4L, Option.empty[Long], Option(250L), 13L), // null key, later
+      (5L, Option(20L), Option.empty[Long], 17L))  // null time -> null bucket
+      .toDF("event_id", "user_id", "ts", "v")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = rows.select(col("event_id"), sum(col("v")).over(w).as("expected"))
+    val bucketed = ScalableWindows.runningSum(rows,
+        key = col("user_id"), bucket = floor(col("ts") / 100),
+        time = col("ts"), tieBreak = col("event_id"), value = col("v"))
+      .select(col("event_id"), col("__running"))
+    val joined = single.join(bucketed, "event_id")
+    assert(joined.count() == 5, "null-key/bucket rows must not be dropped")
+    assert(joined.filter(col("expected") =!= col("__running")).count() == 0)
+  }
 }

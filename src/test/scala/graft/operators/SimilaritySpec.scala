@@ -52,4 +52,23 @@ class SimilaritySpec extends SparkTestBase {
     // the same-label near-twin (2) never appears for query 1
     assert(!out.filter(_._1 == 1L).map(_._2).contains(2L))
   }
+
+  test("zero-norm (NaN-cosine) corpus vectors never rank, for integral AND string id paths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 0.0f)), // zero vector: cosine NaN
+      (4L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val numeric = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1L), df,
+        "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val str = df.withColumn("vec_id", concat(lit("v"), col("vec_id")))
+    val stringy = Similarity.bruteForceTopK(str.filter(col("vec_id") === "v1"), str,
+        "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[String].collect().map(_.stripPrefix("v").toLong).toSet
+    assert(numeric == Set(2L, 4L), numeric.toString)
+    assert(stringy == numeric, s"id-type-dependent top-k: $stringy vs $numeric")
+  }
 }
