@@ -194,7 +194,12 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
     if (ds.isStreaming) Some(ds.writeStream.foreach(writer).start())
     else {
       ds.foreachPartition { (it: Iterator[T]) =>
-        if (writer.open(0L, 0L)) {
+        // real partition id, as the streaming path provides: writers
+        // legitimately use it for file naming / connection sharding,
+        // and a constant 0 would make 200 concurrent partitions
+        // clobber each other's outputs
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        if (writer.open(pid, 0L)) {
           try { it.foreach(writer.process); writer.close(null) }
           catch { case e: Throwable => writer.close(e); throw e }
         } else writer.close(null)

@@ -228,7 +228,12 @@ object NativeText {
         len += t.length
         j += 1
       }
-      val key = ((acc * 31L + len) % P) * (1L << 20) + len
+      // low 20 bits pack min(len, 2^20-1): a >1M-char gram (the
+      // pathological doc repetition filters exist for) must merge
+      // IDENTICALLY here, in the HOF twin, and in the DuckDB oracle —
+      // an unclamped len would wrap into the hash bits and diverge
+      val key = ((acc * 31L + len) % P) * (1L << 20) +
+        math.min(len, (1 << 20) - 1)
       val e = stats.get(key)
       if (e == null) stats.put(key, Array(1L, len.toLong)) else e(0) += 1L
       i += 1

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * similarity oracles stay green), as one compiled loop per row with
   * `doGenCode` fusing the call into whole-stage codegen. */
 object NativeVector {
-  /** Ordered left-fold dot product of two float vectors in double. */
+  /** Ordered left-fold dot product of two float vectors in double.
+    * PRECONDITION: equal lengths — callers ([[cosine]]) check once. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -23,20 +24,33 @@ object NativeVector {
     acc
   }
 
-  /** cosine = dot / (sqrt(selfdot_a) * sqrt(selfdot_b)), ordered folds. */
+  /** cosine = dot / (sqrt(selfdot_a) * sqrt(selfdot_b)), ordered folds.
+    * Length-mismatched vectors (a truncated/corrupt embedding) return
+    * NaN — the library's "undefined similarity" sentinel (threshold
+    * filters reject it, [[graft.operators.Similarity]] drops it before
+    * ranking). An unchecked loop would read past the shorter array:
+    * an exception on GenericArrayData, silent out-of-bounds GARBAGE on
+    * UnsafeArrayData. */
   def cosine(a: ArrayData, b: ArrayData): Double =
-    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    if (a.numElements() != b.numElements()) Double.NaN
+    else dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
   /** Random-hyperplane LSH signature: plane p's component j is the Weyl
     * value ((p*dim + j) * 2654435761 mod 1000003)/1000003 - 0.5; bit p =
-    * [dot(a, plane_p) > 0], packed little-endian (ordered j-fold). */
+    * [dot(a, plane_p) > 0], packed little-endian (ordered j-fold).
+    * Vectors shorter than `dim` contribute only their present
+    * components (missing ⇒ 0.0); longer ones ignore the excess.
+    * Bounded reads either way — an unchecked getFloat(j) past the end
+    * is an exception or unsafe-row garbage. (Parity with the HOF twin
+    * is contracted for well-formed `dim`-length vectors only.) */
   def lshSignature(a: ArrayData, nPlanes: Int, dim: Int): Long = {
+    val n = math.min(dim, a.numElements())
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var d = 0.0
       var j = 0
-      while (j < dim) {
+      while (j < n) {
         val c = (((p.toLong * dim + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
         d += a.getFloat(j).toDouble * c
         j += 1

@@ -70,11 +70,23 @@ object TextFunctions {
     * to the first language in `stopwords` order; zero hits → "und"
     * (undetermined). */
   def langId(text: Column): Column = {
-    val hits = stopwords.map { case (l, ws) => l -> hitCount(text, ws) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und"): Column) { case ((l, h), els) =>
-      when(h > 0 && h === best, lit(l)).otherwise(els)
-    }
+    // [[bind]] the five hit counts (each a full token scan) into one
+    // array evaluated ONCE, and the running max once on top: the naive
+    // fold re-evaluates every count inside `best` for each of the five
+    // when-branches (~6× redundant token scans per row on the
+    // quality-filter hot path — Spark HOFs have no subexpression
+    // elimination, see [[bind]]).
+    val hitsArr = array(stopwords.map { case (_, ws) => hitCount(text, ws) }: _*)
+    bind(hitsArr, hs => {
+      val best = stopwords.indices.map(i => element_at(hs, i + 1))
+        .reduce((a, b) => greatest(a, b))
+      bind(best, b =>
+        stopwords.zipWithIndex.foldRight(lit("und"): Column) {
+          case (((l, _), i), els) =>
+            val h = element_at(hs, i + 1)
+            when(h > 0 && h === b, lit(l)).otherwise(els)
+        })
+    })
   }
 
   /** Mean token length (exact double division of integer totals). */
@@ -252,10 +264,12 @@ object TextFunctions {
     * merge identically everywhere. */
   def ngramCharFracHof(text: Column, n: Int, dup: Boolean): Column =
     bind(transform(shingles(text, n),
-      s => (polyHashHof(s) * 31L + length(s)) % P * lit(1L << 20) + length(s)), { ks =>
-      // key packs (hashKey << 20 | len) so the lambda can recover the
-      // gram length without a second shingle pass (len < 2^20 always:
-      // gram len ≤ text len and these corpora are single documents)
+      s => (polyHashHof(s) * 31L + length(s)) % P * lit(1L << 20) +
+        least(length(s).cast("long"), lit((1L << 20) - 1))), { ks =>
+      // key packs (hashKey << 20 | min(len, 2^20-1)) so the lambda can
+      // recover the gram length without a second shingle pass; the
+      // clamp keeps >1M-char grams from wrapping into the hash bits,
+      // identically to the native loop and the DuckDB oracle
       val masses = transform(array_distinct(ks), k =>
         struct(size(filter(ks, y => y === k)).cast("long").as("cnt"),
           pmod(k, lit(1L << 20)).as("len")))

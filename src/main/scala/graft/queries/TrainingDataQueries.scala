@@ -855,7 +855,7 @@ object TrainingDataQueries extends QueryModule {
     s"list_transform(list_transform(" +
       s"range(1, greatest(len(ts) - ${n - 1}, 0) + 1), " +
       s"i -> array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), " +
-      s"x -> ((${ph("x")} * 31 + length(x)) % 1000000007) * 1048576 + length(x))"
+      s"x -> ((${ph("x")} * 31 + length(x)) % 1000000007) * 1048576 + least(length(x), 1048575))"
 
   /** Char mass of the most frequent gram in a keys-list column `k`. */
   private def topMassSql(k: String): String =

@@ -77,6 +77,44 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       case other => throw new IllegalArgumentException(s"unsupported proto type $other")
     }
 
+  /** proto3 merge of two decoded instances of the same message type:
+    * scalar fields take the LATER instance's value unless it is the
+    * proto3 default (an unset proto3 scalar is never encoded, so
+    * default ⟺ absent-from-wire); repeated fields concatenate; nested
+    * messages merge recursively. This is what a conforming decoder
+    * (prost, protobuf-java) does when a singular embedded field occurs
+    * more than once in one record. */
+  private def mergeMessages(a: GenericInternalRow, b: GenericInternalRow,
+      fs: Seq[ProtoField]): GenericInternalRow = {
+    val out = new Array[Any](fs.length)
+    var i = 0
+    while (i < fs.length) {
+      val f = fs(i)
+      val av = a.values(i)
+      val bv = b.values(i)
+      out(i) =
+        if (f.repeated) {
+          val aa = av.asInstanceOf[GenericArrayData].array
+          val ba = bv.asInstanceOf[GenericArrayData].array
+          new GenericArrayData(aa ++ ba)
+        } else if (f.children.nonEmpty) (av, bv) match {
+          case (null, _) => bv
+          case (_, null) => av
+          case (ar: GenericInternalRow, br: GenericInternalRow) =>
+            mergeMessages(ar, br, f.children)
+        } else {
+          val bIsDefault = bv match {
+            case null => true
+            case arr: Array[Byte] => arr.isEmpty
+            case v => v == defaultOf(f)
+          }
+          if (bIsDefault) av else bv
+        }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
   /** Recursive message decode over bytes[start, end). Throws
     * [[ProtoDecodeExpr.Malformed]] on any wire violation. */
   private def decodeMessage(bytes: Array[Byte], start: Int, end: Int,
@@ -89,6 +127,16 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
     var pos = start
 
     def fail(): Nothing = throw ProtoDecodeExpr.Malformed
+    // length-delimited prefix, range-checked as a LONG before narrowing:
+    // a declared length that is a multiple of 2^32 would wrap toInt to a
+    // small non-negative value, pass an int-typed bounds check, and
+    // silently misparse the remaining payload as tags instead of
+    // failing to NULL
+    def lenDelim(): Int = {
+      val l = varint()
+      if (l < 0L || l > (end - pos).toLong) fail()
+      l.toInt
+    }
     def varint(): Long = {
       var shift = 0
       var res = 0L
@@ -124,8 +172,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
       case 0 => varint(); ()
       case 1 => fixed64(); ()
       case 2 =>
-        val len = varint().toInt
-        if (len < 0 || len > end - pos) fail()
+        val len = lenDelim()
         pos += len
       case 5 => fixed32(); ()
       case _ => fail() // groups (3/4) unsupported
@@ -163,31 +210,37 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
         if (f.children.nonEmpty) {
           // nested message (possibly repeated): always length-delimited
           if (wire != 2) fail()
-          val len = varint().toInt
-          if (len < 0 || len > end - pos) fail()
+          val len = lenDelim()
           val row = decodeMessage(bytes, pos, pos + len, f.children)
           pos += len
-          if (f.repeated) buf(slot) += row else values(slot) = row
+          if (f.repeated) buf(slot) += row
+          else values(slot) = values(slot) match {
+            // proto3 concatenation-merge: a repeated occurrence of a
+            // SINGULAR embedded message merges field-wise into the
+            // previous instance (prost/protobuf semantics) — plain
+            // replacement would silently revert subfields set only in
+            // the earlier instance to their defaults
+            case prev: GenericInternalRow =>
+              mergeMessages(prev, row, f.children)
+            case _ => row
+          }
         } else if (f.repeated) {
           val numWire = numericWireOf(f.dataType)
           if (wire == 2 && numWire >= 0) {
             // packed numeric run: elements until the length runs out
-            val len = varint().toInt
-            if (len < 0 || len > end - pos) fail()
+            val len = lenDelim()
             val stop = pos + len
             while (pos < stop) buf(slot) += scalarOf(f.dataType, numWire)
             if (pos != stop) fail()
           } else if (wire == 2 || wire == numWire) {
             buf(slot) += (f.dataType match {
               case StringType if wire == 2 =>
-                val len = varint().toInt
-                if (len < 0 || len > end - pos) fail()
+                val len = lenDelim()
                 val s = UTF8String.fromBytes(
                   java.util.Arrays.copyOfRange(bytes, pos, pos + len))
                 pos += len; s
               case BinaryType if wire == 2 =>
-                val len = varint().toInt
-                if (len < 0 || len > end - pos) fail()
+                val len = lenDelim()
                 val b = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
                 pos += len; b
               case dt => scalarOf(dt, wire)
@@ -195,8 +248,7 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
           } else fail()
         } else wire match {
           case 2 =>
-            val len = varint().toInt
-            if (len < 0 || len > end - pos) fail()
+            val len = lenDelim()
             f.dataType match {
               case StringType => values(slot) = UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(bytes, pos, pos + len))

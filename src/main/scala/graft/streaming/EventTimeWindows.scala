@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *    watermark is the min over senders (`arcon/src/stream/node/mod.rs:350-404`).
   *
   * These return *plans* (no action); callers attach any sink. All are
-  * single-shuffle grouped aggregations with partial aggregation.
+  * single-shuffle grouped aggregations with partial aggregation, and
+  * all THREE assigners emit the same flattened (window_start,
+  * window_end) columns — switching tumbling ↔ sliding ↔ session never
+  * changes the downstream schema contract.
   */
 object EventTimeWindows {
 
@@ -36,6 +39,9 @@ object EventTimeWindows {
     df.withWatermark(tsCol, lateArrival)
       .groupBy(window(col(tsCol), length, slide) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
 
   /** Session windows — absent in the reference (SURVEY §2.4 W8), a
     * superset capability. */
@@ -44,4 +50,7 @@ object EventTimeWindows {
     df.withWatermark(tsCol, lateArrival)
       .groupBy(session_window(col(tsCol), gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("session_window.start"))
+      .withColumn("window_end", col("session_window.end"))
+      .drop("session_window")
 }

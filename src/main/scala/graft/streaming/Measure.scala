@@ -21,8 +21,20 @@ final class Measure extends StreamingQueryListener {
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   // per-batch triggerExecution times — the per-record end-to-end
   // latency bound under AvailableNow (a record waits at most one
-  // trigger); kept raw for percentile reporting
+  // trigger); kept raw for percentile reporting, BOUNDED to the most
+  // recent maxBatchSamples: a session-lifetime listener on a
+  // sub-second trigger would otherwise grow a boxed-Long queue forever
+  // (a slow leak) — recent-window percentiles are what the report
+  // means anyway. ConcurrentLinkedQueue.size() is O(n), so the count
+  // is tracked separately.
+  private val maxBatchSamples = 100000
   private val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  private val batchMsCount = new AtomicLong(0)
+  private def recordBatchMs(ms: Long): Unit = {
+    batchMs.add(ms)
+    if (batchMsCount.incrementAndGet() > maxBatchSamples)
+      if (batchMs.poll() != null) batchMsCount.decrementAndGet()
+  }
   private def addMs(key: String, ms: Long): Unit =
     durations.computeIfAbsent(key, _ => new AtomicLong).addAndGet(ms)
 
@@ -33,7 +45,7 @@ final class Measure extends StreamingQueryListener {
     rows.addAndGet(p.numInputRows)
     batches.incrementAndGet()
     Option(p.durationMs.get("triggerExecution"))
-      .foreach { ms => seconds.add(ms.toDouble / 1000.0); batchMs.add(ms) }
+      .foreach { ms => seconds.add(ms.toDouble / 1000.0); recordBatchMs(ms) }
     // engine-reported phase durations (addBatch = run the batch plan,
     // getBatch/latestOffset = source, queryPlanning, walCommit/
     // commitOffsets = offset log) — the throughput breakdown

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
@@ -21,6 +23,12 @@ import org.apache.spark.sql.Row
   * Layout is partition-discovery friendly (`epoch=N`), so
   * `spark.read.parquet(dir)` reads ALL epochs with an `epoch` column —
   * time-travel across the full history with partition pruning on epoch.
+  *
+  * Each `epoch=N` directory is that micro-batch's DELTA — the keys the
+  * batch updated (update output mode; complete mode would rewrite ALL
+  * state every epoch, which cannot scale past toy state sizes). The
+  * state AS OF an epoch is the last-wins fold of every delta up to it:
+  * [[readStateAt]]. [[read]] returns one raw delta.
   */
 object Snapshots {
 
@@ -55,12 +63,32 @@ object Snapshots {
 
   def latestEpoch(dir: String): Option[Long] = epochs(dir).lastOption
 
-  /** Read one epoch's snapshot (the `Snapshot` handle of the reference's
-    * subscriber API). */
+  /** Read one epoch's DELTA: the keys updated in that micro-batch
+    * (NOT the full state — quiescent keys are absent; see
+    * [[readStateAt]] for the state view). */
   def read(spark: SparkSession, dir: String, epoch: Long): DataFrame =
     spark.read.parquet(s"$dir/epoch=$epoch")
 
   /** Read the whole history with an `epoch` column (time travel). */
   def readAll(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** The state table AS OF `epoch` (the reference's `Snapshot` handle /
+    * TSS time-travel read): fold every committed delta ≤ epoch,
+    * last-wins per key — a key updated only in epoch 3 still appears in
+    * the epoch-50 state view. Partition pruning keeps the scan to the
+    * requested prefix; the per-key window shuffles one row per
+    * (key, touching epoch), not per event. The emitted `epoch` column
+    * is each key's LAST update ≤ the requested epoch (provenance). */
+  def readStateAt(spark: SparkSession, dir: String, keyCols: Seq[String],
+      epoch: Long): DataFrame = {
+    require(keyCols.nonEmpty, "state keys required for the last-wins fold")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("epoch").desc)
+    readAll(spark, dir)
+      .filter(col("epoch") <= epoch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

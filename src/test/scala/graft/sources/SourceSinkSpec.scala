@@ -122,6 +122,36 @@ class SourceSinkSpec extends SparkTestBase {
     assert(sparse.getAs[Array[Byte]]("bytes").isEmpty) // proto3 default
   }
 
+  test("proto3 concatenation-merge: a repeated singular embedded message merges field-wise, not replaces") {
+    val point = Seq(ProtoField(1, "x", IntegerType), ProtoField(2, "y", IntegerType))
+    val fields = Seq(ProtoField(1, "n", LongType), ProtoField.message(5, "loc", point))
+    // loc occurs twice: first instance sets x=9, second sets only y=4.
+    // prost/protobuf merge the instances -> Point{x:9, y:4}; naive
+    // replacement would revert x to 0.
+    val concatenated = Array[Byte](
+      0x08, 0x01,             // n = 1
+      0x2A, 0x02, 0x08, 0x09, // loc = Point{x:9}
+      0x2A, 0x02, 0x10, 0x04) // loc (again) = Point{y:4}
+    val out = SourceSchemas.decodedProto(Seq(concatenated).toDF("value"), fields).collect()
+    assert(out.length == 1)
+    val loc = out(0).getStruct(1)
+    assert((loc.getInt(0), loc.getInt(1)) == ((9, 4)), loc.toString)
+  }
+
+  test("declared field length of 2^32 is malformed (no int wraparound to a small length)") {
+    val fields = Seq(ProtoField(1, "n", LongType), ProtoField(2, "s", StringType))
+    // field 2 declares len = 2^32 (varint 80 80 80 80 10): a 32-bit
+    // narrow would wrap it to 0, decode s as "" and misparse the
+    // remaining payload as a fresh tag (n = 42) - a wrong-but-well-
+    // formed row. The Long-range check drops the record instead.
+    val wrapped = Array[Byte](
+      0x12, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10,
+      0x08, 0x2A)
+    val ok = Array[Byte](0x08, 0x07) // n = 7
+    val out = SourceSchemas.decodedProto(Seq(wrapped, ok).toDF("value"), fields).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("overlong varint (>10 bytes) is malformed and dropped, not wrapped mod 64") {
     val fields = Seq(ProtoField(1, "n", LongType))
     // 10-byte varint: the legal maximum; decodes to -1

@@ -269,6 +269,16 @@ class StreamingSemanticsSpec extends SparkTestBase {
       val last = Snapshots.read(spark, dir, eps.last)
         .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       assert(last(1) == 8L) // running state after second epoch
+      // read() is the epoch's DELTA: key 2 was quiescent in epoch 2
+      assert(!last.contains(2))
+      // readStateAt folds deltas last-wins: the quiescent key is still
+      // in the STATE view, at its last-updated value
+      val state = Snapshots.readStateAt(spark, dir, Seq("key"), eps.last)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(state == Map(1 -> 8L, 2 -> 7L))
+      val stateAtFirst = Snapshots.readStateAt(spark, dir, Seq("key"), eps.head)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(stateAtFirst == Map(1 -> 5L, 2 -> 7L))
       // time travel across all epochs
       val all = Snapshots.readAll(spark, dir)
       assert(all.columns.contains("epoch"))
