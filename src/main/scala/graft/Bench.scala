@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * machine was quiet):
   *
   *  - CONTENTION SENTINEL: /proc/loadavg is recorded before and after,
-  *    and a fixed calibration query (sum over spark.range(10⁹)) is timed
-  *    at start and end. The artifact carries `"contention_warning":
+  *    and a fixed calibration query (min-of-5 timed sums over
+  *    spark.range(4·10⁹) after a plateau warm-up — see [[calibrate]])
+  *    is run at start and end. The artifact carries `"contention_warning":
   *    true` and a loud note when ANY of: the calibration drifts more
   *    than 1.3× in EITHER direction (faster-at-end means the start
   *    calibration — and the batch queries right after it — ran under
@@ -153,7 +154,12 @@ object Bench {
             val perChunk = total / chunks
             var c = 0
             while (c < chunks) {
-              input.addData(mkData(c.toLong * (total / chunks), perChunk))
+              // last chunk carries the remainder so exactly `total` rows
+              // feed (an under-feed leaves the drain wait spinning its
+              // full deadline on every run)
+              val n = if (c == chunks - 1) total - perChunk * (chunks - 1)
+                      else perChunk
+              input.addData(mkData(c.toLong * perChunk, n))
               q.processAllAvailable()
               c += 1
             }
@@ -162,19 +168,29 @@ object Bench {
           // stage everything first, in blocks (MemoryStream offsets are
           // per addData call), THEN start: the engine runs flat-out
           val blocks = 10
-          (0 until blocks).foreach(b =>
-            input.addData(mkData(b.toLong * (total / blocks), total / blocks)))
+          val perBlock = total / blocks
+          (0 until blocks).foreach { b =>
+            val n = if (b == blocks - 1) total - perBlock * (blocks - 1)
+                    else perBlock
+            input.addData(mkData(b.toLong * perBlock, n))
+          }
           val q = agg.writeStream.outputMode("append").format("noop")
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
       }
-    } finally graft.streaming.Measure.remove(spark, m)
+    } finally {
+      // drain BEFORE detaching: progress events are posted async, and a
+      // removed listener never receives the tail batch's event — the
+      // primary streaming metrics would silently undercount it (and the
+      // old post-remove wait could only ever time out)
+      val deadline = System.nanoTime() + 5000000000L
+      while (m.totalRows < total && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      graft.streaming.Measure.remove(spark, m)
+    }
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    // listener events are posted async; give the bus a moment to drain
-    val deadline = System.nanoTime() + 5000000000L
-    while (m.totalRows < total && System.nanoTime() < deadline) Thread.sleep(50)
     // Unload every state-store provider NOW (local mode: same JVM). The
     // default unload path is the 60 s maintenance cycle after the
     // coordinator deactivates the stopped query — until then, up to 32
@@ -266,7 +282,7 @@ object Bench {
         .trim.split(" ").take(3).map(_.toDouble).toSeq)
       .getOrElse(Seq(-1.0, -1.0, -1.0))
 
-  /** Fixed CPU-bound calibration: median of 3 timed sums over
+  /** Fixed CPU-bound calibration: MIN of 5 timed sums over
     * spark.range(4·10⁹) after an ADAPTIVE warm-up. 4·10⁹ keeps the
     * measured run around half a second on a 32-thread box — at 10⁹ the
     * run was ~0.11 s and scheduler/timer jitter of a few tens of ms
@@ -674,6 +690,14 @@ object StreamKnobProbe {
     val collected = scala.collection.mutable.Map[String, Vector[Bench.StreamResult]]()
       .withDefaultValue(Vector.empty)
     for (pass <- Seq(active, active.reverse); (name, conf) <- pass) {
+      // RESTORE the session's prior value afterwards, never unset: a
+      // knob key the builder pinned (changelogCheckpointing=true) would
+      // otherwise fall back to the provider DEFAULT (false) once the
+      // first leg that touches it finishes — every later leg, including
+      // "baseline_changelog_on" in the reversed pass, would silently
+      // measure changelog-OFF while labeled on, corrupting the exact
+      // order-robust comparison the two-pass design exists for.
+      val prior = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try
         (1 to reps).foreach { i =>
@@ -684,7 +708,10 @@ object StreamKnobProbe {
       catch {
         case e: Throwable =>
           println(s"""{"knob":"$name","error":"${e.getClass.getSimpleName}"}""")
-      } finally conf.keys.foreach(spark.conf.unset)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
     for ((name, _) <- knobs if collected(name).nonEmpty)
       println(s"""{"knob":"$name","availablenow":${Bench.LegSummary(collected(name)).json}}""")

@@ -185,12 +185,18 @@ object EventTimeQueries extends QueryModule {
   )
 
   /** Shared by w3 (single-partition window) and w7 (two-phase skew-safe)
-    * — same sessions by construction. */
+    * — same sessions by construction. Gaps compare FLOOR-SECONDS on
+    * both engines: Spark's `ts.cast(long)` truncates to seconds while
+    * DuckDB's `epoch()` returns a fractional DOUBLE, so a bare
+    * epoch-difference would flip a session boundary whenever a gap's
+    * sub-second parts straddle 1800 s (latent on this sub-second-
+    * timestamped corpus; `floor(epoch(..))` pins the semantics). */
   private val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-      |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+      |         WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
       |         ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

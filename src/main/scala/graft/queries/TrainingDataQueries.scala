@@ -207,6 +207,13 @@ object TrainingDataQueries extends QueryModule {
       Dedup.suggestedCells(n), sampleMod = 20, iters = 2)
   }
 
+  // mx4's recipe constants — single-sourced with the oracle SQL (the
+  // bm25K1/bm25B discipline: a budget change must hit both sides).
+  private val mx4Weights = Map("en" -> 500000L, "zh" -> 200000L,
+    "es" -> 150000L, "de" -> 100000L, "fr" -> 50000L)
+  private val mx4Budget = 200000L
+  private val mx4MaxEpochs = 3
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Text analysis ----
@@ -584,9 +591,8 @@ object TrainingDataQueries extends QueryModule {
     "mx4_token_budget" -> ((s, d) =>
       Splits.tokenBudgetAllocation(Tables.documents(s, d),
         domain = col("lang"), tokens = size(split(col("text"), " ")),
-        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L,
-          "es" -> 150000L, "de" -> 100000L, "fr" -> 50000L),
-        totalBudget = 200000L, maxEpochs = 3)),
+        weightsPpm = mx4Weights, totalBudget = mx4Budget,
+        maxEpochs = mx4MaxEpochs)),
 
     // CCNet-style per-language quality terciles (head/middle/tail by
     // exact per-stratum rank). Semantics = a global per-language window;
@@ -1111,8 +1117,10 @@ object TrainingDataQueries extends QueryModule {
     * Final centroid table is the CTE named `cents`. */
   private def kmeansSql(iters: Int = 2): String = {
     val pts =
-      """pts AS (SELECT vec_id AS id, embedding AS v FROM cand WHERE vec_id % 20 = 0),
-        |kk AS (SELECT greatest(8, CAST(ceil(count(*) / 500.0) AS BIGINT)) AS k FROM cand),
+      """pts AS (SELECT vec_id AS id, embedding AS v FROM cand
+        |  WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
+        |kk AS (SELECT greatest(8, CAST(ceil(count(*) / 500.0) AS BIGINT)) AS k
+        |  FROM cand WHERE embedding IS NOT NULL),
         |cent0 AS (
         |  SELECT cell, centroid FROM (
         |    SELECT CAST(row_number() OVER (ORDER BY (id * 2654435761) % 1000003, id) - 1 AS BIGINT) AS cell,
@@ -1577,18 +1585,18 @@ object TrainingDataQueries extends QueryModule {
     // Integer split-form arithmetic replayed exactly (T = 200000 ⇒
     // tq = 0, tr = 200000; target = (w_ppm·tr) // 10⁶).
     "mx4_token_budget" ->
-      """WITH counts AS (SELECT lang AS domain,
+      s"""WITH counts AS (SELECT lang AS domain,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang HAVING sum(len(string_split(text, ' '))) > 0),
         |w(domain, w_ppm) AS (VALUES
-        |  ('en', CAST(500000 AS BIGINT)), ('zh', CAST(200000 AS BIGINT)),
-        |  ('es', CAST(150000 AS BIGINT)), ('de', CAST(100000 AS BIGINT)),
-        |  ('fr', CAST(50000 AS BIGINT))),
+        |  ${mx4Weights.toSeq.sorted.map { case (d, w) =>
+             s"('$d', CAST($w AS BIGINT))" }.mkString(", ")}),
         |j AS (SELECT domain, n_tokens, w_ppm,
-        |    CAST((w_ppm * 200000) // 1000000 AS BIGINT) AS target_tokens
+        |    CAST(w_ppm * ${mx4Budget / 1000000L}
+        |      + (w_ppm * ${mx4Budget % 1000000L}) // 1000000 AS BIGINT) AS target_tokens
         |  FROM counts JOIN w USING (domain)),
         |a AS (SELECT domain, n_tokens, w_ppm, target_tokens,
-        |    least(target_tokens, n_tokens * 3) AS alloc_tokens
+        |    least(target_tokens, n_tokens * $mx4MaxEpochs) AS alloc_tokens
         |  FROM j)
         |SELECT domain, n_tokens, w_ppm, target_tokens, alloc_tokens,
         |  target_tokens - alloc_tokens AS deficit_tokens,
