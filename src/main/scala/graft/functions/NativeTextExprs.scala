@@ -206,7 +206,17 @@ object NativeText {
     * collided in the hash, every implementation (this loop, the HOF
     * twin, the DuckDB oracle — all keying the same way) would merge
     * them IDENTICALLY instead of diverging. One pass per row; 0.0 for
-    * texts with fewer than n tokens. */
+    * texts with fewer than n tokens.
+    *
+    * The statistic is NOT clamped to [0, 1]: every occurrence's full
+    * char span counts, so OVERLAPPING occurrences double-count
+    * characters and a highly repetitive doc ("a a a a" under bigrams)
+    * can report a "fraction" above 1.0. Both engines, the HOF twin and
+    * the oracle agree on this reading (it is the NeMo-Curator/Dolma
+    * one, and filter thresholds sit ≤ 0.2 where overlap inflation is
+    * immaterial), but treat the column as a repetition SCORE, not a
+    * true coverage fraction — non-overlapping coverage would need an
+    * interval-union pass per gram. */
   def ngramCharFrac(s: String, n: Int, dup: Boolean): Double = {
     if (s.isEmpty) return 0.0
     val toks = splitSpaces(s)

@@ -148,14 +148,44 @@ object Decontaminate {
     * native expressions (band keys, shingle hashes) and drops nothing
     * else.
     *
+    * The broadcast payload is NOT just "the benchmark": each bench
+    * row's full shingle-hash array rides along on EVERY one of its
+    * `bands` exploded band rows, so the broadcast weighs roughly
+    * rows × shingles × 8 B × bands (×8 by default) — a 1 GB benchmark
+    * suite broadcasts ~8 GB and hits the driver/broadcast ceiling long
+    * before the corpus side is the problem. A cheap bench-only count
+    * job estimates that payload up front and fails loudly over
+    * `maxBenchBroadcastBytes` (the [[Dedup.ngramJaccardPairs]]
+    * pair-budget discipline): callers with an oversized suite should
+    * shard `bench` and union the per-shard results, or reduce
+    * `numHashes`.
+    *
     * @return (idCol, n_bench_matches, max_jaccard, contaminated) — one
     *         row per training doc; unmatched docs carry (0, 0.0, false).
     */
   def fuzzyLshOverlap(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, k: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBenchBroadcastBytes: Long = 2L * 1024 * 1024 * 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    if (maxBenchBroadcastBytes < Long.MaxValue) {
+      // one column-pruned pass over the SMALL side only; 8 B per shingle
+      // hash, duplicated once per band, + ~64 B per exploded row overhead
+      val r = bench.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(size(shingleHashes(col(textCol), k))
+          .cast("decimal(38,0)")), lit(0)).as("sh")).collect()(0)
+      val est = r.getDecimal(1).toBigInteger
+        .multiply(java.math.BigInteger.valueOf(8L * bands))
+        .add(java.math.BigInteger.valueOf(r.getLong(0) * 64L * bands))
+      if (est.compareTo(java.math.BigInteger.valueOf(maxBenchBroadcastBytes)) > 0)
+        throw new IllegalArgumentException(
+          s"fuzzyLshOverlap: bench side would broadcast ~$est bytes " +
+            s"(${r.getLong(0)} rows × shingles × 8 B × $bands bands) > " +
+            s"budget $maxBenchBroadcastBytes. Shard the benchmark suite " +
+            "and union the per-shard results, or reduce numHashes.")
+    }
     val benchSide = bench
       .select(col(idCol).as("__bid"),
         minHashBandKeys(col(textCol), k, numHashes, bands).as("__bkeys"),

@@ -1442,7 +1442,8 @@ object TrainingDataQueries extends QueryModule {
          |),
          |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
          |  JOIN gop ON d.doc_id = gop.doc_id WHERE gop.keep),
-         |c AS (SELECT lang, count(*) AS n FROM kept GROUP BY 1),
+         |c AS (SELECT lang, count(*) AS n FROM kept
+         |  WHERE lang IS NOT NULL GROUP BY 1),
          |m AS (SELECT min(n) AS nmin FROM c),
          |r AS (SELECT lang,
          |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
@@ -1572,7 +1573,8 @@ object TrainingDataQueries extends QueryModule {
     },
 
     "mx3_temperature_mixture" ->
-      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY 1),
          |m AS (SELECT min(n) AS nmin FROM c),
          |r AS (SELECT lang,
          |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)

@@ -83,7 +83,17 @@ case class ProtoDecodeExpr(child: Expression, fields: Seq[ProtoField])
     * default ⟺ absent-from-wire); repeated fields concatenate; nested
     * messages merge recursively. This is what a conforming decoder
     * (prost, protobuf-java) does when a singular embedded field occurs
-    * more than once in one record. */
+    * more than once in one record.
+    *
+    * Known limitation: the field model tracks no wire-presence bit, so
+    * "default" is decided by VALUE equality. An encoder that explicitly
+    * writes a default scalar (legal wire, and observable under proto3
+    * `optional` presence tracking) merges differently here than in
+    * protobuf-java, which is last-VALUE-wins for any wire-present
+    * scalar: an explicit later `0`/`""` is treated as absent and the
+    * earlier value kept. Standard serializers never emit defaults, so
+    * this diverges only on hand-crafted wire; fixing it would require a
+    * per-slot presence flag threaded through [[decodeMessage]]. */
   private def mergeMessages(a: GenericInternalRow, b: GenericInternalRow,
       fs: Seq[ProtoField]): GenericInternalRow = {
     val out = new Array[Any](fs.length)

@@ -102,6 +102,21 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out.forall(!_.getBoolean(3)), out.mkString(";"))
   }
 
+  test("fuzzyLshOverlap: oversized bench side trips the broadcast budget before any corpus work") {
+    val train = Seq((1L, "tiny corpus row with a few words here")).toDF("doc_id", "text")
+    val bench = Seq.tabulate(4)(i =>
+      (100L + i, s"bench item $i alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text",
+        maxBenchBroadcastBytes = 64L)
+    }
+    assert(e.getMessage.contains("would broadcast"), e.getMessage)
+    // the same call with the default budget sails through
+    assert(Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text")
+      .count() == 1L)
+  }
+
   test("fuzzyLshOverlap plan: corpus band keys never shuffle — bench broadcasts, only verified pairs exchange") {
     val train = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
