@@ -493,28 +493,48 @@ object Dedup {
         splitCellsOver, splitTarget, splitIters, dim),
       Seq("cell"))
 
-  /** Exact pairwise n-gram Jaccard within blocking groups, emitting the
-    * in-block pairs with similarity ≥ `threshold`. The blocking columns
-    * bound the pair count; because in-block pairs grow as c² while a
-    * natural blocking key's cardinality is often CONSTANT in corpus size
-    * (lang × source ≈ 100 forever), the bound silently decays as the
-    * corpus grows — so the "never call unblocked" contract is enforced
-    * as code: a cheap column-pruned count job ([[blockVolume]]) runs
-    * first, and if any single block would generate more than
-    * `maxPairsPerBlock` comparisons the call fails loudly BEFORE the
-    * expensive shingle computation starts. Callers with a genuinely
-    * bounded scheme (include a length band, a date bucket — anything
-    * whose cardinality grows with N) never see the guard; callers whose
-    * blocks crept quadratic get an actionable error instead of a job
-    * that runs for a week. For unbounded corpora use [[minHashLsh]] /
-    * [[simHashDup]] — candidate count there is governed by the S-curve,
-    * not block size. */
+  /** Exact pairwise n-gram Jaccard, emitting the pairs with similarity
+    * ≥ `threshold`.
+    *
+    * DEFAULT (no `blockCols`): delegates to [[prefixJaccardPairs]] —
+    * prefix filtering over the global document-frequency shingle order,
+    * one exact verify per surviving candidate, output identical to the
+    * brute-force all-pairs join at `threshold` (lossless by the prefix
+    * theorem) and linear-shaped in corpus size when duplication is
+    * sparse. This is the 100 TB path; a positive `threshold` is
+    * required (`maxPairsPerBlock` becomes its candidate-pair budget),
+    * and the output schema is `(doc_a, doc_b, jaccard)`.
+    *
+    * OPT-IN (`blockCols` non-empty): exact pairwise within caller-named
+    * blocking groups, output prefixed with the blocking columns. The
+    * blocking columns bound the pair count; because in-block pairs grow
+    * as c² while a natural blocking key's cardinality is often CONSTANT
+    * in corpus size (lang × source ≈ 100 forever), the bound silently
+    * decays as the corpus grows — so the contract is enforced as code:
+    * a cheap column-pruned count job ([[blockVolume]]) runs first, and
+    * if any single block would generate more than `maxPairsPerBlock`
+    * comparisons the call fails loudly BEFORE the expensive shingle
+    * computation starts. Use it only when the block structure is itself
+    * the semantics (per-language/per-date reports, `threshold = 0`
+    * exhaustive in-block listings); for plain "find near-duplicates at
+    * a threshold", the default unblocked path is strictly better
+    * shaped. For approximate near-dup at corpus scale use
+    * [[minHashLsh]] / [[simHashDup]] — candidate count there is
+    * governed by the S-curve, not block size. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.0,
+      blockCols: Seq[String] = Nil, n: Int = 3, threshold: Double = 0.0,
       maxPairsPerBlock: Long = 10000000L): DataFrame = {
-    require(blockCols.nonEmpty,
-      "ngramJaccardPairs is exact pairwise within blocks; an empty " +
-        "blockCols is a global n² self-join — use minHashLsh/simHashDup")
+    if (blockCols.isEmpty) {
+      // surface THIS entry point in the threshold error, not the
+      // delegate's, so callers know which default to fix
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"ngramJaccardPairs without blockCols is the prefix-filtered " +
+          s"exact join and needs a threshold in (0, 1]; got $threshold. " +
+          "A zero-threshold exhaustive listing only exists within " +
+          "explicit blocks — pass blockCols.")
+      return prefixJaccardPairs(docs, idCol, textCol, n, threshold,
+        maxCandidatePairs = maxPairsPerBlock)
+    }
     if (maxPairsPerBlock < Long.MaxValue) {
       val v = blockVolume(docs, blockCols)
       // BigInt: maxBlock^2/2 overflows Long past ~3e9 rows per block —

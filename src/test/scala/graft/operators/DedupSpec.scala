@@ -571,11 +571,40 @@ class DedupSpec extends SparkTestBase {
     assert(ok.count() == 0) // distinct docs: nothing at jaccard >= 0.99
   }
 
-  test("ngramJaccardPairs: empty blockCols is rejected (global n² self-join)") {
-    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException] {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols = Seq.empty)
+  test("ngramJaccardPairs default (no blockCols) IS the prefix-filter scale path") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val originals = Seq.tabulate(20) { i =>
+      val base = Array.fill(10 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, base.mkString(" "))
     }
+    // plant near-copies: drop the last token of every 4th doc
+    val copies = originals.collect { case (id, t) if id % 4 == 0 =>
+      (id + 100L, t.split(" ").dropRight(1).mkString(" "))
+    }
+    val docs = (originals ++ copies).toDF("doc_id", "text")
+    val viaDefault = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDefault == viaPrefix)
+    assert(viaDefault.nonEmpty, "seed must generate at least one near-dup pair")
+    // the default still refuses a zero threshold (exhaustive listings
+    // only exist within explicit blocks) and threads the pair budget
+    // through to the prefix path's candidate guard
+    val eThr = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    }
+    assert(eThr.getMessage.contains("pass blockCols"), eThr.getMessage)
+    val eBudget = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.6, maxPairsPerBlock = 1L)
+    }
+    assert(eBudget.getMessage.contains("candidate pairs > budget 1"),
+      eBudget.getMessage)
   }
 
   test("blockVolume counts blocks, hottest block, and exact total pairs") {
