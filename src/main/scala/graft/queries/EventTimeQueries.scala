@@ -32,6 +32,17 @@ object EventTimeQueries extends QueryModule {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // W1 tumbling window through the ACTUAL Structured Streaming path:
+    // parquet file streaming source → StateStoreSaveExec → memory sink,
+    // drained under Trigger.AvailableNow (see StreamingRun's scaladoc
+    // for why complete mode is the only output mode a bounded oracle
+    // can check). Same output contract and same oracle as w1_tumbling —
+    // the green row proves batch and streaming execution agree on
+    // window assignment AND that the stateful path computes the same
+    // aggregate.
+    "w1_streaming" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDaily(s, d)),
+
     // W1 sliding window (Assigner::Sliding{length: 1h, slide: 30m}) — each
     // event lands in length/slide = 2 windows.
     "w2_sliding" -> ((s, d) =>
@@ -209,11 +220,18 @@ object EventTimeQueries extends QueryModule {
       |  count(*) AS n_events, sum(value) AS sum_value
       |FROM numbered GROUP BY user_id, session_no""".stripMargin
 
+  /** Shared by w1_tumbling (batch plan) and w1_streaming (the same
+    * aggregation through the stateful streaming path): identical oracle
+    * = identical required answer from both execution engines. */
+  private val tumblingDailySql: String =
+    """SELECT date_trunc('day', ts) AS window_start, event_type,
+      |  count(*) AS n, sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "w1_tumbling" ->
-      """SELECT date_trunc('day', ts) AS window_start, event_type,
-        |  count(*) AS n, sum(value) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "w1_tumbling" -> tumblingDailySql,
+
+    "w1_streaming" -> tumblingDailySql,
 
     // Sliding windows: enumerate both 30-min-aligned starts covering each
     // event via epoch-millisecond integer arithmetic (timezone-free).
