@@ -180,6 +180,116 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
   }
 
+  /** Positional k-gram anchor table shared by [[exactSubstringSpans]]
+    * and [[substringAnchorVolume]] (single-sourced so the volume canary
+    * measures exactly the buckets the operator's window runs over):
+    * one row per k-token window start, carrying the 16-byte
+    * (fingerprint64, length) content key of the window text and the
+    * 1-BASED start position — never the window text itself. */
+  private[operators] def kgramStarts(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val grams = tokenPassages(split(col(textCol), " "), k, stride = 1)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode_outer(grams).as(Seq("p", "g")))
+      .filter(col("g").isNotNull)
+      .select(col("id"), (col("p") + 1).cast("long").as("p"),
+        fingerprint64(col("g")).as("fp"), length(col("g")).as("ln"))
+  }
+
+  /** Exact CROSS-DOCUMENT substring dedup at sub-passage granularity —
+    * the train-on-dedup literature's suffix-style substring removal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr): every maximal token span of length
+    * ≥ `k` that occurs verbatim in at least one OTHER document is
+    * reported, per document, as (span_start, span_end) in 1-based
+    * token positions.
+    *
+    * Exactness without a suffix array: a token position p lies in a
+    * cross-doc-shared span of length ≥ k IFF some k-token window
+    * covering p is itself cross-doc duplicated — (⇐) the duplicated
+    * window IS a shared k-span; (⇒) a shared span [a,b] ∋ p of length
+    * ≥ k contains the window starting at max(a, min(p, b−k+1)), which
+    * covers p and matches verbatim wherever the span does. So the
+    * union of duplicated k-windows, merged into maximal runs
+    * (consecutive starts s₁ < s₂ coalesce iff s₂ ≤ s₁ + k — coverage
+    * stays contiguous), is EXACTLY the set of maximal ≥k-token shared
+    * spans. The oracle replays the definition over raw window text;
+    * matching it proves the (fingerprint64, length) keys lost nothing
+    * (the [[passageExactDedup]] discipline).
+    *
+    * Plan at 100 TB: the stride-1 window explode is a generator
+    * (factor ≈ tokens/doc, pipelined; map-side cost is the k× window
+    * re-materialization before hashing); the ONE corpus-sized exchange
+    * carries 32-byte (id, p, fp, ln) rows — O(corpus tokens), the
+    * inherent lower bound for exact substring dedup (Lee et al.'s
+    * suffix array is likewise O(corpus)) — into a (fp, ln)-partitioned
+    * window computing min/max doc per key (single sort, both
+    * aggregates). Survivors (duplicated starts only — for a clean
+    * corpus, a tiny fraction) re-key by doc id as 16-byte rows; span
+    * merging is one ordered array-local fold per doc (the ck2/x20
+    * accumulator discipline). Anchor-bucket skew (a corpus-hot k-gram)
+    * is bounded by the largest duplicate mass, surfaced by
+    * [[substringAnchorVolume]] in the bench artifact.
+    *
+    * Within-doc repeats (min doc = max doc) deliberately do NOT mark —
+    * that is [[selfDedupPassages]]' job; dd13 is the cross-document
+    * modality. Removal is symmetric (every sharer reports the span, as
+    * boilerplate semantics want); keep-one-copy is the caller exempting
+    * each span's min-id owner.
+    *
+    * @return (idCol, span_start, span_end, n_span_tokens) — one row per
+    *         maximal shared span, 1-based inclusive token positions.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("fp"), col("ln"))
+    val dupStarts = kgramStarts(docs, idCol, textCol, k)
+      .withColumn("mind", min(col("id")).over(byKey))
+      .withColumn("maxd", max(col("id")).over(byKey))
+      .filter(col("mind") =!= col("maxd"))
+      .select(col("id"), col("p"))
+    // merge sorted window starts into maximal covered runs: each start
+    // covers [p, p+k-1]; coalesce with the open span [s, e] iff
+    // p <= e + 1 (contiguous or overlapping coverage)
+    val spans = aggregate(
+      sort_array(collect_list(col("p"))),
+      array().cast("array<struct<s:bigint,e:bigint>>"),
+      (sp, p) => {
+        val last = element_at(sp, -1)
+        when(size(sp) > 0 && p <= last.getField("e") + 1L,
+          concat(slice(sp, lit(1), size(sp) - 1),
+            array(struct(last.getField("s").as("s"),
+              (p + (k - 1)).as("e")))))
+          .otherwise(concat(sp,
+            array(struct(p.as("s"), (p + (k - 1)).as("e")))))
+      })
+    dupStarts
+      .groupBy(col("id"))
+      .agg(spans.as("spans"))
+      // explode_outer + null-filter: a bare explode lets
+      // InferFiltersFromGenerate clone the whole fold into a size()>0
+      // filter (the passageExactDedup hazard); spans is never empty here
+      .select(col("id").as(idCol), explode_outer(col("spans")).as("sp"))
+      .filter(col("sp").isNotNull)
+      .select(col(idCol), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"),
+        (col("sp.e") - col("sp.s") + 1L).as("n_span_tokens"))
+  }
+
+  /** [[blockVolume]] over [[exactSubstringSpans]]' anchor buckets —
+    * the per-(fingerprint, length) k-gram population the keyed window
+    * partitions on, single-sourced via [[kgramStarts]]. No pairwise
+    * join runs over these buckets (the window computes min/max doc per
+    * key in one pass), so `totalPairs` here is a skew canary — the
+    * hottest bucket is the largest single-key window partition, i.e.
+    * the corpus's most-repeated k-gram — not a comparison count. */
+  def substringAnchorVolume(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 10): BlockVolume =
+    blockVolume(kgramStarts(docs, idCol, textCol, k), Seq("fp", "ln"))
+
   /** MinHash-LSH near-duplicate pairs, with text-identical compaction:
     * everything pairwise runs at DISTINCT-TEXT granularity, keyed by
     * the 16-byte (fingerprint64, length) content key (collisions

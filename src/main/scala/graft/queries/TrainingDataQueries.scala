@@ -183,7 +183,15 @@ object TrainingDataQueries extends QueryModule {
       Dedup.semanticCellVolume(emb, "vec_id", "embedding",
         dd9Centroids(emb), splitCellsOver = dd9SplitOver,
         splitTarget = dd9SplitTarget)
-    })
+    },
+    // dd13's anchor buckets: per-(fingerprint, length) k-gram window
+    // population. Skew canary, not a comparison count — no pairwise
+    // join runs over these buckets (the keyed window computes min/max
+    // doc per key in one pass); the hottest bucket is the corpus's
+    // most-repeated k-gram, i.e. the largest single-key window
+    // partition the sort must handle.
+    "dd13_substring" -> Dedup.substringAnchorVolume(
+      scaleDocs(nearDupDocs(s, d), copies), "doc_id", "text", k = 10))
 
   /** dd9's cell-split constants — tight enough that the overgrown-cell
     * split ([[Dedup.splitOvergrownCells]]) actually fires on the sf0.01
@@ -698,6 +706,18 @@ object TrainingDataQueries extends QueryModule {
       Dedup.incrementalNew(newCrawlDocs(s, d),
           Tables.documents(s, d).select(col("text")), "text")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))),
+
+    // Exact cross-document substring dedup (Lee et al. 2022
+    // ExactSubstr): every maximal ≥10-token span shared verbatim with
+    // another doc, per doc, as 1-based token positions. On the planted
+    // near-dup corpus each 80%-prefix copy's ENTIRE text and the
+    // matching prefix of its original must surface as one maximal span
+    // each. The oracle replays the window-coverage definition over RAW
+    // window text; the hash match proves the 16-byte-key plan drops
+    // nothing.
+    "dd13_substring" -> ((s, d) =>
+      Dedup.exactSubstringSpans(nearDupDocs(s, d), "doc_id", "text",
+        k = 10)),
 
     // Within-document passage self-dedup (boilerplate stripping): the
     // planted prepended-prefix docs lose exactly their two repeated
@@ -1724,6 +1744,35 @@ object TrainingDataQueries extends QueryModule {
          |SELECT l.id AS doc_a, r.id AS doc_b, ${jac("l.shs", "r.shs")} AS jaccard
          |FROM sh l JOIN sh r ON l.id < r.id
          |WHERE ${jac("l.shs", "r.shs")} >= 0.7""".stripMargin,
+
+    // The window-coverage definition over RAW k-gram text (no hashing):
+    // duplicated-start positions are those whose 10-token window occurs
+    // in ≥ 2 distinct docs; gaps-and-islands merges starts ≤ 10 apart
+    // (contiguous coverage) into maximal spans. DuckDB list slicing is
+    // 1-based end-INCLUSIVE, matching the operator's 1-based positions.
+    "dd13_substring" ->
+      s"""WITH src AS ($nearDupDocsSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM src
+         |  WHERE text IS NOT NULL),
+         |kg0 AS (SELECT doc_id, ts,
+         |    unnest(range(1, len(ts) - 10 + 2)) AS pos
+         |  FROM tok WHERE len(ts) >= 10),
+         |kg AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(ts[pos:pos+9], ' ') AS g FROM kg0),
+         |dup AS (SELECT doc_id, pos FROM kg WHERE g IN (
+         |  SELECT g FROM kg GROUP BY g HAVING min(doc_id) <> max(doc_id))),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      > 10 THEN 1 ELSE 0 END AS brk
+         |  FROM dup),
+         |num AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM isl)
+         |SELECT doc_id, min(pos) AS span_start,
+         |  CAST(max(pos) + 9 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 10 - min(pos) AS BIGINT) AS n_span_tokens
+         |FROM num GROUP BY doc_id, sid""".stripMargin,
 
     // Raw-text anti join; the 16-byte-key plan must reproduce it.
     "dd12_incremental" ->

@@ -553,6 +553,107 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() > 300, "near-identical vectors must still dedup in-cell")
   }
 
+  // ---- exact cross-document substring spans (dd13) ----
+
+  test("exactSubstringSpans: hand pins — interior span, two disjoint spans, coverage-boundary merge") {
+    // k = 3. Doc 1 shares its head [1..5] with doc 2 and its tail
+    // [9..12] with doc 3 — windows at 1,2,3 then 9,10: the 3→9 gap
+    // (> k) splits them into two maximal spans.
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1 p q r s"),
+      (2L, "a b c d e"),
+      (3L, "zz p q r s"),
+      // doc 4 repeats "m n o" WITHIN itself only — cross-doc
+      // duplication must not mark it
+      (4L, "m n o m n o"),
+      // docs 5/6/7: doc 5's dup starts are 1,2 (cover 1-4) and 4,5
+      // (cover 4-7) — start 4 is 2 apart from start 2 (≤ k), so
+      // coverage is contiguous and ONE span [1..7] must come out
+      (5L, "q w e r t y u"),
+      (6L, "q w e r"),
+      (7L, "r t y u"),
+      (8L, null.asInstanceOf[String]),
+      (9L, "a b")) // shorter than k: no windows
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 5L, 5L), (1L, 9L, 12L, 4L),
+      (2L, 1L, 5L, 5L),
+      (3L, 2L, 5L, 4L),
+      (5L, 1L, 7L, 7L),
+      (6L, 1L, 4L, 4L),
+      (7L, 1L, 4L, 4L)), got.toSeq.sorted.mkString("; "))
+  }
+
+  test("exactSubstringSpans equals pure-Scala brute force on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("a", "b", "c", "d", "ee", "f.g", "")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[(List[String], Int)] = for {
+      base <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(base, genDoc)
+      nDup <- Gen.choose(0, base) // planted shared content
+      dups <- Gen.listOfN(nDup, Gen.oneOf(docs))
+      k <- Gen.oneOf(2, 3)
+      withNull <- Gen.oneOf(true, false)
+    } yield (docs ++ dups ++ (if (withNull) List(null: String) else Nil), k)
+    def bruteSpans(texts: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+      val kgrams = texts.collect { case (id, t) if t != null =>
+        val toks = t.split(" ", -1)
+        id -> (0 to toks.length - k).map(i =>
+          (toks.slice(i, i + k).mkString(" "), i + 1L))
+      }
+      val owners = kgrams
+        .flatMap { case (id, gs) => gs.map { case (g, _) => (g, id) } }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      kgrams.flatMap { case (id, gs) =>
+        val starts = gs.collect {
+          case (g, p) if (owners(g) - id).nonEmpty => p }.sorted
+        starts.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, p) if p <= e + 1 => (s, p + k - 1) :: rest
+          case (acc, p) => (p, p + k - 1) :: acc
+        }.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+    }
+    val prop = Prop.forAll(genCorpus) { case (texts, k) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exactSubstringSpans(rows.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = bruteSpans(rows, k)
+      val ok = got == want
+      if (!ok) println(s"corpus=$texts k=$k\ngot=$got want=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("exactSubstringSpans plan: one keyed window over 16-byte anchor keys — no exchange carries window text") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val p = Dedup.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(l => !l.contains("g#") && !l.contains("text#")), p)
+  }
+
+  test("substringAnchorVolume measures the operator's anchor buckets") {
+    // 3 docs, k=2: "a b c" twice (windows "a b","b c" ×2) + "a b" once
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val v = Dedup.substringAnchorVolume(docs, "doc_id", "text", k = 2)
+    assert(v.nBlocks == 2L) // distinct 2-grams: "a b", "b c"
+    assert(v.maxBlock == 3L) // "a b" occurs in all three docs
+  }
+
   // ---- blocked pairwise n-gram Jaccard: the pair-budget guard ----
 
   test("ngramJaccardPairs: a hot block over the pair budget fails loudly before any shingling") {
