@@ -117,7 +117,7 @@ object Bench {
     *    `breakdown_ms` from the engine's own progress metrics.
     */
   private[graft] def streamingBench(spark: SparkSession, total: Int,
-      waves: Option[Int]): StreamResult = {
+      waves: Option[Int], keyMod: Long = 100L): StreamResult = {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -146,7 +146,12 @@ object Bench {
     def mkData(base: Long, n: Int): Seq[(Timestamp, Long, Long)] =
       (0 until n).map { i =>
         val t = (base + i) * 10L // 10 ms apart -> ~100 windows/key/chunk
-        (new Timestamp(t), (base + i) % 100L, 1L)
+        // keyMod scales STATE SIZE independently of row count: state
+        // rows ≈ windows × keys = (total/1000) × keyMod, so keyMod
+        // 100→400 is a 4× state-size probe under the same feed (the
+        // MemoryStream heap ceiling pins total; state must scale some
+        // other way)
+        (new Timestamp(t), (base + i) % keyMod, 1L)
       }
     val wall0 = System.nanoTime()
     try {
@@ -474,6 +479,51 @@ object Bench {
             s""","streaming":{"error":"${e.getClass.getSimpleName}"}"""
         }
       else ""
+    // Two-point STATE-SIZE curve for the wave leg's stateCommit bound
+    // (the r13 open question): the wave protocol re-measured at 1× and
+    // 4× state (state rows ≈ waves·windows·keys; keys 100 → 400) with
+    // RocksDB changelog checkpointing ON and OFF. The r14 order-robust
+    // probe (StreamKnobProbe, two-pass reversed, 6 runs/cell) showed
+    // changelog ON wins at BOTH sizes (1×: 39.9k vs 30.9k median rps,
+    // cumulative stateCommit 166 s vs 272 s; 4×: 43.3k vs 38.1k,
+    // 147 s vs 215 s) — ON stays the default, and the wave leg's
+    // remaining gap to AvailableNow is the per-microbatch state commit
+    // whose cost scales with state under EITHER strategy, not a knob
+    // left on the table. This section keeps that receipt in every
+    // round's artifact so a regression in either cell is visible.
+    val stateCurveStart = offNow()
+    val stateCurve =
+      if (only.isEmpty)
+        try {
+          val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled"
+          val prior = spark.conf.getOption(clKey)
+          // one untimed keys-400 run so the first 4×-state timed cell
+          // doesn't pay the larger state's cold step
+          streamingBench(spark, 500000, Some(5), 400L)
+          def cell(keys: Long, changelog: Boolean): String = {
+            spark.conf.set(clKey, changelog.toString)
+            val runs = (1 to 3).map { _ =>
+              gcSettle()
+              streamingBench(spark, 500000, Some(5), keys)
+            }
+            s""""keys${keys}_changelog_${if (changelog) "on" else "off"}":""" +
+              LegSummary(runs).json
+          }
+          try {
+            val cells = Seq(cell(100L, true), cell(100L, false),
+              cell(400L, true), cell(400L, false)).mkString(",")
+            s""","state_size_curve":{"protocol":"wave5_500k_rows","cells":{$cells}}"""
+          } finally prior match {
+            case Some(v) => spark.conf.set(clKey, v)
+            case None    => spark.conf.unset(clKey)
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] state-size curve FAILED: $e")
+            ""
+        }
+      else ""
     // blocked-pairwise pair volumes at this SF (quadratic-creep canary),
     // plus the empirical 1×→10× scale curve: the same blocking measured
     // over a 10× perturbed self-union of each query's corpus, with the
@@ -556,6 +606,7 @@ object Bench {
         s""""remeasure_start_sec":${remeasureStartSec.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""section_start_sec":{"batch":0.0,"streaming":$streamingStart,""" +
+        s""""state_size_curve":$stateCurveStart,""" +
         s""""block_volume":$blockVolStart,"calib_end":$calibEndStart},""" +
         s""""contention_warning":$contended}"""
 
@@ -619,7 +670,7 @@ object Bench {
       "connector unchanged on a real cluster."
     val filtered = if (only.isEmpty) "" else ""","filtered":true"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$blockVol$sentinel$filtered,"sf":"$sfDir","notes":"$notes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$stateCurve$blockVol$sentinel$filtered,"sf":"$sfDir","notes":"$notes"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), fullJson)
     // Compact stdout line (see class doc for why ≤ 1600 chars): total,
@@ -703,9 +754,17 @@ object StreamKnobProbe {
     // so 2M rows OOMs the default 8g heap — scale tests belong on a
     // real source, not MemoryStream
     val probeTotal = sys.env.getOrElse("SPARK_GRAFT_PROBE_TOTAL", "500000").toInt
+    // SPARK_GRAFT_PROBE_KEYS scales state size (state rows ≈ total/1000
+    // × keys) without touching the staged row count — the knob the
+    // 2-4×-state changelog re-probe turns
+    val probeKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "100").toLong
+    // SPARK_GRAFT_PROBE_WAVES=n probes the wave (feed-and-wait, n
+    // synchronous drains) protocol instead of AvailableNow — the leg
+    // whose stateCommit-per-microbatch cost the changelog knob targets
+    val probeWaves = sys.env.get("SPARK_GRAFT_PROBE_WAVES").map(_.toInt)
     val active = knobs.filter { case (n, _) => knobFilter.forall(_.contains(n)) }
-    Bench.streamingBench(spark, probeTotal, None)
-    Bench.streamingBench(spark, probeTotal, None)
+    Bench.streamingBench(spark, probeTotal, probeWaves, probeKeys)
+    Bench.streamingBench(spark, probeTotal, probeWaves, probeKeys)
     val collected = scala.collection.mutable.Map[String, Vector[Bench.StreamResult]]()
       .withDefaultValue(Vector.empty)
     for (pass <- Seq(active, active.reverse); (name, conf) <- pass) {
@@ -720,7 +779,7 @@ object StreamKnobProbe {
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try
         (1 to reps).foreach { i =>
-          val r = Bench.streamingBench(spark, probeTotal, None)
+          val r = Bench.streamingBench(spark, probeTotal, probeWaves, probeKeys)
           println(s"""{"knob":"$name","run":$i,"result":${r.json}}""")
           collected(name) :+= r
         }
