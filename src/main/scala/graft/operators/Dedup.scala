@@ -251,9 +251,17 @@ object Dedup {
       .withColumn("maxd", max(col("id")).over(byKey))
       .filter(col("mind") =!= col("maxd"))
       .select(col("id"), col("p"))
-    // merge sorted window starts into maximal covered runs: each start
-    // covers [p, p+k-1]; coalesce with the open span [s, e] iff
-    // p <= e + 1 (contiguous or overlapping coverage)
+    mergeStarts(dupStarts, idCol, k)
+  }
+
+  /** Merge a (id, p) table of duplicated k-window starts into maximal
+    * covered runs per doc: each start covers [p, p+k-1]; sorted starts
+    * coalesce with the open span [s, e] iff p ≤ e + 1 (contiguous or
+    * overlapping coverage). One id-keyed exchange + an ordered
+    * array-local fold (ck2/x20 accumulator discipline). Shared by
+    * [[exactSubstringSpans]] and [[removeSharedSubstrings]]. */
+  private def mergeStarts(dupStarts: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val spans = aggregate(
       sort_array(collect_list(col("p"))),
       array().cast("array<struct<s:bigint,e:bigint>>"),
@@ -289,6 +297,58 @@ object Dedup {
   def substringAnchorVolume(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 10): BlockVolume =
     blockVolume(kgramStarts(docs, idCol, textCol, k), Seq("fp", "ln"))
+
+  /** The REMOVE action over [[exactSubstringSpans]]: every token inside
+    * a cross-doc-shared ≥k-span is dropped and the survivors re-join —
+    * the Lee et al. ExactSubstr cleaning step itself. Removal is
+    * symmetric (every sharer loses the span — boilerplate semantics);
+    * `keepFirst = true` exempts the span's FIRST owner (the min doc id
+    * among the span's k-window sharers), preserving one copy of the
+    * content corpus-wide, the train-data-conservation variant.
+    *
+    * Plan: [[exactSubstringSpans]]' two keyed exchanges, plus spans
+    * re-keying to their doc (8-byte rows + two longs) and ONE id-keyed
+    * join against the corpus — text moves once, to its own spans. The
+    * token drop is an array-local indexed filter (no shuffle). Docs
+    * with no shared spans pass through byte-identical (left join).
+    *
+    * @return (idCol, clean_text, n_dropped_tokens)
+    */
+  def removeSharedSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 10, keepFirst: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spanSrc =
+      if (!keepFirst) exactSubstringSpans(docs, idCol, textCol, k)
+      else {
+        // first owner per k-window = min doc id over the anchor key;
+        // a doc keeps a span iff it is the first owner of EVERY window
+        // it would lose — i.e. we simply drop the marks where this doc
+        // IS the min owner, and merge the remaining starts as usual
+        val byKey = Window.partitionBy(col("fp"), col("ln"))
+        val dupStarts = kgramStarts(docs, idCol, textCol, k)
+          .withColumn("mind", min(col("id")).over(byKey))
+          .withColumn("maxd", max(col("id")).over(byKey))
+          .filter(col("mind") =!= col("maxd") && col("id") =!= col("mind"))
+          .select(col("id"), col("p"))
+        mergeStarts(dupStarts, idCol, k)
+      }
+    val spans = spanSrc
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val ts = split(col(textCol), " ")
+    val kept = filter(ts, (t, i) =>
+      !exists(col("__spans"), sp =>
+        (i + 1L) >= sp.getField("s") && (i + 1L) <= sp.getField("e")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(size(ts).cast("long") - size(kept).cast("long"))
+          .as("n_dropped_tokens"))
+  }
 
   /** MinHash-LSH near-duplicate pairs, with text-identical compaction:
     * everything pairwise runs at DISTINCT-TEXT granularity, keyed by

@@ -645,6 +645,34 @@ class DedupSpec extends SparkTestBase {
     assert(shuffles.forall(l => !l.contains("g#") && !l.contains("text#")), p)
   }
 
+  test("removeSharedSubstrings drops exactly the flagged spans; keepFirst preserves the first owner's copy") {
+    // k = 3: docs 1 and 2 share "a b c d e" (span [1..5] in both); doc 1
+    // keeps its unshared tail, doc 3 is untouched (passes through
+    // byte-identical)
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "a b c d e"),
+      (3L, "completely separate words here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sym = Dedup.removeSharedSubstrings(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(sym(1L) == (("x1 y1 z1", 5L)))
+    assert(sym(2L) == (("", 5L))) // entire doc was shared content
+    assert(sym(3L) == (("completely separate words here", 0L)))
+    assert(sym(4L)._2 == 0L)
+    // keepFirst: doc 1 (min id among sharers) keeps the span; doc 2
+    // still loses it
+    val kf = Dedup.removeSharedSubstrings(docs, "doc_id", "text", k = 3,
+        keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(kf(1L) == (("a b c d e x1 y1 z1", 0L)))
+    assert(kf(2L) == (("", 5L)))
+    assert(kf(3L) == (("completely separate words here", 0L)))
+  }
+
   test("substringAnchorVolume measures the operator's anchor buckets") {
     // 3 docs, k=2: "a b c" twice (windows "a b","b c" ×2) + "a b" once
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"))
