@@ -341,13 +341,18 @@ object Dedup {
     val kept = filter(ts, (t, i) =>
       !exists(col("__spans"), sp =>
         (i + 1L) >= sp.getField("s") && (i + 1L) <= sp.getField("e")))
+    // n_dropped comes from the SPAN array (disjoint maximal runs within
+    // the token count by construction), not from size(kept): HOFs get
+    // no common-subexpression elimination, so a second reference to
+    // `kept` would run the tokens × spans filter twice per affected row
+    val dropped = aggregate(col("__spans"), lit(0L),
+      (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1L)
     docs.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__spans").isNull, col(textCol))
           .otherwise(array_join(kept, " ")).as("clean_text"),
         when(col("__spans").isNull, lit(0L))
-          .otherwise(size(ts).cast("long") - size(kept).cast("long"))
-          .as("n_dropped_tokens"))
+          .otherwise(dropped).as("n_dropped_tokens"))
   }
 
   /** MinHash-LSH near-duplicate pairs, with text-identical compaction:

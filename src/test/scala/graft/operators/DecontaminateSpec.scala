@@ -115,6 +115,12 @@ class DecontaminateSpec extends SparkTestBase {
     // the same call with the default budget sails through
     assert(Decontaminate.fuzzyLshOverlap(train, bench, "doc_id", "text")
       .count() == 1L)
+    // an EMPTY bench side must not trip the estimator (null sum path)
+    // and yields an all-clean report
+    val clean = Decontaminate.fuzzyLshOverlap(train,
+      bench.filter(col("doc_id") < 0), "doc_id", "text",
+      maxBenchBroadcastBytes = 64L).collect()
+    assert(clean.length == 1 && !clean(0).getBoolean(3))
   }
 
   test("fuzzyLshOverlap plan: corpus band keys never shuffle — bench broadcasts, only verified pairs exchange") {
