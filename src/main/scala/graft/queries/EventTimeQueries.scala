@@ -43,6 +43,27 @@ object EventTimeQueries extends QueryModule {
     "w1_streaming" -> ((s, d) =>
       graft.streaming.StreamingRun.tumblingDaily(s, d)),
 
+    // W8 session windows through the ACTUAL streaming session-state
+    // path — the SECOND stateful exec this library drives under a
+    // driver-visible oracle (w1_streaming covers StateStoreSaveExec;
+    // this covers SessionWindowStateStoreSave/Restore + MergingSessions,
+    // a different state layout: one struct-keyed session row per
+    // (key, session), merged on arrival). Spark's session semantics are
+    // NOT w3's floor-seconds rule: sessions merge iff the next event's
+    // window overlaps (ts < last_ts + gap, STRICT, full microsecond
+    // precision) and session_end = last event + gap — the oracle
+    // replays exactly that, so the green row pins the engine's own
+    // session definition cross-engine, not a lookalike.
+    "w9_streaming_sessions" -> ((s, d) =>
+      graft.streaming.StreamingRun.drainComplete(s,
+        graft.streaming.StreamingRun.eventsStream(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))),
+
     // W1 sliding window (Assigner::Sliding{length: 1h, slide: 30m}) — each
     // event lands in length/slide = 2 windows.
     "w2_sliding" -> ((s, d) =>
@@ -245,6 +266,27 @@ object EventTimeQueries extends QueryModule {
         |GROUP BY 1, 2""".stripMargin,
 
     "w3_sessionize" -> sessionizeSql,
+
+    // Spark session_window semantics exactly: STRICT microsecond
+    // overlap (break iff ts >= prev + gap — unlike w3's floor-seconds
+    // inclusive-1800 rule), session_end = last event + gap.
+    "w9_streaming_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM numbered GROUP BY user_id, sid""".stripMargin,
 
     // identical sessions must fall out of the two-phase plan
     "w7_sessionize_twophase" -> sessionizeSql,
