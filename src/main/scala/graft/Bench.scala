@@ -357,6 +357,25 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val loadStart = loadavg()
+    // Broad JVM warm-up BEFORE the start calibration: calibrate()'s own
+    // plateau only warms its narrow range-sum loop, while the END
+    // calibration runs after ~15 min of varied Spark work (scheduler,
+    // shuffle, codegen, parquet paths all C2-compiled) — observed as
+    // benign 0.70-0.79 "drift" on cold sessions (r13 annex; two r14
+    // record attempts tripped the symmetric bound on exactly this).
+    // A short burst of representative UNTIMED work (a parquet scan +
+    // aggregate + join + shuffle) moves the start calibration onto the
+    // same broadly-warm footing, so symmetric drift measures what it
+    // exists for: did someone else have the cores.
+    scala.util.Try {
+      (1 to 3).foreach { _ =>
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")),
+            count(lit(1))).collect()
+      }
+    }
     val calibStart = calibrate(spark)
 
     // Run-order clock: every query (and section) records its start
