@@ -673,6 +673,54 @@ class DedupSpec extends SparkTestBase {
     assert(kf(3L) == (("completely separate words here", 0L)))
   }
 
+  test("removeSharedSubstrings equals pure-Scala brute force (symmetric mode)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("a", "b", "c", "d", "ee")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[(List[String], Int)] = for {
+      base <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(base, genDoc)
+      nDup <- Gen.choose(0, base)
+      dups <- Gen.listOfN(nDup, Gen.oneOf(docs))
+      k <- Gen.oneOf(2, 3)
+    } yield (docs ++ dups, k)
+    def brute(texts: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val kgrams = texts.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> (0 to toks.length - k).map(i =>
+          toks.slice(i, i + k).mkString(" "))
+      }.toMap
+      val owners = kgrams.toSeq
+        .flatMap { case (id, gs) => gs.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      texts.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val covered = kgrams(id).zipWithIndex.collect {
+          case (g, i) if (owners(g) - id).nonEmpty =>
+            (i until i + k) }.flatten.toSet
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !covered.contains(i) => tok }
+        id -> ((kept.mkString(" "), covered.size.toLong))
+      }.toMap
+    }
+    val prop = Prop.forAll(genCorpus) { case (texts, k) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.removeSharedSubstrings(rows.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      val want = brute(rows, k)
+      val ok = got == want
+      if (!ok) println(s"corpus=$texts k=$k\ngot=$got want=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("substringAnchorVolume measures the operator's anchor buckets") {
     // 3 docs, k=2: "a b c" twice (windows "a b","b c" ×2) + "a b" once
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"))
