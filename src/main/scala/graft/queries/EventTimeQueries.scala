@@ -12,7 +12,12 @@ import graft.Tables
   * same plans — `withWatermark` + `window()` in append mode — live in
   * `graft.streaming` and are exercised by the ScalaTest suite; batch and
   * streaming share the window assignment logic, so the DuckDB oracle on the
-  * batch plan also pins the streaming window boundaries.
+  * batch plan also pins the streaming window boundaries. Two rows
+  * additionally run the ACTUAL streaming execution under the driver's
+  * oracle: `w1_streaming` (StateStoreSaveExec tumbling agg, oracle shared
+  * verbatim with w1) and `w9_streaming_sessions`
+  * (SessionWindowStateStoreSave merge path, oracle replaying Spark's own
+  * strict-overlap session semantics) — see [[graft.streaming.StreamingRun]].
   *
   * Scale notes: `window(ts, ...)` is a projection (no shuffle); the single
   * shuffle is the grouped aggregation with map-side partial agg. The as-of
