@@ -721,6 +721,20 @@ class DedupSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("exactSubstringSpans works with STRING doc ids (no integral-id requirement)") {
+    // unlike clusters (which needs integral ids for the Σ-convergence
+    // check), the span operator only needs an orderable id for the
+    // min≠max cross-doc test — pin that contract
+    val docs = Seq(
+      ("doc/a", "p q r s t"),
+      ("doc/b", "p q r s t"),
+      ("doc/c", "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("doc/a", 1L, 5L), ("doc/b", 1L, 5L)), got)
+  }
+
   test("substringAnchorVolume measures the operator's anchor buckets") {
     // 3 docs, k=2: "a b c" twice (windows "a b","b c" ×2) + "a b" once
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"))
