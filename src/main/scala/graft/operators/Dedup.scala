@@ -213,8 +213,16 @@ object Dedup {
     * covers p and matches verbatim wherever the span does. So the
     * union of duplicated k-windows, merged into maximal runs
     * (consecutive starts s₁ < s₂ coalesce iff s₂ ≤ s₁ + k — coverage
-    * stays contiguous), is EXACTLY the set of maximal ≥k-token shared
-    * spans. The oracle replays the definition over raw window text;
+    * stays contiguous), covers EXACTLY the token positions lying in
+    * some ≥k-token shared span. The reported rows are those maximal
+    * covered RUNS — the union of shared spans, which is precisely what
+    * removal needs — not per-partner maximal spans: adjacent or
+    * overlapping spans shared with DIFFERENT partner documents merge
+    * into one row (tokens [1..k] shared with B and [k+1..2k] shared
+    * with C report as a single [1..2k] run even though no single
+    * document shares the merged span; threading the partner id through
+    * the window would be needed to split them, and removal does not
+    * care). The oracle replays the definition over raw window text;
     * matching it proves the (fingerprint64, length) keys lost nothing
     * (the [[passageExactDedup]] discipline).
     *
@@ -239,7 +247,8 @@ object Dedup {
     * each span's min-id owner.
     *
     * @return (idCol, span_start, span_end, n_span_tokens) — one row per
-    *         maximal shared span, 1-based inclusive token positions.
+    *         maximal run of cross-doc-shared token positions, 1-based
+    *         inclusive.
     */
   def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
@@ -254,16 +263,14 @@ object Dedup {
     mergeStarts(dupStarts, idCol, k)
   }
 
-  /** Merge a (id, p) table of duplicated k-window starts into maximal
-    * covered runs per doc: each start covers [p, p+k-1]; sorted starts
-    * coalesce with the open span [s, e] iff p ≤ e + 1 (contiguous or
-    * overlapping coverage). One id-keyed exchange + an ordered
-    * array-local fold (ck2/x20 accumulator discipline). Shared by
-    * [[exactSubstringSpans]] and [[removeSharedSubstrings]]. */
-  private def mergeStarts(dupStarts: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    val spans = aggregate(
-      sort_array(collect_list(col("p"))),
+  /** Coalesce a SORTED array of k-window start positions into maximal
+    * covered runs: each start covers [p, p+k-1]; sorted starts coalesce
+    * with the open span [s, e] iff p ≤ e + 1 (contiguous or overlapping
+    * coverage). Pure array-local fold (ck2/x20 accumulator discipline);
+    * the result is a sorted array of DISJOINT spans. */
+  private def coalesceStarts(sortedStarts: Column, k: Int): Column =
+    aggregate(
+      sortedStarts,
       array().cast("array<struct<s:bigint,e:bigint>>"),
       (sp, p) => {
         val last = element_at(sp, -1)
@@ -274,6 +281,13 @@ object Dedup {
           .otherwise(concat(sp,
             array(struct(p.as("s"), (p + (k - 1)).as("e")))))
       })
+
+  /** Merge a (id, p) table of duplicated k-window starts into maximal
+    * covered runs per doc — one id-keyed exchange + [[coalesceStarts]].
+    * Shared by [[exactSubstringSpans]] and [[removeSharedSubstrings]]. */
+  private def mergeStarts(dupStarts: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val spans = coalesceStarts(sort_array(collect_list(col("p"))), k)
     dupStarts
       .groupBy(col("id"))
       .agg(spans.as("spans"))
@@ -301,10 +315,27 @@ object Dedup {
   /** The REMOVE action over [[exactSubstringSpans]]: every token inside
     * a cross-doc-shared ≥k-span is dropped and the survivors re-join —
     * the Lee et al. ExactSubstr cleaning step itself. Removal is
-    * symmetric (every sharer loses the span — boilerplate semantics);
-    * `keepFirst = true` exempts the span's FIRST owner (the min doc id
-    * among the span's k-window sharers), preserving one copy of the
-    * content corpus-wide, the train-data-conservation variant.
+    * symmetric (every sharer loses the span — boilerplate semantics).
+    *
+    * `keepFirst = true` is the train-data-conservation variant: each
+    * duplicated k-window's FIRST owner (the min doc id among its
+    * sharers) keeps that window's tokens — the exemption actively
+    * PROTECTS them against overlapping marks from other windows, so the
+    * guarantee is corpus-wide at k-gram granularity: every k-token
+    * sequence that occurred anywhere in the corpus still occurs,
+    * verbatim and contiguous, in its first-owner document (its k
+    * protected tokens are consecutive in the original and all kept, so
+    * removal elsewhere in the doc cannot break them apart). Protection
+    * must override marks, not merely withhold them: with k = 3 and docs
+    * 0 = "x a b z", 1 = "x a b c", 2 = "a b c d", doc 1 is the first
+    * owner of "a b c" but is marked for tokens 1-3 by the overlapping
+    * "x a b" window (first owner: doc 0) — without the override, "a b c"
+    * would survive in NO document. Note the unit of exemption is the
+    * k-window's content key, so a longer shared span whose windows have
+    * different first owners survives window-by-window across those
+    * owners, not necessarily whole in one doc; and within-doc repeats
+    * of a protected window are ALL protected in the first-owner doc
+    * (collapsing those is [[selfDedupPassages]]' job).
     *
     * Plan: [[exactSubstringSpans]]' two keyed exchanges, plus spans
     * re-keying to their doc (8-byte rows + two longs) and ONE id-keyed
@@ -318,35 +349,67 @@ object Dedup {
       textCol: String, k: Int = 10, keepFirst: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val spanSrc =
-      if (!keepFirst) exactSubstringSpans(docs, idCol, textCol, k)
-      else {
-        // first owner per k-window = min doc id over the anchor key;
-        // a doc keeps a span iff it is the first owner of EVERY window
-        // it would lose — i.e. we simply drop the marks where this doc
-        // IS the min owner, and merge the remaining starts as usual
+    val ts = split(col(textCol), " ")
+    def covers(spans: Column, i: Column): Column =
+      exists(spans, sp =>
+        (i + 1L) >= sp.getField("s") && (i + 1L) <= sp.getField("e"))
+    val (spans, kept, dropped) =
+      if (!keepFirst) {
+        val sp = exactSubstringSpans(docs, idCol, textCol, k)
+          .groupBy(col(idCol))
+          .agg(collect_list(struct(col("span_start").as("s"),
+            col("span_end").as("e"))).as("__spans"))
+        val kp = filter(ts, (t, i) => !covers(col("__spans"), i))
+        // n_dropped comes from the SPAN array (disjoint maximal runs
+        // within the token count by construction), not from size(kept):
+        // HOFs get no common-subexpression elimination, so a second
+        // reference to `kept` would run the tokens × spans filter twice
+        // per affected row
+        val dr = aggregate(col("__spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1L)
+        (sp, kp, dr)
+      } else {
+        // one anchor-keyed window pass tags each duplicated start as
+        // PROTECTED (this doc is the window's first owner) or MARKED
+        // (another doc is); both span sets merge in the same id-keyed
+        // groupBy — the fold just runs twice over the pre-sorted,
+        // pre-filtered start arrays. A token drops iff marked and not
+        // protected.
         val byKey = Window.partitionBy(col("fp"), col("ln"))
-        val dupStarts = kgramStarts(docs, idCol, textCol, k)
+        val starts = kgramStarts(docs, idCol, textCol, k)
           .withColumn("mind", min(col("id")).over(byKey))
           .withColumn("maxd", max(col("id")).over(byKey))
-          .filter(col("mind") =!= col("maxd") && col("id") =!= col("mind"))
-          .select(col("id"), col("p"))
-        mergeStarts(dupStarts, idCol, k)
+          .filter(col("mind") =!= col("maxd"))
+          .select(col("id").as(idCol), col("p"),
+            (col("id") === col("mind")).as("prot"))
+        def runs(want: Boolean) = coalesceStarts(
+          transform(filter(col("__ps"), x => x.getField("prot") === want),
+            x => x.getField("p")), k)
+        val sp = starts
+          .groupBy(col(idCol))
+          // ONE collected buffer per doc; the two coalesced span arrays
+          // are projections over it (__ps is a materialized aggregate
+          // output attribute, so referencing it twice recomputes nothing)
+          .agg(sort_array(collect_list(struct(col("p"), col("prot"))))
+            .as("__ps"))
+          .select(col(idCol), runs(want = false).as("__spans"),
+            runs(want = true).as("__prot"))
+        val kp = filter(ts, (t, i) =>
+          !covers(col("__spans"), i) || covers(col("__prot"), i))
+        // dropped = |marks| − |marks ∩ protects|; both arrays are sorted
+        // disjoint runs, so summing pairwise overlap lengths is exact
+        // (spans-per-doc is small — the nested fold is array-local)
+        val dr = aggregate(col("__spans"), lit(0L),
+          (acc, m) => acc + m.getField("e") - m.getField("s") + 1L -
+            aggregate(col("__prot"), lit(0L),
+              (a2, pr) => a2 + greatest(lit(0L),
+                least(m.getField("e"), pr.getField("e")) -
+                  greatest(m.getField("s"), pr.getField("s")) + 1L)))
+        (sp, kp, dr)
       }
-    val spans = spanSrc
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("__spans"))
-    val ts = split(col(textCol), " ")
-    val kept = filter(ts, (t, i) =>
-      !exists(col("__spans"), sp =>
-        (i + 1L) >= sp.getField("s") && (i + 1L) <= sp.getField("e")))
-    // n_dropped comes from the SPAN array (disjoint maximal runs within
-    // the token count by construction), not from size(kept): HOFs get
-    // no common-subexpression elimination, so a second reference to
-    // `kept` would run the tokens × spans filter twice per affected row
-    val dropped = aggregate(col("__spans"), lit(0L),
-      (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1L)
+    // in keepFirst mode a doc can group in with ONLY protected starts:
+    // __spans is then an EMPTY array (not null) — the filter keeps every
+    // token and the fold yields 0, so the doc passes through unchanged
     docs.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__spans").isNull, col(textCol))

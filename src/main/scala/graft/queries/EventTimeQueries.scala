@@ -48,8 +48,9 @@ object EventTimeQueries extends QueryModule {
     "w1_streaming" -> ((s, d) =>
       graft.streaming.StreamingRun.tumblingDaily(s, d)),
 
-    // W8 session windows through the ACTUAL streaming session-state
-    // path — the SECOND stateful exec this library drives under a
+    // W9 row: session windows (SURVEY §2 item W8) through the ACTUAL
+    // streaming session-state path — the SECOND stateful exec this
+    // library drives under a
     // driver-visible oracle (w1_streaming covers StateStoreSaveExec;
     // this covers SessionWindowStateStoreSave/Restore + MergingSessions,
     // a different state layout: one struct-keyed session row per

@@ -47,10 +47,24 @@ object StreamingRun {
     val path =
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"), src.toAbsolutePath)
+        // ONE cached staging dir per source path, reused across every
+        // bench/oracle/test invocation (a fresh createTempDirectory per
+        // call would leak: deleteOnExit cannot remove a non-empty dir).
+        // The dir name is deterministic in the source path; deleteOnExit
+        // registers dir BEFORE link (it deletes in reverse order, so the
+        // link goes first and the then-empty dir can follow)
+        val abs = src.toAbsolutePath
+        val tag = java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(abs.toString))
+        val d = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft-stream-src-$tag")
+        java.nio.file.Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          scala.util.Try(java.nio.file.Files.createSymbolicLink(link, abs))
         d.toFile.deleteOnExit()
+        link.toFile.deleteOnExit()
         d.toString
       }
     val raw = s.read.parquet(path).schema // metadata-only: no data scan

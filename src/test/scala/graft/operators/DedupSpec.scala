@@ -673,6 +673,91 @@ class DedupSpec extends SparkTestBase {
     assert(kf(3L) == (("completely separate words here", 0L)))
   }
 
+  test("removeSharedSubstrings keepFirst: protection overrides overlapping marks (no content lost corpus-wide)") {
+    // the adversarial shape: doc 1 is the first owner of "a b c" but is
+    // marked for tokens 1-3 by the overlapping "x a b" window (first
+    // owner: doc 0). Protection must override the mark, or "a b c"
+    // survives in NO document.
+    val docs = Seq(
+      (0L, "x a b z"),
+      (1L, "x a b c"),
+      (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val kf = Dedup.removeSharedSubstrings(docs, "doc_id", "text", k = 3,
+        keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(kf(0L) == (("x a b z", 0L))) // first owner of "x a b"
+    assert(kf(1L) == (("a b c", 1L)))   // loses only "x"; keeps its owned gram
+    assert(kf(2L) == (("d", 3L)))       // plain sharer, loses "a b c"
+  }
+
+  test("removeSharedSubstrings keepFirst equals brute force; every shared k-gram survives in its first owner") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("a", "b", "c", "d", "ee")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[(List[String], Int)] = for {
+      base <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(base, genDoc)
+      nDup <- Gen.choose(0, base)
+      dups <- Gen.listOfN(nDup, Gen.oneOf(docs))
+      k <- Gen.oneOf(2, 3)
+    } yield (docs ++ dups, k)
+    // token removed iff covered by a MARKED dup window (first owner is
+    // another doc) and not covered by a PROTECTED one (this doc is the
+    // window's first owner) — the scaladoc's semantics, literally
+    def brute(texts: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val kgrams = texts.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> (0 to toks.length - k).map(i =>
+          toks.slice(i, i + k).mkString(" "))
+      }.toMap
+      val owners = kgrams.toSeq
+        .flatMap { case (id, gs) => gs.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      texts.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        def winIdx(pred: Long => Boolean) =
+          kgrams(id).zipWithIndex.collect {
+            case (g, i) if (owners(g) - id).nonEmpty && pred(owners(g).min) =>
+              (i until i + k) }.flatten.toSet
+        val marked = winIdx(_ != id)
+        val prot = winIdx(_ == id)
+        val removed = marked -- prot
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !removed.contains(i) => tok }
+        id -> ((kept.mkString(" "), removed.size.toLong))
+      }.toMap
+    }
+    val prop = Prop.forAll(genCorpus) { case (texts, k) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.removeSharedSubstrings(rows.toDF("doc_id", "text"),
+          "doc_id", "text", k, keepFirst = true)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      val want = brute(rows, k)
+      // the conservation guarantee itself: every cross-doc-shared k-gram
+      // occurs verbatim in its first owner's clean text
+      val kgrams = rows.map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toSeq }.toMap
+      val owners = kgrams.toSeq
+        .flatMap { case (id, gs) => gs.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      val conserved = owners.forall { case (g, os) =>
+        os.size < 2 || got(os.min)._1.split(" ", -1).sliding(k)
+          .exists(_.mkString(" ") == g) }
+      val ok = got == want && conserved
+      if (!ok) println(s"corpus=$texts k=$k conserved=$conserved\ngot=$got want=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("removeSharedSubstrings equals pure-Scala brute force (symmetric mode)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val vocab = Vector("a", "b", "c", "d", "ee")
