@@ -12,12 +12,17 @@ import graft.Tables
   * same plans — `withWatermark` + `window()` in append mode — live in
   * `graft.streaming` and are exercised by the ScalaTest suite; batch and
   * streaming share the window assignment logic, so the DuckDB oracle on the
-  * batch plan also pins the streaming window boundaries. Two rows
+  * batch plan also pins the streaming window boundaries. Five rows
   * additionally run the ACTUAL streaming execution under the driver's
-  * oracle: `w1_streaming` (StateStoreSaveExec tumbling agg, oracle shared
-  * verbatim with w1) and `w9_streaming_sessions`
-  * (SessionWindowStateStoreSave merge path, oracle replaying Spark's own
-  * strict-overlap session semantics) — see [[graft.streaming.StreamingRun]].
+  * oracle — one per stateful streaming exec this library drives:
+  * `w1_streaming` (StateStoreSaveExec tumbling agg, oracle shared verbatim
+  * with w1), `w9_streaming_sessions` (SessionWindowStateStoreSave merge
+  * path, oracle replaying Spark's own strict-overlap session semantics),
+  * `w10_streaming_join` (StreamingSymmetricHashJoinExec, stream-stream
+  * interval join), `w11_streaming_dedup` (StreamingDeduplicateExec), and
+  * `w12_streaming_operator` (FlatMapGroupsWithStateExec — the DSL's custom
+  * StatefulOperator on the live engine) — see
+  * [[graft.streaming.StreamingRun]].
   *
   * Scale notes: `window(ts, ...)` is a projection (no shuffle); the single
   * shuffle is the grouped aggregation with map-side partial agg. The as-of
@@ -60,6 +65,31 @@ object EventTimeQueries extends QueryModule {
     // precision) and session_end = last event + gap — the oracle
     // replays exactly that, so the green row pins the engine's own
     // session definition cross-engine, not a lookalike.
+    // W10: stream-STREAM inner interval join through
+    // StreamingSymmetricHashJoinExec — the THIRD stateful streaming
+    // exec under a driver-visible oracle. Both join sides are live
+    // streams over the events source; inner-join append output is the
+    // exact match set under any micro-batching, so the oracle is the
+    // plain batch join (see StreamingRun.attributionJoin for the
+    // watermark/state-eviction at-scale note).
+    "w10_streaming_join" -> ((s, d) =>
+      graft.streaming.StreamingRun.attributionJoin(s, d)),
+
+    // W11: streaming key dedup through StreamingDeduplicateExec — the
+    // FOURTH stateful streaming exec under a driver-visible oracle.
+    // Key-only projection makes the emitted set exactly DISTINCT
+    // (user_id, event_type), independent of arrival order.
+    "w11_streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingRun.distinctPairs(s, d)),
+
+    // W12: the DSL's custom StatefulOperator (T6) through the ACTUAL
+    // streaming path — FlatMapGroupsWithStateExec, the FIFTH stateful
+    // streaming exec under a driver-visible oracle. Per-element
+    // running-state emissions, final-state readout (unique max-count
+    // row per key) — deterministic under any batch split or order.
+    "w12_streaming_operator" -> ((s, d) =>
+      graft.streaming.StreamingRun.operatorRunningAgg(s, d)),
+
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
         graft.streaming.StreamingRun.eventsStream(s, d)
@@ -296,6 +326,23 @@ object EventTimeQueries extends QueryModule {
 
     // identical sessions must fall out of the two-phase plan
     "w7_sessionize_twophase" -> sessionizeSql,
+
+    // the streaming inner join's exact match set = the batch join
+    "w10_streaming_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+        |  a.ts AS view_ts, b.ts AS purchase_ts, b.value AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin,
+
+    "w11_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // final running state per key = the plain per-key aggregate
+    "w12_streaming_operator" ->
+      """SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "w5_appender" ->
       """SELECT user_id,

@@ -84,11 +84,27 @@ object StreamingRun {
     * live query after termination — e.g. to assert the executed plan
     * really is the stateful streaming one. */
   def drainComplete(s: SparkSession, plan: DataFrame,
-      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    drainTo(s, plan, "complete", inspect)
+
+  /** Append-mode variant of [[drainComplete]] — for streaming plans whose
+    * OUTPUT is already final as it is emitted (joins, dedup,
+    * flatMapGroupsWithState), where complete mode is either unsupported
+    * or meaningless. The memory sink accumulates every emitted row
+    * across micro-batches; the caller's plan must make that union
+    * deterministic (an inner join and a key-projected dedup are exact
+    * sets by construction; a running-state operator needs the
+    * final-state readout discipline — see `operatorRunningAgg`). */
+  def drainAppend(s: SparkSession, plan: DataFrame,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    drainTo(s, plan, "append", inspect)
+
+  private def drainTo(s: SparkSession, plan: DataFrame, mode: String,
+      inspect: StreamingQuery => Unit): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val q = plan.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", ckpt.toString)
@@ -121,4 +137,103 @@ object StreamingRun {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Stream-STREAM inner interval join through
+    * `StreamingSymmetricHashJoinExec`: view events attributed to the
+    * same user's purchases within the next 12 hours, BOTH sides live
+    * streams over the events source. Append mode; an inner join's
+    * output is the exact match set regardless of how the sources
+    * micro-batch (each pair emits exactly once, when its second side
+    * arrives), so the bounded oracle is the plain batch join — no
+    * single-batch assumption anywhere.
+    *
+    * No watermark, deliberately: with one declared, rows arriving in a
+    * later micro-batch but event-timed behind the advanced watermark
+    * would be DROPPED (correct streaming semantics, but dependent on
+    * the source's batch split — not oracle-checkable on re-ordered
+    * bounded input). An unbounded production deployment adds
+    * `withWatermark` on both sides so the join state can evict
+    * (the range condition then bounds each side's buffer to the band);
+    * the join plan itself — user-key exchange into symmetric hash
+    * state, range predicate evaluated post-probe — is unchanged. At
+    * 100 TB the only wide edge is the key exchange, same as batch j1.
+    */
+  def attributionJoin(s: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    drainAppend(s,
+      views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS")),
+      inspect)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Streaming key dedup through `StreamingDeduplicateExec`: first
+    * occurrence of each (user_id, event_type) pair emits, every later
+    * one hits dedup state and is suppressed. The projection keeps ONLY
+    * the dedup key columns, so which physical row arrives first cannot
+    * show in the output — the emitted set is exactly the distinct key
+    * set, batch-split- and order-independent, and the oracle is a plain
+    * DISTINCT. Production shape at 100 TB: one key exchange into the
+    * dedup state store; with `dropDuplicatesWithinWatermark` the state
+    * evicts behind the watermark — same exec, bounded state. */
+  def distinctPairs(s: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    drainAppend(s,
+      eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      inspect)
+
+  /** The DSL's custom [[graft.operators.StatefulOperator]] (T6) through
+    * the ACTUAL streaming path — `flatMapGroupsWithState` /
+    * `FlatMapGroupsWithStateExec`, the engine mechanism the reference's
+    * `Operator` trait maps to (arcon/src/stream/operator/mod.rs:21-54).
+    * The operator keeps a running (count, sum) per user and emits the
+    * updated state on every element, exactly the reference's per-element
+    * `handle_element -> out` contract.
+    *
+    * Bounded-oracle discipline: per-element emissions are processing-
+    * order-dependent, so the readout takes each key's FINAL state row —
+    * the row with the maximal running count, which is unique (the count
+    * is strictly increasing per key, across micro-batches too, since
+    * group state persists) and whose running sum has by then absorbed
+    * every element regardless of arrival order. Deterministic under any
+    * batch split; oracle = plain GROUP BY. */
+  def operatorRunningAgg(s: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.operators.{OperatorContext, StatefulOperator}
+    val ds = eventsStream(s, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val op = new StatefulOperator[Long, (Long, Double), (Long, Double), (Long, Long, Double)] {
+      def initialState: (Long, Double) = (0L, 0.0)
+      def handleElement(key: Long, e: (Long, Double), ts: Option[Long],
+          state: (Long, Double), ctx: OperatorContext):
+          ((Long, Double), Iterator[(Long, Long, Double)]) = {
+        val s2 = (state._1 + 1L, state._2 + e._2)
+        (s2, Iterator((key, s2._1, s2._2)))
+      }
+    }
+    val out = new graft.api.Stream(ds, graft.api.SourceConf[(Long, Double)]())
+      .keyBy(_._1)(Encoders.scalaLong)
+      .operator(op)(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+    drainAppend(s, out.toDF, inspect)
+      .groupBy(col("_1").as("user_id"))
+      .agg(max(col("_2")).as("n_events"),
+        max_by(col("_3"), col("_2")).as("sum_value"))
+  }
 }

@@ -53,6 +53,69 @@ class StreamingRunSpec extends SparkTestBase {
     assert(streaming.nonEmpty)
   }
 
+  private def planOf(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+
+  test("w10_streaming_join executes StreamingSymmetricHashJoinExec and equals the batch join") {
+    var plan = ""
+    val streaming = StreamingRun.attributionJoin(spark, sfDir,
+      inspect = q => plan = planOf(q))
+    assert(plan.contains("StreamingSymmetricHashJoin"), plan)
+    val got = streaming.collect().map(_.toSeq).toSet
+    val e = graft.Tables.events(spark, sfDir)
+    val a = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val want = a.join(b,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("w11_streaming_dedup executes StreamingDeduplicateExec and equals batch DISTINCT") {
+    var plan = ""
+    val streaming = StreamingRun.distinctPairs(spark, sfDir,
+      inspect = q => plan = planOf(q))
+    assert(plan.contains("StreamingDeduplicate"), plan)
+    val got = streaming.collect().map(_.toSeq).toSet
+    val want = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("w12_streaming_operator executes FlatMapGroupsWithStateExec; final state equals the batch aggregate") {
+    var plan = ""
+    val streaming = StreamingRun.operatorRunningAgg(spark, sfDir,
+      inspect = q => plan = planOf(q))
+    assert(plan.contains("FlatMapGroupsWithState"), plan)
+    val got = streaming.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    assert(got.nonEmpty)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == want(k)._1, s"key $k count")
+      // the streaming side is a sequential per-key fold, the batch side a
+      // partial+final sum tree — double results agree to rounding only
+      assert(math.abs(s - want(k)._2) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"key $k sum $s vs ${want(k)._2}")
+    }
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
