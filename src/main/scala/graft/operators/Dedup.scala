@@ -953,6 +953,20 @@ object Dedup {
       reliable: Boolean = false, maxIters: Int = 50): DataFrame =
     clustersWithIters(pairs, aCol, bCol, reliable, maxIters)._1
 
+  /** Edge-count bound under which [[clusters]] BROADCASTS the label
+    * frontier instead of shuffling it each round. Near-dup output is
+    * sparse relative to the corpus at every scale (a 100 TB run with
+    * percent-level duplication still yields |pairs| ≪ |docs|), so the
+    * frontier — at most 2·|edges| (doc_id, cluster_id) longs — usually
+    * fits an executor broadcast with room to spare; staging through
+    * local/reliable checkpoints erases size stats, so the planner can
+    * never discover this on its own and every round would pay exchanges
+    * + sorts on a few-thousand-row frontier. 4M edges ≈ 64 MB of
+    * broadcast — comfortably under executor memory, far under Spark's
+    * 8 GB broadcast cap. Past the bound the loop falls back to the
+    * shuffled sort-merge shape, which scales unbounded. */
+  private val BroadcastFrontierMaxEdges = 4L << 20
+
   /** [[clusters]] plus the number of propagation rounds actually run —
     * label propagation needs exactly `diameter` rounds to reach the far
     * end of a component plus one round to observe the fixpoint, which
@@ -986,6 +1000,18 @@ object Dedup {
     // beyond that, swap in a change-count convergence check.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
+    // The staged (cached) edge list is one cheap job to count, and the
+    // count picks the per-round join strategy: checkpoint staging erases
+    // size stats, so without the explicit hint the planner would pay
+    // exchange + sort on BOTH sides of every round's join even when the
+    // frontier is a few thousand rows (the common case — near-dup pairs
+    // are sparse relative to the corpus at every scale). |labels| ≤
+    // 2·|edges|, so the edge count bounds the broadcast size; past
+    // [[BroadcastFrontierMaxEdges]] the loop keeps the shuffled
+    // sort-merge shape, which scales unbounded.
+    val broadcastFrontier = edges.count() <= BroadcastFrontierMaxEdges
+    def frontier(labels: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(labels) else labels
     var labels = stage(
       edges.select(col("a").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))
@@ -1005,7 +1031,7 @@ object Dedup {
             "only if that is intentional.")
       val prop = stage(
         edges
-          .join(labels, edges("b") === labels("doc_id"))
+          .join(frontier(labels), edges("b") === labels("doc_id"))
           .select(col("a").as("doc_id"), col("cluster_id"))
           .union(labels)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
