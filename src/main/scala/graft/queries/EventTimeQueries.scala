@@ -12,17 +12,18 @@ import graft.Tables
   * same plans — `withWatermark` + `window()` in append mode — live in
   * `graft.streaming` and are exercised by the ScalaTest suite; batch and
   * streaming share the window assignment logic, so the DuckDB oracle on the
-  * batch plan also pins the streaming window boundaries. Five rows
+  * batch plan also pins the streaming window boundaries. Six rows
   * additionally run the ACTUAL streaming execution under the driver's
   * oracle — one per stateful streaming exec this library drives:
   * `w1_streaming` (StateStoreSaveExec tumbling agg, oracle shared verbatim
   * with w1), `w9_streaming_sessions` (SessionWindowStateStoreSave merge
   * path, oracle replaying Spark's own strict-overlap session semantics),
   * `w10_streaming_join` (StreamingSymmetricHashJoinExec, stream-stream
-  * interval join), `w11_streaming_dedup` (StreamingDeduplicateExec), and
+  * interval join), `w11_streaming_dedup` (StreamingDeduplicateExec),
   * `w12_streaming_operator` (FlatMapGroupsWithStateExec — the DSL's custom
-  * StatefulOperator on the live engine) — see
-  * [[graft.streaming.StreamingRun]].
+  * StatefulOperator on the live engine), and `w13_streaming_index_operator`
+  * (TransformWithStateExec — the DSL's IndexOperator with declared state
+  * indexes) — see [[graft.streaming.StreamingRun]].
   *
   * Scale notes: `window(ts, ...)` is a projection (no shuffle); the single
   * shuffle is the grouped aggregation with map-side partial agg. The as-of
@@ -89,6 +90,14 @@ object EventTimeQueries extends QueryModule {
     // row per key) — deterministic under any batch split or order.
     "w12_streaming_operator" -> ((s, d) =>
       graft.streaming.StreamingRun.operatorRunningAgg(s, d)),
+
+    // W13: the DSL's IndexOperator (declared state indexes, T6/W6
+    // modern path) through TransformWithStateExec — the SIXTH stateful
+    // streaming exec under a driver-visible oracle. Integer-only
+    // running state (count, sum of event ids) via a declared
+    // ValueIndex; same final-state readout discipline as w12.
+    "w13_streaming_index_operator" -> ((s, d) =>
+      graft.streaming.StreamingRun.indexOperatorRunningAgg(s, d)),
 
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
@@ -342,6 +351,13 @@ object EventTimeQueries extends QueryModule {
     // final running state per key = the plain per-key aggregate
     "w12_streaming_operator" ->
       """SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // integer-only state: bit-exact cross-engine (DuckDB sum(BIGINT)
+    // widens to HUGEINT — cast back)
+    "w13_streaming_index_operator" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY user_id""".stripMargin,
 
     "w5_appender" ->

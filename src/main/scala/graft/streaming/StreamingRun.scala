@@ -236,4 +236,57 @@ object StreamingRun {
       .agg(max(col("_2")).as("n_events"),
         max_by(col("_3"), col("_2")).as("sum_value"))
   }
+
+  /** The DSL's [[graft.operators.IndexOperator]] (declared state
+    * indexes — arcon's `ArconState` field layer) through
+    * `TransformWithStateExec`, the modern stateful-processing exec and
+    * the SIXTH one this library drives under a driver-visible oracle.
+    * A declared `ValueIndex[(count, sumIds)]` accumulates per user via
+    * `rmw` — integer-only state, so the readout is bit-exact
+    * cross-engine — with the same per-element-emission + final-state
+    * readout discipline as `operatorRunningAgg` (the max-count row per
+    * key is unique and has absorbed every element under any batch
+    * split or arrival order).
+    *
+    * `transformWithState` requires the RocksDB state store provider;
+    * it is set for the duration of the run and restored after, so the
+    * surrounding Verify/Bench session keeps its own provider for the
+    * other streaming rows. */
+  def indexOperatorRunningAgg(s: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.api.{IndexState, ValueIndex}
+    import graft.operators.{IndexOperator, TimerContext}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      val op = new IndexOperator[Long, (Long, Long), (Long, Long, Long)] {
+        @transient private var agg: ValueIndex[(Long, Long)] = _
+        def open(state: IndexState): Unit =
+          agg = state.value[(Long, Long)]("agg")(
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        def handleElement(key: Long, e: (Long, Long), ts: Option[Long],
+            ctx: TimerContext): Iterator[(Long, Long, Long)] = {
+          val (n, sum) = agg.rmw((0L, 0L))(s => (s._1 + 1L, s._2 + e._2))
+          Iterator((key, n, sum))
+        }
+      }
+      val out = new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long)]())
+        .keyBy(_._1)(Encoders.scalaLong)
+        .indexOperator(op)(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      drainAppend(s, out.toDF, inspect)
+        .groupBy(col("_1").as("user_id"))
+        .agg(max(col("_2")).as("n_events"),
+          max_by(col("_3"), col("_2")).as("sum_ids"))
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
 }

@@ -116,6 +116,28 @@ class StreamingRunSpec extends SparkTestBase {
     }
   }
 
+  test("w13_streaming_index_operator executes TransformWithStateExec; final state equals the batch aggregate exactly") {
+    var plan = ""
+    val prevProvider = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    val streaming = StreamingRun.indexOperatorRunningAgg(spark, sfDir,
+      inspect = q => plan = planOf(q))
+    assert(plan.contains("TransformWithState"), plan)
+    // the provider override must not leak into the session
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      == prevProvider)
+    val got = streaming.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // integer-only state: exact equality, no float tolerance needed
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
