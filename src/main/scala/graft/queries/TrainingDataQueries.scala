@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Chunker, Decontaminate, Dedup, GopherRules, Importance, Multimodal, Prototypes, Relevance, Similarity, Splits}
+import graft.operators.{Bpe, Chunker, Decontaminate, Dedup, GopherRules, Importance, Multimodal, Prototypes, Relevance, Similarity, Splits}
 
 /** The large-scale training-data pipeline operators: text analysis,
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -269,6 +269,10 @@ object TrainingDataQueries extends QueryModule {
     "es" -> 150000L, "de" -> 100000L, "fr" -> 50000L)
   private val mx4Budget = 200000L
   private val mx4MaxEpochs = 3
+
+  // tk1/tk2's merge-round count — single-sourced with the oracle CTE
+  // chain (each round is one materialized CTE triple over there).
+  private val bpeMerges = 12
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -890,7 +894,32 @@ object TrainingDataQueries extends QueryModule {
           Tables.documents(s, d)
             .select(col("doc_id"), encode(col("text"), "utf-8").as("media")),
           "doc_id", "media"),
-        "doc_id", stride = 2))
+        "doc_id", stride = 2)),
+
+    // ---- BPE (learned tokenizer; graft.operators.Bpe) ----
+    // Vocabulary induction over the corpus word histogram: one corpus
+    // scan, then bpeMerges rounds of pair-count → argmax → merge, all on
+    // the distinct-word table. The oracle replays every round as a
+    // chained MATERIALIZED CTE — counts, tie-breaks, and the leftmost-
+    // nonoverlapping merge fold are engine-neutral, so the learned
+    // merge table matches bit-for-bit.
+    "tk1_bpe_vocab" -> ((s, d) => {
+      import s.implicits._
+      Bpe.learn(Tables.documents(s, d), "text", bpeMerges).merges
+        .map(m => (m.mergeRank, m.leftSym, m.rightSym, m.merged, m.pairCount))
+        .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+    }),
+
+    // Tokenization with the learned model: per-word lookup through the
+    // final word → symbols mapping (position-preserving explode + join
+    // + ordered re-assembly). The oracle re-learns the same merges and
+    // maps each document's words through the final histogram — the
+    // bpe_text hash match pins the whole pipeline end-to-end.
+    "tk2_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Bpe.tokenize(docs, "doc_id", "text",
+        Bpe.learn(docs, "text", bpeMerges))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1973,6 +2002,68 @@ object TrainingDataQueries extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, n_frames,
         |  CAST(f // 2 AS INTEGER) AS sample_no, CAST(f AS INTEGER) AS frame_no
-        |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM m)""".stripMargin
+        |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM m)""".stripMargin,
+
+    "tk1_bpe_vocab" -> {
+      val union = (1 to bpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, l || r AS merged, c AS pair_count FROM b$k")
+        .mkString(" UNION ALL ")
+      s"WITH ${bpeCtes(bpeMerges)}\nSELECT * FROM ($union)"
+    },
+
+    "tk2_bpe_tokenize" -> {
+      val n = bpeMerges
+      s"""WITH ${bpeCtes(n)},
+         |words AS (
+         |  SELECT doc_id, ws[i] AS word, i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       UNNEST(range(1, len(ws) + 1)) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |tok AS (
+         |  SELECT w.doc_id,
+         |    array_to_string(list(r.sym ORDER BY w.i), ' ') AS bpe_text
+         |  FROM words w JOIN r$n r ON r.word = w.word
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, bpe_text,
+         |  CAST(len(string_split(bpe_text, ' ')) AS BIGINT) AS n_tokens
+         |FROM tok""".stripMargin
+    }
   )
+
+  /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the
+    * corpus word histogram with characters as symbols; each round k
+    * counts adjacent (overlapping) symbol pairs weighted by word
+    * frequency (pK), picks the (count DESC, left, right) argmax (bK),
+    * and applies the merge as the same leftmost-nonoverlapping string
+    * fold as [[Bpe]] — the accumulator ends with the merged token after
+    * a merge, so it can never re-match as the pair's left. MATERIALIZED
+    * is load-bearing: each CTE is referenced by the two following ones,
+    * and inlining would re-derive the whole chain exponentially. */
+  private def bpeCtes(n: Int): String = {
+    val r0 =
+      """r0 AS MATERIALIZED (
+        |  SELECT w AS word, array_to_string(string_split(w, ''), ' ') AS sym,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      val p = k - 1
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT string_split(sym, ' ') AS s, freq FROM r$p),
+         |       UNNEST(range(1, len(s))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT word,
+         |    list_reduce(string_split(sym, ' '), (acc, x) -> CASE
+         |      WHEN x = b$k.r AND (acc = b$k.l OR ends_with(acc, ' ' || b$k.l))
+         |      THEN acc || x ELSE acc || ' ' || x END) AS sym,
+         |    freq
+         |  FROM r$p, b$k)""".stripMargin
+    }
+    (r0 +: rounds).mkString(",\n")
+  }
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BPE semantics the oracle can't pin alone: hand-checked merges on the
+  * classic corpus, the leftmost-nonoverlap rule, early exhaustion, the
+  * tokenize conservation law, and full learn+tokenize equivalence
+  * against a pure-Scala reference implementation on random corpora.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- pure-Scala reference BPE (Sennrich-style, word histogram) ----
+
+  private def refLearn(words: Seq[String], numMerges: Int):
+      (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    val freq = words.filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    var hist: Map[String, Seq[String]] =
+      freq.keys.map(w => w -> w.split("").toSeq).toMap
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- hist; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freq(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((a, b, c))
+        hist = hist.map { case (w, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.toSeq
+        }
+        k += 1
+      }
+    }
+    (merges.result(), hist)
+  }
+
+  private def learnOn(texts: Seq[String], n: Int): Bpe.Model =
+    Bpe.learn(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "text", n)
+
+  test("learn picks the hand-checked merges on the classic corpus") {
+    // freqs: low×5, lower×2, newest×6, widest×3
+    val texts = Seq(
+      "low low low low low",
+      "lower lower widest widest widest",
+      "newest newest newest newest newest newest")
+    val m = learnOn(texts, 4).merges
+    // pair counts round 1: (e,s)=9 (newest 6 + widest 3), (s,t)=9,
+    // (l,o)=7, (o,w)=7, (n,e)=6, (e,w)=6, (w,e)=8(newest)+2(lower)=8?
+    //   newest: n e w e s t -> (n,e),(e,w),(w,e),(e,s),(s,t) ×6
+    //   widest: w i d e s t -> (w,i),(i,d),(d,e),(e,s),(s,t) ×3
+    //   low: l o w ×5 -> (l,o),(o,w)
+    //   lower: l o w e r ×2 -> (l,o),(o,w),(w,e),(e,r)
+    // (e,s)=9 ties (s,t)=9 -> lexicographic picks (e,s)
+    assert(m(0).leftSym == "e" && m(0).rightSym == "s" && m(0).pairCount == 9)
+    // round 2: (es,t)=9 now the max
+    assert(m(1).leftSym == "es" && m(1).rightSym == "t" && m(1).pairCount == 9)
+    // round 3: (l,o)=7=(o,w) -> lexicographic (l,o)
+    assert(m(2).leftSym == "l" && m(2).rightSym == "o" && m(2).pairCount == 7)
+    // round 4: (lo,w)=7
+    assert(m(3).leftSym == "lo" && m(3).rightSym == "w" && m(3).pairCount == 7)
+  }
+
+  test("merge application is leftmost-nonoverlapping (aaa + (a,a) -> aa a)") {
+    val m = learnOn(Seq("aaa aaa"), 1)
+    val vocab = m.vocab.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // (a,a) counted twice per word but merges once, leftmost
+    assert(m.merges.head.pairCount == 4)
+    assert(vocab("aaa") == "aa a")
+  }
+
+  test("learn stops early when every word is a single symbol") {
+    val m = learnOn(Seq("a b c a b"), 5)
+    assert(m.merges.isEmpty)
+    assert(m.vocab.count() == 3)
+  }
+
+  test("tokenize conserves characters and maps every word (conservation law)") {
+    val texts = Seq("low lower", "newest low widest", "aaa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", learnOn(texts, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (bpe, n) = out(i.toLong)
+      // dropping separators, the symbol stream is the original text's
+      // characters in order
+      assert(bpe.replace(" ", "") == t.replace(" ", ""), s"doc $i")
+      assert(n == bpe.split(" ").length.toLong)
+    }
+  }
+
+  test("learn + tokenize equal the pure-Scala reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genWord = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genCorpus = for {
+      nw <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(nw, genWord)
+      nDocs <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.oneOf(ws)))
+      k <- Gen.choose(1, 6)
+    } yield (docs.map(_.mkString(" ")), k)
+    val prop = Prop.forAll(genCorpus) { case (texts, k) =>
+      val model = learnOn(texts, k)
+      val (wantMerges, wantHist) = refLearn(texts.flatMap(_.split(" ")), k)
+      val gotMerges = model.merges.map(m => (m.leftSym, m.rightSym, m.pairCount))
+      val gotVocab = model.vocab.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val wantVocab = wantHist.map { case (w, syms) => w -> syms.mkString(" ") }
+      val ok = gotMerges == wantMerges && gotVocab == wantVocab
+      if (!ok) println(s"texts=$texts k=$k\ngot  $gotMerges / $gotVocab\nwant $wantMerges / $wantVocab")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tokenize plan: no cartesian product, one grouped exchange") {
+    val texts = Seq("low lower", "newest low")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val plan = Bpe.tokenize(docs, "doc_id", "text", learnOn(texts, 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
