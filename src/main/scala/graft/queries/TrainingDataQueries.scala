@@ -919,6 +919,32 @@ object TrainingDataQueries extends QueryModule {
       val docs = Tables.documents(s, d)
       Bpe.tokenize(docs, "doc_id", "text",
         Bpe.learn(docs, "text", bpeMerges))
+    }),
+
+    // The tokenizer-training pipeline end-to-end: quality-gate (Gopher
+    // battery) → exact dedup keep-first (content-key groupBy + join-back
+    // so text never rides the content exchange — the dd8 discipline) →
+    // learn BPE on the SURVIVORS (the merges differ from tk1's, since
+    // the corpus does) → tokenize the survivors. The corpus plants
+    // exact copies (same lang) of every 10th doc so the dedup stage has
+    // real work; the oracle replays every stage, BPE rounds included,
+    // over the surviving raw text.
+    "pl5_bpe_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+      val kept = corpus.filter(GopherRules.keep(col("text")))
+      val keepIds = kept
+        .groupBy(T.fingerprint64(col("text")).as("fp"),
+          length(col("text")).as("ln"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val surv = kept.join(keepIds, Seq("doc_id")).localCheckpoint()
+      Bpe.tokenize(surv, "doc_id", "text", Bpe.learn(surv, "text", bpeMerges))
+        .join(surv.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
     })
   )
 
@@ -2028,6 +2054,44 @@ object TrainingDataQueries extends QueryModule {
          |SELECT doc_id, bpe_text,
          |  CAST(len(string_split(bpe_text, ' ')) AS BIGINT) AS n_tokens
          |FROM tok""".stripMargin
+    },
+
+    // every stage replayed over raw text: gopher gate (x15's SQL — the
+    // copies share their original's text, so its per-doc verdict maps
+    // through doc_id % 1000000), exact dedup keep-first BY TEXT (a hash
+    // match proves the 16-byte content keys lost nothing), the BPE
+    // chain re-learned over the surviving corpus, ordered re-assembly
+    "pl5_bpe_pipeline" -> {
+      val n = bpeMerges
+      s"""WITH gop AS (
+         |$x15Sql
+         |),
+         |corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |keptc AS (
+         |  SELECT c.doc_id, c.lang, c.text FROM corpus c
+         |  JOIN gop ON gop.doc_id = c.doc_id % 1000000 WHERE gop.keep),
+         |survids AS (SELECT min(doc_id) AS doc_id FROM keptc GROUP BY text),
+         |survd AS MATERIALIZED (
+         |  SELECT k.doc_id, k.lang, k.text FROM keptc k
+         |  JOIN survids USING (doc_id)),
+         |${bpeCtes(n, src = "survd")},
+         |words AS (
+         |  SELECT doc_id, ws[i] AS word, i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM survd),
+         |       UNNEST(range(1, len(ws) + 1)) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |tok AS (
+         |  SELECT w.doc_id,
+         |    array_to_string(list(r.sym ORDER BY w.i), ' ') AS bpe_text
+         |  FROM words w JOIN r$n r ON r.word = w.word
+         |  GROUP BY w.doc_id)
+         |SELECT t.doc_id, s.lang,
+         |  CAST(len(string_split(t.bpe_text, ' ')) AS BIGINT) AS n_tokens
+         |FROM tok t JOIN survd s USING (doc_id)""".stripMargin
     }
   )
 
@@ -2040,13 +2104,13 @@ object TrainingDataQueries extends QueryModule {
     * a merge, so it can never re-match as the pair's left. MATERIALIZED
     * is load-bearing: each CTE is referenced by the two following ones,
     * and inlining would re-derive the whole chain exponentially. */
-  private def bpeCtes(n: Int): String = {
+  private def bpeCtes(n: Int, src: String = "documents"): String = {
     val r0 =
-      """r0 AS MATERIALIZED (
-        |  SELECT w AS word, array_to_string(string_split(w, ''), ' ') AS sym,
-        |         CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w)""".stripMargin
+      s"""r0 AS MATERIALIZED (
+         |  SELECT w AS word, array_to_string(string_split(w, ''), ' ') AS sym,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
+         |  WHERE w <> '' GROUP BY w)""".stripMargin
     val rounds = (1 to n).map { k =>
       val p = k - 1
       s"""p$k AS MATERIALIZED (
