@@ -69,14 +69,74 @@ object Bpe {
     * "Complete symbol" = preceded by a separator or the whole
     * accumulator, which also encodes non-overlap: after a merge the
     * accumulator ends in `ab`, not `a`. */
-  private def applyMerge(sym: Column, a: String, b: String): Column = {
+  private def applyMerge(sym: Column, a: String, b: String): Column =
+    applyMerge(sym, lit(a), lit(b))
+
+  /** Column-general form of the merge fold, shared by the learn loop
+    * (literal pair) and [[applyMerges]] (pair from the replayed merge
+    * array). */
+  private def applyMerge(sym: Column, a: Column, b: Column): Column = {
     val s = split(sym, " ")
     aggregate(slice(s, lit(2), size(s) - 1), element_at(s, 1),
       (acc, x) =>
-        when(x === lit(b) &&
-            (acc === lit(a) || acc.endsWith(lit(" " + a))),
+        when(x === b &&
+            (acc === a || acc.endsWith(concat(lit(" "), a))),
           concat(acc, x))
         .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Rank-ordered merge replay: tokenize ONE word with a fixed learned
+    * merge list — the path for words the training histogram never saw.
+    * Each merge applies once, in rank order, leftmost-nonoverlapping —
+    * exactly the computation [[learn]] runs against the histogram, so
+    * for every training-corpus word this replay reproduces the model
+    * vocab's symbol string bit-for-bit (the learn loop IS a rank-ordered
+    * single pass per round). Pure array-local fold: the merge list is a
+    * literal in the expression (a real tokenizer's merge table is a few
+    * tens of thousands of entries — it rides the closure, no join). */
+  def applyMerges(word: Column, merges: Seq[Merge]): Column = {
+    val init = array_join(split(word, ""), " ")
+    if (merges.isEmpty) init
+    else aggregate(
+      array(merges.map(m =>
+        struct(lit(m.leftSym).as("l"), lit(m.rightSym).as("r"))): _*),
+      init,
+      (acc, m) => applyMerge(acc, m.getField("l"), m.getField("r")))
+  }
+
+  /** Tokenize ANY corpus with a FIXED learned model — the apply-only
+    * tokenizer every production pipeline runs (the model is trained
+    * once, then applied to each new crawl). In-vocabulary words resolve
+    * through the model's word → symbols table ([[tokenize]]'s lookup —
+    * the cheap path, one broadcastable join); out-of-vocabulary words
+    * fall back to [[applyMerges]] replay, computed once per DISTINCT
+    * word (the word-histogram compaction that makes BPE tractable at
+    * corpus scale), never per occurrence. `coalesce` evaluates lazily,
+    * so the replay fold only runs for OOV rows.
+    *
+    * Plan at 100 TB: one exchange keyed on the word for the distinct-
+    * word table (vocabulary-sized), the replay array-local over it, and
+    * the occurrences → symbols join broadcastable; document re-assembly
+    * is the same ordered collect as [[tokenize]].
+    *
+    * @return (idCol, bpe_text, n_tokens) — same contract as
+    *         [[tokenize]]; empty documents are omitted. */
+  def applyModel(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val words = docs.select(col(idCol),
+        posexplode_outer(split(col(textCol), " ")).as(Seq("i", "word")))
+      .filter(col("word").isNotNull && col("word") =!= "")
+    val syms = words.select(col("word")).distinct()
+      .join(model.vocab.select(col("word"), col("sym")), Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("sym"), applyMerges(col("word"), model.merges)).as("sym"))
+    words.join(syms, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("i"), col("sym")))),
+          p => p.getField("sym")), " ").as("bpe_text"))
+      .select(col(idCol), col("bpe_text"),
+        size(split(col("bpe_text"), " ")).cast("long").as("n_tokens"))
   }
 
   /** Run `numMerges` rounds of pair-count → argmax → merge over the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -156,6 +156,66 @@ object Similarity {
       .select(col("cand.cell").as("cell"), col("query_id"), col("qv"))
     val scored = probes.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Scalar-quantized (SQ8) ANN with full-precision re-rank — the
+    * memory-bound scale path. Every vector is quantized once to int8
+    * codes (`floor(x·127)` clamped to ±127 — exact, engine-neutral
+    * integer math); the scan phase ranks candidates by the INTEGER dot
+    * product of the codes and keeps the top `rerank` per query through
+    * the same two-phase bounded-heap rank as [[bruteForceTopK]]; the
+    * re-rank phase fetches full-precision vectors for those ≤
+    * |Q|·rerank survivors only and emits the exact-cosine top-k.
+    *
+    * Why this is the 100 TB shape: the corpus-sized scan reads 1 byte
+    * per dimension instead of 4 (the codes are what a production table
+    * stores — a 4× smaller scan column, integer-SIMD scoring), while
+    * the float vectors are touched only for the candidate set, through
+    * a broadcast join the corpus streams past. Quantization loses
+    * ranking resolution, not determinism: every engine computes the
+    * same codes and the same integer scores, so the candidate set is
+    * bit-reproducible (ties break by neighbor id) and the final
+    * ordering is the exact cosine. Recall is tuned by `rerank`, the
+    * same knob/cost trade as [[ivfTopK]]'s nProbe; composing SQ8 codes
+    * inside IVF cells is the production combination and changes neither
+    * phase. No reference analog (arcon has no vector ops) — Spark-first
+    * design throughout.
+    *
+    * @return (query_id, neighbor_id, cosine, rank) — exact cosine over
+    *         the quantized-scan candidates, rank ≤ k.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int = 32): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank >= k, "rerank must be >= k")
+    // exact int8 quantization: float→double widening is exact, the
+    // double product rounds identically under IEEE-754 on every engine,
+    // floor+clamp land in [-127, 127]
+    def q8(v: Column): Column =
+      transform(v, x => greatest(lit(-127L),
+        least(lit(127L), floor(x.cast("double") * lit(127)))))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), q8(col(vecCol)).as("qq"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), q8(col(vecCol)).as("cq"))
+    // integer dot product: per-term |x| ≤ 127² and real dims keep the
+    // sum far under 2^53, so the double cast into the shared ranking
+    // machinery is lossless
+    val iscore = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val cands = rankTopK(
+      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          iscore.cast("double").as("cosine")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val fullQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val fullC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(cands.join(fullQ, Seq("query_id")))
+      .join(fullC, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
     rankTopK(scored, k)

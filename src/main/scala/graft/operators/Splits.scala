@@ -37,6 +37,37 @@ object Splits {
     pmod(TextFunctions.polyHash(on), lit(nShards.toLong))
   }
 
+  /** Deterministic global corpus shuffle into training shards — the
+    * "shuffle the data once, globally, reproducibly" step every
+    * pretraining run does before sharding (training-order correlation
+    * with crawl/source order is a real optimization hazard; a content-
+    * hash order destroys it deterministically, no `rand()` and no seed
+    * file to lose). Each row's shard is `pmod(h, nShards)` of a SALTED
+    * content hash (its own channel, independent of [[assign]]/[[shard]]'s
+    * keys — reusing a channel would correlate the shuffle with the
+    * split), and `pos_in_shard` is the row's rank within its shard under
+    * (h, id) — a total, engine-neutral order (the id breaks duplicate-
+    * content ties).
+    *
+    * Plan at 100 TB: one exchange keyed on the shard id, then a window
+    * sort WITHIN each shard — per-reducer work is corpus/nShards, all
+    * shards sort in parallel, and that per-shard sort is exactly the
+    * order the shard file must be written in anyway (no global sort, no
+    * single-partition window anywhere). Pick nShards so corpus/nShards
+    * fits a reducer (a real run uses thousands).
+    *
+    * @return (idCol, shard, pos_in_shard) — pos is 1-based within shard. */
+  def shuffleShards(df: DataFrame, idCol: String, on: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol),
+        TextFunctions.polyHash(concat(on, lit("#shuffle"))).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("pos_in_shard"))
+  }
+
   /** Token-budget shard packing: documents in id order are packed
     * greedily into shards of ~`capacity` tokens — shard = floor(cumulative
     * tokens before this doc / capacity), the deterministic assignment a

@@ -612,6 +612,15 @@ object TrainingDataQueries extends QueryModule {
         Tables.documents(s, d),
         "doc_id", T.tokenCount(col("text")), capacity = 2048L, chunkDocs = 64L)),
 
+    // Deterministic global corpus shuffle into training shards: shard =
+    // salted content hash mod 16 ('#shuffle' channel, independent of
+    // sp1/mx1's), pos_in_shard = rank under (hash, id) within the shard.
+    // One shard-keyed exchange; the only sorts are per-shard, in
+    // parallel — exactly the order each shard file is written in.
+    "pk2_shuffle_shards" -> ((s, d) =>
+      Splits.shuffleShards(Tables.documents(s, d), "doc_id",
+        on = col("text"), nShards = 16)),
+
     // Domain-mixture resampling: per-lang keep rates decided by a salted
     // content hash (channel independent of sp1's split hash) — the
     // deterministic "re-balance the training mixture" filter. Narrow,
@@ -859,6 +868,17 @@ object TrainingDataQueries extends QueryModule {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // SQ8 scalar-quantized ANN: the memory-bound scale path — the scan
+    // ranks candidates by the INTEGER dot product of int8 codes (1 byte
+    // per dim instead of 4, exact cross-engine math), full-precision
+    // cosine re-ranks only the top-`rerank` survivors per query. The
+    // oracle replays quantization, integer scan, and re-rank verbatim.
+    "sim7_topk_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sq8TopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, rerank = 16)
+    }),
+
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
     // its label's integer-quantized mean centroid; the most prototypical
     // (redundant) examples flag for pruning. The quantized centroid makes
@@ -919,6 +939,19 @@ object TrainingDataQueries extends QueryModule {
       val docs = Tables.documents(s, d)
       Bpe.tokenize(docs, "doc_id", "text",
         Bpe.learn(docs, "text", bpeMerges))
+    }),
+
+    // The apply-only tokenizer: learn the model on the curated 'src0'
+    // slice, tokenize the WHOLE corpus with it — the fixed-tokenizer
+    // path of every production pipeline (train once, apply to each new
+    // crawl). In-vocab words resolve through the model's lookup table;
+    // OOV words replay the ranked merge list per DISTINCT word. The
+    // oracle replays ALL words through the merge-rank fold — the hash
+    // match therefore also proves lookup ≡ replay for in-vocab words.
+    "tk3_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Bpe.applyModel(docs, "doc_id", "text",
+        Bpe.learn(docs.filter(col("source") === "src0"), "text", bpeMerges))
     }),
 
     // The tokenizer-training pipeline end-to-end: quality-gate (Gopher
@@ -1636,6 +1669,13 @@ object TrainingDataQueries extends QueryModule {
         |    AS BIGINT) AS shard
         |FROM t""".stripMargin,
 
+    "pk2_shuffle_shards" ->
+      s"""WITH t AS (SELECT doc_id, ${ph("text || '#shuffle'")} AS h FROM documents)
+         |SELECT doc_id, h % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 16
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard
+         |FROM t""".stripMargin,
+
     "mx1_mixture_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, ${ph("text || '#mix'")} % 100 AS h
@@ -1956,6 +1996,37 @@ object TrainingDataQueries extends QueryModule {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
+    // SQ8 replayed exactly: float→double widening and the ·127 product
+    // are IEEE-identical cross-engine, floor+clamp land on the same
+    // int8 codes, the scan score is pure integer math (list_sum's
+    // HUGEINT cast back to BIGINT), and the re-rank is the shared
+    // ordered cosine fold over the top-16 survivors.
+    "sim7_topk_sq8" ->
+      s"""WITH e8 AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+         |      least(CAST(127 AS BIGINT),
+         |        CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+         |  FROM embeddings),
+         |cands AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(64),
+         |          i -> q.q8[i+1] * c.q8[i+1])) AS BIGINT) DESC,
+         |        c.vec_id) AS rn
+         |    FROM e8 q, e8 c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 16),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("q.embedding", "c.embedding")} AS cosine
+         |  FROM cands
+         |  JOIN embeddings q ON q.vec_id = query_id
+         |  JOIN embeddings c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
     // The quantized-mean centroid replayed exactly: floor(x · 2^20) per
     // coordinate (the ×2^20 is exact), commutative integer sums, two
     // IEEE divisions, one rounding to FLOAT — then the shared ordered
@@ -2050,6 +2121,48 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT w.doc_id,
          |    array_to_string(list(r.sym ORDER BY w.i), ' ') AS bpe_text
          |  FROM words w JOIN r$n r ON r.word = w.word
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, bpe_text,
+         |  CAST(len(string_split(bpe_text, ' ')) AS BIGINT) AS n_tokens
+         |FROM tok""".stripMargin
+    },
+
+    // The fixed-tokenizer apply replayed: the model re-learns over the
+    // 'src0' slice (bpeCtes with src = the filtered corpus), the ranked
+    // merge list folds over EVERY distinct corpus word (init = the
+    // char-split word prepended to the 'l r'-encoded merge strings —
+    // symbols never contain spaces, so the two-token encoding is
+    // lossless), and documents re-assemble in word order. Spark resolves
+    // in-vocab words by lookup and replays only OOV — the hash match
+    // proves lookup ≡ replay.
+    "tk3_bpe_apply" -> {
+      val n = bpeMerges
+      val mergeUnion = (1 to n)
+        .map(k => s"SELECT $k AS rk, l || ' ' || r AS lr FROM b$k")
+        .mkString(" UNION ALL ")
+      s"""WITH srcd AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |${bpeCtes(n, src = "srcd")},
+         |mrg AS MATERIALIZED (
+         |  SELECT list(lr ORDER BY rk) AS ms FROM ($mergeUnion)),
+         |words AS (
+         |  SELECT doc_id, ws[i] AS word, i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       UNNEST(range(1, len(ws) + 1)) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |dsym AS MATERIALIZED (
+         |  SELECT word, list_reduce(
+         |    list_prepend(array_to_string(string_split(word, ''), ' '), ms),
+         |    (acc, m) -> list_reduce(string_split(acc, ' '), (a2, x) -> CASE
+         |      WHEN x = string_split(m, ' ')[2]
+         |       AND (a2 = string_split(m, ' ')[1]
+         |            OR ends_with(a2, ' ' || string_split(m, ' ')[1]))
+         |      THEN a2 || x ELSE a2 || ' ' || x END)) AS sym
+         |  FROM (SELECT DISTINCT word FROM words), mrg),
+         |tok AS (
+         |  SELECT w.doc_id,
+         |    array_to_string(list(d.sym ORDER BY w.i), ' ') AS bpe_text
+         |  FROM words w JOIN dsym d USING (word)
          |  GROUP BY w.doc_id)
          |SELECT doc_id, bpe_text,
          |  CAST(len(string_split(bpe_text, ' ')) AS BIGINT) AS n_tokens

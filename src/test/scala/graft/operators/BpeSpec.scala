@@ -131,6 +131,81 @@ class BpeSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // pure-Scala rank-ordered merge replay — the applyMerges reference
+  private def refReplay(word: String,
+      merges: Seq[(String, String)]): String = {
+    var syms = word.split("").toSeq
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms.mkString(" ")
+  }
+
+  test("applyMerges replay reproduces the model vocab for every training word") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower widest widest widest",
+      "newest newest newest newest newest newest")
+    val model = learnOn(texts, 6)
+    val got = model.vocab
+      .select(col("word"), Bpe.applyMerges(col("word"), model.merges).as("replay"),
+        col("sym"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"word ${r.getString(0)}: replay ${r.getString(1)} != vocab ${r.getString(2)}"))
+  }
+
+  test("applyModel tokenizes OOV words by rank-ordered replay (pure-Scala reference)") {
+    val trainTexts = Seq(
+      "low low low low low",
+      "lower lower widest widest widest",
+      "newest newest newest newest newest newest")
+    val model = learnOn(trainTexts, 4)
+    val pairs = model.merges.map(m => (m.leftSym, m.rightSym))
+    // 'slowest' and 'lowest' never occur in training; 'low' does
+    val applyTexts = Seq("slowest low", "lowest newest")
+    val docs = applyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Bpe.applyModel(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    applyTexts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.split(" ").map(refReplay(_, pairs)).mkString(" ")
+      val (bpe, n) = out(i.toLong)
+      assert(bpe == want, s"doc $i: got $bpe want $want")
+      assert(n == want.split(" ").length.toLong)
+    }
+  }
+
+  test("applyModel with an exhausted (empty-merge) model char-splits every word") {
+    val model = learnOn(Seq("a b c a b"), 5) // exhausts: no pairs to merge
+    assert(model.merges.isEmpty)
+    val docs = Seq((0L, "cab ba")).toDF("doc_id", "text")
+    val out = Bpe.applyModel(docs, "doc_id", "text", model).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "c a b b a")
+    assert(out(0).getLong(2) == 5L)
+  }
+
+  test("applyModel ≡ tokenize on the training corpus itself (lookup path covers everything)") {
+    val texts = Seq("low lower", "newest low widest", "aaa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = learnOn(texts, 3)
+    val viaApply = Bpe.applyModel(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    val viaLookup = Bpe.tokenize(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    assert(viaApply.nonEmpty && viaApply == viaLookup)
+  }
+
   test("tokenize plan: no cartesian product, one grouped exchange") {
     val texts = Seq("low lower", "newest low")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -514,6 +514,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(en(1L) == 1L && en(2L) == 2L && en(3L) == 3L, en.toString)
   }
 
+  test("shuffleShards: every shard's positions are contiguous 1..n, assignment is deterministic, duplicate texts break ties by id") {
+    val base = docs
+    val dup = base.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+    val corpus = base.union(dup)
+    val out = Splits.shuffleShards(corpus, "doc_id", col("text"), nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == corpus.count())
+    // shards in range, positions contiguous from 1 within each shard
+    out.foreach { case (_, s, _) => assert(s >= 0 && s < 4) }
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (1L to rows.length.toLong), s"shard $s positions $ps")
+    }
+    // duplicate-content rows share a hash, land in the same shard, and
+    // sit at ADJACENT positions ordered by id (the tie-break)
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    dup.select("doc_id").collect().map(_.getLong(0)).foreach { did =>
+      val (ds, dp) = byId(did)
+      val (os, op) = byId(did - 1000000L)
+      assert(ds == os, s"dup $did landed in shard $ds, original in $os")
+      assert(op == dp - 1, s"dup $did at pos $dp, original at $op — id tie-break broken")
+    }
+    // deterministic: a second run returns the identical assignment
+    val again = Splits.shuffleShards(corpus, "doc_id", col("text"), nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("shuffleShards: the only exchange is the shard-keyed one — no global sort, no single-partition window") {
+    val plan = Splits.shuffleShards(docs, "doc_id", col("text"), nShards = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("assign and shard reject degenerate parameters") {
     intercept[IllegalArgumentException] {
       Splits.assign(col("x"), trainPct = 80, valPct = 30)

@@ -71,4 +71,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(numeric == Set(2L, 4L), numeric.toString)
     assert(stringy == numeric, s"id-type-dependent top-k: $stringy vs $numeric")
   }
+
+  test("sq8TopK with rerank = corpus size equals bruteForceTopK exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count().toInt
+    val exact = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val sq8 = Similarity.sq8TopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 3, rerank = n)
+      .collect().map(_.toSeq).toSet
+    assert(sq8.nonEmpty && sq8 == exact)
+  }
+
+  test("sq8TopK: quantization clamps to ±127 and the candidate scan is pure integer order") {
+    import spark.implicits._
+    // components beyond ±1 clamp to ±127, so vectors 2 and 3 quantize
+    // IDENTICALLY (same codes → tied integer score, tie broken by id);
+    // the full-precision re-rank then orders them by true cosine
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(5.0f, 0.0f)),  // clamps to (127, 0)
+      (3L, Seq(9.0f, 0.0f)),  // clamps to (127, 0) — same codes as 2
+      (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(df.filter(col("vec_id") === 1L), df,
+        "vec_id", "embedding", k = 3, rerank = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // 2 and 3 both have cosine 1.0 to the query; rank ties break by id
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 4L), out.mkString(","))
+    assert(out(0)._2 == 1.0 && out(1)._2 == 1.0)
+  }
+
+  test("sq8TopK rejects rerank < k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(e, e, "vec_id", "embedding", k = 5, rerank = 4)
+    }
+  }
 }
