@@ -96,6 +96,18 @@ object Splits {
   def tokenBudgetShards(df: DataFrame, idCol: String, tokens: Column,
       capacity: Long, chunkDocs: Long = 8192L): DataFrame = {
     require(capacity > 0 && chunkDocs > 0)
+    runningTokenOffsets(df, idCol, tokens, chunkDocs)
+      .select(col("id").as(idCol), col("n_tokens"),
+        floor(col("cum_before") / capacity).cast("long").as("shard"))
+  }
+
+  /** The two-phase distributed prefix sum shared by [[tokenBudgetShards]]
+    * and [[sequenceCuts]]: (id, n_tokens, cum_before) where cum_before =
+    * Σ n_tokens of all smaller ids. Plan as documented on
+    * [[tokenBudgetShards]] — the only unpartitioned window runs over the
+    * bucket-totals table, never over document rows. */
+  private def runningTokenOffsets(df: DataFrame, idCol: String,
+      tokens: Column, chunkDocs: Long): DataFrame = {
     val base = df.select(col(idCol).as("id"), tokens.cast("long").as("n_tokens"))
       .withColumn("bucket", floor(col("id") / chunkDocs))
     val bucketTotals = base.groupBy(col("bucket"))
@@ -111,8 +123,48 @@ object Splits {
     base.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum_before",
         col("bucket_offset") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
-      .select(col("id").as(idCol), col("n_tokens"),
-        floor(col("cum_before") / capacity).cast("long").as("shard"))
+      .select(col("id"), col("n_tokens"), col("cum_before"))
+  }
+
+  /** Fixed-length sequence cutting — the pretraining packing step
+    * itself: documents concatenate into one global token stream in id
+    * order, the stream is cut every `seqLen` tokens into training
+    * sequences, and each document reports which sequences it lands in
+    * and which of ITS tokens each sequence takes (a document crossing a
+    * cut boundary spans two-plus sequences — exactly what a pretraining
+    * packer does, no padding, no truncation loss). The map is what a
+    * dataloader needs to assemble any sequence: every (doc, seq) overlap
+    * row with the doc-local token range.
+    *
+    * Semantics are the same GLOBAL running sum as [[tokenBudgetShards]]
+    * (doc offset = Σ tokens before it); the plan is the same two-phase
+    * prefix sum — no corpus-wide window — plus a narrow generator
+    * exploding each doc's ≤ 1 + n/seqLen covered sequence ids. The
+    * DuckDB oracle states the naive global-window form; this plan must
+    * reproduce it exactly.
+    *
+    * @return (idCol, seq_id, tok_start, tok_end, n_seq_tokens) —
+    *         doc-local token positions, 1-based inclusive; seq_id is the
+    *         0-based global sequence index. */
+  def sequenceCuts(df: DataFrame, idCol: String, tokens: Column,
+      seqLen: Long, chunkDocs: Long = 8192L): DataFrame = {
+    require(seqLen > 0 && chunkDocs > 0)
+    val offs = runningTokenOffsets(df, idCol, tokens, chunkDocs)
+      .filter(col("n_tokens") > 0L)
+    // explode_outer + null filter (house discipline: a bare explode lets
+    // InferFiltersFromGenerate clone the generator into a size() filter)
+    offs
+      .select(col("id"), col("n_tokens"), col("cum_before").as("off"),
+        explode_outer(sequence(floor(col("cum_before") / seqLen),
+          floor((col("cum_before") + col("n_tokens") - 1L) / seqLen)))
+          .as("seq_id"))
+      .filter(col("seq_id").isNotNull)
+      .select(col("id").as(idCol), col("seq_id").cast("long").as("seq_id"),
+        (greatest(lit(0L), col("seq_id") * seqLen - col("off")) + 1L)
+          .as("tok_start"),
+        (least(col("n_tokens") - 1L,
+          (col("seq_id") + 1L) * seqLen - 1L - col("off")) + 1L).as("tok_end"))
+      .withColumn("n_seq_tokens", col("tok_end") - col("tok_start") + 1L)
   }
 
   /** Domain-mixture resampling: keep each row with a per-domain

@@ -612,6 +612,16 @@ object TrainingDataQueries extends QueryModule {
         Tables.documents(s, d),
         "doc_id", T.tokenCount(col("text")), capacity = 2048L, chunkDocs = 64L)),
 
+    // Fixed-length sequence cutting — the pretraining packing map:
+    // documents concatenate in id order, the stream cuts every 512
+    // tokens, each (doc, sequence) overlap row carries the doc-local
+    // token range. Same two-phase prefix sum as pk1 (the only
+    // unpartitioned window is over bucket totals) + a narrow generator.
+    "pk3_sequence_cuts" -> ((s, d) =>
+      Splits.sequenceCuts(
+        Tables.documents(s, d),
+        "doc_id", T.tokenCount(col("text")), seqLen = 512L, chunkDocs = 64L)),
+
     // Deterministic global corpus shuffle into training shards: shard =
     // salted content hash mod 16 ('#shuffle' channel, independent of
     // sp1/mx1's), pos_in_shard = rank under (hash, id) within the shard.
@@ -978,7 +988,26 @@ object TrainingDataQueries extends QueryModule {
       Bpe.tokenize(surv, "doc_id", "text", Bpe.learn(surv, "text", bpeMerges))
         .join(surv.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
-    })
+    }),
+
+    // The dataset card — the per-(lang, source) datasheet every corpus
+    // release ships: doc and token counts, distinct-text count (the
+    // exact-dup-rate numerator), and how many docs clear the Gopher
+    // battery. ONE corpus scan into a grouped aggregate with map-side
+    // partials; every measure is integer (count / sum / count-distinct
+    // / gated count), so the reduction is exact cross-engine. At 100 TB
+    // the only exchange carries (lang, source)-keyed partials — the
+    // count-distinct expands the partials to per-group text sets, so a
+    // skewed release would swap it for an approx_count_distinct or a
+    // pre-distinct two-phase aggregate, same contract.
+    "pl6_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text"))).as("n_tokens"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          sum(when(GopherRules.keep(col("text")), 1L).otherwise(0L))
+            .as("n_gopher_keep")))
   )
 
   // ---------------------------------------------------------------------
@@ -1669,6 +1698,21 @@ object TrainingDataQueries extends QueryModule {
         |    AS BIGINT) AS shard
         |FROM t""".stripMargin,
 
+    "pk3_sequence_cuts" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |  CAST(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS off
+        |  FROM t)
+        |SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, s*512 - off) + 1 AS BIGINT) AS tok_start,
+        |  CAST(least(n - 1, (s+1)*512 - 1 - off) + 1 AS BIGINT) AS tok_end,
+        |  CAST(least(n - 1, (s+1)*512 - 1 - off)
+        |    - greatest(0, s*512 - off) + 1 AS BIGINT) AS n_seq_tokens
+        |FROM o, UNNEST(range(off // 512, (off + n - 1) // 512 + 1)) AS u(s)
+        |WHERE n > 0""".stripMargin,
+
     "pk2_shuffle_shards" ->
       s"""WITH t AS (SELECT doc_id, ${ph("text || '#shuffle'")} AS h FROM documents)
          |SELECT doc_id, h % 16 AS shard,
@@ -2205,7 +2249,21 @@ object TrainingDataQueries extends QueryModule {
          |SELECT t.doc_id, s.lang,
          |  CAST(len(string_split(t.bpe_text, ' ')) AS BIGINT) AS n_tokens
          |FROM tok t JOIN survd s USING (doc_id)""".stripMargin
-    }
+    },
+
+    // Every measure integer (count / token sum / distinct texts / gated
+    // count), the gopher gate is x15's own SQL — exact cross-engine.
+    "pl6_dataset_card" ->
+      s"""WITH gop AS (
+         |$x15Sql
+         |)
+         |SELECT d.lang, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT d.text) AS BIGINT) AS n_distinct_texts,
+         |  CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep
+         |FROM documents d JOIN gop g USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
   )
 
   /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the

@@ -156,6 +156,74 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(totals.filter(_._1 <= k).values.sum >= (k + 1) * 512 - 512 + 1)
   }
 
+  test("sequenceCuts: equals the naive global running sum, for any bucket granularity") {
+    val tokens = size(split(col("text"), " "))
+    val L = 512L
+    val naive = docs
+      .select(col("doc_id"), tokens.cast("long").as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .collect().flatMap { r =>
+        val (id, n, off) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (off / L to (off + n - 1) / L).map { s =>
+          val st = math.max(0L, s * L - off) + 1
+          val en = math.min(n - 1, (s + 1) * L - 1 - off) + 1
+          (id, s, st, en, en - st + 1)
+        }
+      }.toSet
+    for (chunkDocs <- Seq(1L, 7L, 64L, 100000L)) {
+      val twoPhase = Splits
+        .sequenceCuts(docs, "doc_id", tokens, seqLen = L, chunkDocs = chunkDocs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(twoPhase == naive, s"chunkDocs=$chunkDocs diverged from global cumsum")
+    }
+  }
+
+  test("sequenceCuts: every doc is covered exactly once; every sequence except the last holds exactly seqLen tokens") {
+    val L = 512L
+    val tokens = size(split(col("text"), " "))
+    val out = Splits.sequenceCuts(docs, "doc_id", tokens, seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = docs.select(col("doc_id"), tokens.cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: ranges are contiguous, start at 1, end at n — no token
+    // lost or duplicated across the cut boundaries
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $id starts at ${sorted.head._3}")
+      assert(sorted.last._4 == nTok(id), s"doc $id ends at ${sorted.last._4}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._4 + 1, s"doc $id gap between seq ${a._2} and ${b._2}")
+          assert(b._2 == a._2 + 1, s"doc $id skips a sequence")
+        case _ =>
+      }
+    }
+    // per sequence: exactly seqLen tokens except the final ragged one
+    val perSeq = out.groupBy(_._2).view
+      .mapValues(_.map(t => t._4 - t._3 + 1).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, tot) =>
+      if (s < lastSeq) assert(tot == L, s"seq $s holds $tot tokens")
+      else assert(tot <= L && tot > 0, s"final seq $s holds $tot")
+    }
+  }
+
+  test("sequenceCuts: no corpus-wide window — the unpartitioned sort only sees bucket totals") {
+    val plan = Splits.sequenceCuts(docs, "doc_id",
+        size(split(col("text"), " ")), seqLen = 512, chunkDocs = 64)
+      .queryExecution.executedPlan.toString
+    // the single-partition exchange exists (bucket totals) but the
+    // corpus-row side only exchanges on the bucket key
+    assert(!plan.contains("CartesianProduct"), plan)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"more than one single-partition exchange:\n$plan")
+  }
+
   // ---- mixtureSample ----
 
   test("mixtureSample: deterministic, honors 0 and 100 rates, narrow plan") {
