@@ -424,4 +424,27 @@ class PlanAuditSpec extends SparkTestBase {
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(scans.exists(_.contains("struct<text:string>")), p)
   }
+
+  test("sim7_topk_sq8: quantized scan and re-rank both stream the corpus past explicit broadcasts — no corpus exchange, no cartesian") {
+    // staticScalePlan disables size-based broadcasts: only the explicit
+    // broadcast() hints (query side; candidate set) may survive
+    val p = staticScalePlan("sim7_topk_sq8")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the full-precision embedding array never rides a hash exchange —
+    // the corpus is only ever the streamed side of a broadcast join
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("cv#")), p)
+  }
+
+  test("tk3_bpe_apply: OOV merge replay folds over the DISTINCT word table; no exchange ships document text") {
+    val p = staticScalePlan("tk3_bpe_apply")
+    assert(!p.contains("CartesianProduct"), p)
+    // the distinct-word compaction exists: an aggregate keyed on word
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("keys=[word#")), p)
+    // exchanges carry words / ids / symbol strings — never document text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")), p)
+  }
 }
