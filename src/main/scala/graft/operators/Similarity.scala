@@ -127,6 +127,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val (cells, probes) =
+      ivfAssign(queries, corpus, idCol, vecCol, nCells, nProbe)
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared IVF machinery ([[ivfTopK]], [[ivfSq8TopK]]): deterministic
+    * stub centroids (the first `nCells` corpus vectors — production
+    * swaps in k-means centroids and nothing else changes), full-
+    * precision argmax cell assignment, and per-query top-`nProbe` cell
+    * probes. Returns (cells = (cell, neighbor_id, cv),
+    * probes = (cell, query_id, qv)). */
+  private def ivfAssign(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nCells: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val cents = corpus.filter(col(idCol) < nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -154,11 +172,40 @@ object Similarity {
           col("cell")))), 1, nProbe).as("cands"))
       .select(col("query_id"), col("qv"), explode(col("cands")).as("cand"))
       .select(col("cand.cell").as("cell"), col("query_id"), col("qv"))
-    val scored = probes.join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
-    rankTopK(scored, k)
+    (cells, probes)
+  }
+
+  /** IVF × SQ8 — the production ANN combination: coarse cells bound the
+    * candidate set (per-query work drops by ~nProbe/nCells, exactly
+    * [[ivfTopK]]'s trade) while the within-cell scan reads int8 codes
+    * (4× smaller, integer math, exactly [[sq8TopK]]'s trade), and the
+    * exact-cosine re-rank recovers precision for the top `rerank`
+    * survivors. Cell assignment and probe selection run full-precision
+    * (that is build-time/query-side work, not the corpus scan). The
+    * composition changes neither phase — the point made on
+    * [[sq8TopK]]'s scaladoc, here as a tested operator. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      rerank: Int = 32): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank >= k, "rerank must be >= k")
+    val (cells, probes) =
+      ivfAssign(queries, corpus, idCol, vecCol, nCells, nProbe)
+    val c8 = cells.select(col("cell"), col("neighbor_id"), q8(col("cv")).as("cq"))
+    val p8 = probes.select(col("cell"), col("query_id"), q8(col("qv")).as("qq"))
+    val iscore = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    // each corpus vector lives in exactly one cell, so a (query,
+    // neighbor) candidate pair is reachable through at most one probe —
+    // no dedup needed before the rank
+    val cands = rankTopK(
+      p8.join(c8, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          iscore.cast("double").as("cosine")), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cands, queries, corpus, idCol, vecCol, k)
   }
 
   /** Scalar-quantized (SQ8) ANN with full-precision re-rank — the
@@ -191,12 +238,6 @@ object Similarity {
       vecCol: String, k: Int, rerank: Int = 32): DataFrame = {
     require(k > 0, "k must be positive")
     require(rerank >= k, "rerank must be >= k")
-    // exact int8 quantization: float→double widening is exact, the
-    // double product rounds identically under IEEE-754 on every engine,
-    // floor+clamp land in [-127, 127]
-    def q8(v: Column): Column =
-      transform(v, x => greatest(lit(-127L),
-        least(lit(127L), floor(x.cast("double") * lit(127)))))
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), q8(col(vecCol)).as("qq"))
     val c = corpus.filter(col(vecCol).isNotNull)
@@ -212,6 +253,23 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           iscore.cast("double").as("cosine")), rerank)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cands, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact int8 quantization: float→double widening is exact, the
+    * double product rounds identically under IEEE-754 on every engine,
+    * floor+clamp land in [-127, 127]. Shared by [[sq8TopK]] and
+    * [[ivfSq8TopK]]. */
+  private def q8(v: Column): Column =
+    transform(v, x => greatest(lit(-127L),
+      least(lit(127L), floor(x.cast("double") * lit(127)))))
+
+  /** The full-precision re-rank phase shared by the quantized scans:
+    * the ≤ |Q|·rerank candidate pairs broadcast (with their query
+    * vectors), the corpus streams past to supply neighbor vectors, and
+    * the exact-cosine top-k ranks. */
+  private def rerankExact(cands: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val fullQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val fullC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = broadcast(cands.join(fullQ, Seq("query_id")))

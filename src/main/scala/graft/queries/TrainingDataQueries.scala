@@ -889,6 +889,16 @@ object TrainingDataQueries extends QueryModule {
         "vec_id", "embedding", k = 5, rerank = 16)
     }),
 
+    // IVF × SQ8 — the production ANN combination: coarse cells bound
+    // the candidate set, the within-cell scan reads int8 codes, exact
+    // cosine re-ranks the survivors. The oracle composes sim3's
+    // cell/probe replay with sim7's quantized-scan replay.
+    "sim8_topk_ivf_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfSq8TopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, rerank = 16)
+    }),
+
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
     // its label's integer-quantized mean centroid; the most prototypical
     // (redundant) examples flag for pruning. The quantized centroid makes
@@ -2060,6 +2070,51 @@ object TrainingDataQueries extends QueryModule {
          |          i -> q.q8[i+1] * c.q8[i+1])) AS BIGINT) DESC,
          |        c.vec_id) AS rn
          |    FROM e8 q, e8 c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 16),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cos("q.embedding", "c.embedding")} AS cosine
+         |  FROM cands
+         |  JOIN embeddings q ON q.vec_id = query_id
+         |  JOIN embeddings c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    // sim3's cell/probe replay + sim7's quantized scan + the shared
+    // ordered cosine re-rank, composed.
+    "sim8_topk_ivf_sq8" ->
+      s"""WITH e8 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+         |      least(CAST(127 AS BIGINT),
+         |        CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |cells AS (
+         |  SELECT cell, neighbor_id, q8 FROM (
+         |    SELECT c.cell, e.vec_id AS neighbor_id, e8.q8,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e JOIN e8 ON e8.vec_id = e.vec_id
+         |    CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cell, query_id, q8 FROM (
+         |    SELECT c.cell, q.vec_id AS query_id, e8.q8,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings q JOIN e8 ON e8.vec_id = q.vec_id
+         |    CROSS JOIN cents c WHERE q.vec_id < 20) WHERE rn <= 2),
+         |cands AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, cl.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |        CAST(list_sum(list_transform(range(64),
+         |          i -> p.q8[i+1] * cl.q8[i+1])) AS BIGINT) DESC,
+         |        cl.neighbor_id) AS rn
+         |    FROM probes p JOIN cells cl USING (cell)
+         |    WHERE cl.neighbor_id <> p.query_id)
          |  WHERE rn <= 16),
          |scored AS (
          |  SELECT query_id, neighbor_id, ${cos("q.embedding", "c.embedding")} AS cosine

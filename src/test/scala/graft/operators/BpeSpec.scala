@@ -206,6 +206,41 @@ class BpeSpec extends SparkTestBase {
     assert(viaApply.nonEmpty && viaApply == viaLookup)
   }
 
+  test("applyModel equals pure-Scala replay on random train/apply corpora (OOV words included)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genWord = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genCase = for {
+      nw <- Gen.choose(1, 6)
+      trainWs <- Gen.listOfN(nw, genWord)
+      nDocs <- Gen.choose(1, 4)
+      trainDocs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.oneOf(trainWs)))
+      // the apply corpus draws from an unrestricted word pool — most of
+      // its words are OOV for the trained model
+      applyDocs <- Gen.listOfN(2, Gen.nonEmptyListOf(genWord))
+      k <- Gen.choose(1, 5)
+    } yield (trainDocs.map(_.mkString(" ")), applyDocs.map(_.mkString(" ")), k)
+    val prop = Prop.forAll(genCase) { case (trainTexts, applyTexts, k) =>
+      val model = learnOn(trainTexts, k)
+      val pairs = model.merges.map(m => (m.leftSym, m.rightSym))
+      val docs = applyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bpe.applyModel(docs, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = applyTexts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty)
+          .map(refReplay(_, pairs)).mkString(" ")
+      }.toMap
+      val ok = got == want
+      if (!ok) println(s"train=$trainTexts apply=$applyTexts k=$k\ngot  $got\nwant $want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tokenize plan: no cartesian product, one grouped exchange") {
     val texts = Seq("low lower", "newest low")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

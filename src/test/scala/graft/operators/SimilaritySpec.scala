@@ -105,6 +105,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0)._2 == 1.0 && out(1)._2 == 1.0)
   }
 
+  test("ivfSq8TopK with rerank = corpus size equals ivfTopK at the same cells/probes (quantization only reorders candidates, never the final rank)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count().toInt
+    val full = Similarity.ivfTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val quantized = Similarity.ivfSq8TopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, rerank = n)
+      .collect().map(_.toSeq).toSet
+    assert(quantized.nonEmpty && quantized == full)
+  }
+
+  test("ivfSq8TopK with all cells probed and full rerank equals bruteForceTopK") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count().toInt
+    val exact = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val ivfsq = Similarity.ivfSq8TopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4, rerank = n)
+      .collect().map(_.toSeq).toSet
+    assert(ivfsq.nonEmpty && ivfsq == exact)
+  }
+
   test("sq8TopK rejects rerank < k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     intercept[IllegalArgumentException] {
