@@ -123,21 +123,34 @@ object Bpe {
     *         [[tokenize]]; empty documents are omitted. */
   def applyModel(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
-    val words = docs.select(col(idCol),
-        posexplode_outer(split(col(textCol), " ")).as(Seq("i", "word")))
-      .filter(col("word").isNotNull && col("word") =!= "")
+    val words = explodeWords(docs, idCol, textCol)
     val syms = words.select(col("word")).distinct()
       .join(model.vocab.select(col("word"), col("sym")), Seq("word"), "left")
       .select(col("word"),
         coalesce(col("sym"), applyMerges(col("word"), model.merges)).as("sym"))
-    words.join(syms, Seq("word"))
+    reassemble(words.join(syms, Seq("word")), idCol)
+  }
+
+  /** (idCol, i, word) position-preserving word explode shared by
+    * [[tokenize]] and [[applyModel]] (explode_outer + output-side
+    * filter — the house generator discipline). */
+  private def explodeWords(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode_outer(split(col(textCol), " ")).as(Seq("i", "word")))
+      .filter(col("word").isNotNull && col("word") =!= "")
+
+  /** Ordered document re-assembly from (idCol, i, sym) rows — shared by
+    * [[tokenize]] and [[applyModel]] so the two tokenizer paths cannot
+    * drift. Returns (idCol, bpe_text, n_tokens). */
+  private def reassemble(mapped: DataFrame, idCol: String): DataFrame =
+    mapped
       .groupBy(col(idCol))
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("i"), col("sym")))),
           p => p.getField("sym")), " ").as("bpe_text"))
       .select(col(idCol), col("bpe_text"),
         size(split(col("bpe_text"), " ")).cast("long").as("n_tokens"))
-  }
 
   /** Run `numMerges` rounds of pair-count → argmax → merge over the
     * corpus word histogram. `reliable` stages rounds through the
@@ -189,14 +202,6 @@ object Bpe {
     *         text) are omitted, matching the histogram's domain. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame =
-    docs.select(col(idCol),
-        posexplode_outer(split(col(textCol), " ")).as(Seq("i", "word")))
-      .filter(col("word").isNotNull && col("word") =!= "")
-      .join(model.vocab.select(col("word"), col("sym")), Seq("word"))
-      .groupBy(col(idCol))
-      .agg(array_join(transform(array_sort(
-          collect_list(struct(col("i"), col("sym")))),
-          p => p.getField("sym")), " ").as("bpe_text"))
-      .select(col(idCol), col("bpe_text"),
-        size(split(col("bpe_text"), " ")).cast("long").as("n_tokens"))
+    reassemble(explodeWords(docs, idCol, textCol)
+      .join(model.vocab.select(col("word"), col("sym")), Seq("word")), idCol)
 }

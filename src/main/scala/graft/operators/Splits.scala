@@ -98,7 +98,10 @@ object Splits {
     require(capacity > 0 && chunkDocs > 0)
     runningTokenOffsets(df, idCol, tokens, chunkDocs)
       .select(col("id").as(idCol), col("n_tokens"),
-        floor(col("cum_before") / capacity).cast("long").as("shard"))
+        // SQL `div` (IntegralDivide), never floor(a / b): the double
+        // route rounds above 2^53 and the shard boundary would drift
+        // off the oracle's exact integer `//`
+        expr(s"cum_before div CAST($capacity AS BIGINT)").as("shard"))
   }
 
   /** The two-phase distributed prefix sum shared by [[tokenBudgetShards]]
@@ -155,8 +158,13 @@ object Splits {
     // InferFiltersFromGenerate clone the generator into a size() filter)
     offs
       .select(col("id"), col("n_tokens"), col("cum_before").as("off"),
-        explode_outer(sequence(floor(col("cum_before") / seqLen),
-          floor((col("cum_before") + col("n_tokens") - 1L) / seqLen)))
+        // SQL `div` (IntegralDivide), not floor(a / b): the double
+        // division rounds above 2^53 and the cut boundary would drift
+        // off the oracle's exact `//` for non-power-of-two seqLen at
+        // extreme offsets
+        explode_outer(sequence(
+          expr(s"cum_before div CAST($seqLen AS BIGINT)"),
+          expr(s"(cum_before + n_tokens - 1) div CAST($seqLen AS BIGINT)")))
           .as("seq_id"))
       .filter(col("seq_id").isNotNull)
       .select(col("id").as(idCol), col("seq_id").cast("long").as("seq_id"),

@@ -1093,6 +1093,17 @@ object TrainingDataQueries extends QueryModule {
   private def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
+  /** The SQ8 int8-code CTE shared by the sim7/sim8 oracles — quantization
+    * matching [[graft.operators.Similarity]]'s `q8` expression exactly
+    * (float→double widening, ·127, floor, ±127 clamp). */
+  private val sq8CodesCte: String =
+    """e8 AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+      |      least(CAST(127 AS BIGINT),
+      |        CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+      |  FROM embeddings)""".stripMargin
+
   /** Random-hyperplane LSH bucket (8 planes, dim 64) of a FLOAT[] column. */
   private def bucket(a: String): String =
     s"CAST(list_sum(list_transform(range(8), p -> " +
@@ -2056,12 +2067,7 @@ object TrainingDataQueries extends QueryModule {
     // HUGEINT cast back to BIGINT), and the re-rank is the shared
     // ordered cosine fold over the top-16 survivors.
     "sim7_topk_sq8" ->
-      s"""WITH e8 AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
-         |      least(CAST(127 AS BIGINT),
-         |        CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
-         |  FROM embeddings),
+      s"""WITH $sq8CodesCte,
          |cands AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2079,17 +2085,14 @@ object TrainingDataQueries extends QueryModule {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+         |  -- NaN never ranks: Spark's rankTopK drops NaN cosines (the
+         |  -- zero-norm rule); DuckDB would otherwise sort NaN first
+         |  FROM scored WHERE NOT isnan(cosine)) WHERE "rank" <= 5""".stripMargin,
 
     // sim3's cell/probe replay + sim7's quantized scan + the shared
     // ordered cosine re-rank, composed.
     "sim8_topk_ivf_sq8" ->
-      s"""WITH e8 AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
-         |      least(CAST(127 AS BIGINT),
-         |        CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
-         |  FROM embeddings),
+      s"""WITH $sq8CodesCte,
          |cents AS (
          |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
          |cells AS (
@@ -2124,7 +2127,9 @@ object TrainingDataQueries extends QueryModule {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+         |  -- NaN never ranks: Spark's rankTopK drops NaN cosines (the
+         |  -- zero-norm rule); DuckDB would otherwise sort NaN first
+         |  FROM scored WHERE NOT isnan(cosine)) WHERE "rank" <= 5""".stripMargin,
 
     // The quantized-mean centroid replayed exactly: floor(x · 2^20) per
     // coordinate (the ×2^20 is exact), commutative integer sums, two
