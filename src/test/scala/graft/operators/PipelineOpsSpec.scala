@@ -213,6 +213,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetShards and sequenceCuts stay exact past 2^53 cumulative tokens (integer div, not double floor)") {
+    // per-doc token counts of ~2^51 push the running offset past the
+    // double mantissa by doc 5; floor(a / b) would round the boundary
+    // for a non-power-of-two divisor, `div` cannot
+    val big = (0L until 12L).map(i => (i, (1L << 51) + i)).toDF("doc_id", "n")
+    val cap = 1000000000000L + 7L // non-power-of-two, ~2^40
+    val shards = Splits.tokenBudgetShards(big, "doc_id", col("n"), capacity = cap, chunkDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cuts = Splits.sequenceCuts(big, "doc_id", col("n"), seqLen = cap, chunkDocs = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // BigInt reference
+    var off = BigInt(0)
+    val wantShards = scala.collection.mutable.Map.empty[Long, Long]
+    val wantCuts = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+    for (i <- 0L until 12L) {
+      val n = BigInt((1L << 51) + i)
+      wantShards(i) = (off / cap).toLong
+      var s = off / cap
+      val last = (off + n - 1) / cap
+      while (s <= last) {
+        val st = (BigInt(0).max(s * cap - off) + 1).toLong
+        val en = ((n - 1).min((s + 1) * cap - 1 - off) + 1).toLong
+        wantCuts += ((i, s.toLong, st, en))
+        s += 1
+      }
+      off += n
+    }
+    assert(shards == wantShards.toMap, shards.toString)
+    assert(cuts == wantCuts.toSet)
+  }
+
   test("sequenceCuts: no corpus-wide window — the unpartitioned sort only sees bucket totals") {
     val plan = Splits.sequenceCuts(docs, "doc_id",
         size(split(col("text"), " ")), seqLen = 512, chunkDocs = 64)
