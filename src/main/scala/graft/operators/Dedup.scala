@@ -68,6 +68,82 @@ object Dedup {
         Seq("__fp", "__ln"), "left_anti")
       .drop("__fp", "__ln")
 
+  /** Incremental NEAR-dup ingest gate — [[incrementalNew]]'s fuzzy
+    * complement: each batch doc is flagged if its verified shingle
+    * Jaccard against ANY doc of the frozen prior corpus reaches
+    * `threshold` (an exact re-crawl verifies at 1.0, so the exact gate
+    * is subsumed). dd12 lets a one-word-changed page through; this is
+    * the gate that stops it.
+    *
+    * Asymmetry is the design: [[Decontaminate.fuzzy]] broadcasts a
+    * SMALL benchmark side and the corpus never shuffles; here the prior
+    * side is the 100 TB one and the BATCH is small. The prior's band
+    * rows are precisely the stored MinHash signature index a production
+    * corpus maintains (computed inline from text here; an ingest
+    * pipeline materializes them once at corpus build and this operator
+    * reads them unchanged), so the steady-state cost per batch is:
+    * band-key join of batch bands against the index (shuffle keyed on
+    * (band, band_key), batch-side tiny), then ONE id-keyed text fetch
+    * for the candidate prior docs only — the candidate pid set is
+    * O(|batch| · bands) and broadcasts into a semi join, so prior text
+    * moves only for verified-candidate rows, never corpus-wide.
+    * Batch-internal near-dups are out of scope (run [[minHashLsh]]
+    * within the batch for those).
+    *
+    * @return one row per batch doc: (idCol, keep, dup_of, jaccard) —
+    *         `dup_of`/`jaccard` are the best verified prior match
+    *         (max Jaccard, ties to the smallest prior id) or null when
+    *         `keep` is true. Shingle-less docs (< shingleK tokens)
+    *         band nowhere and keep — they cannot be certified dup.
+    */
+  def incrementalMinHash(batch: DataFrame, prior: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.expressions.Window
+    def clean(df: DataFrame) =
+      df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+    def bandRows(df: DataFrame, as: String) = clean(df)
+      .select(col(idCol).as(as), posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col(as))
+    val cands = bandRows(batch, "bid")
+      .join(bandRows(prior, "pid"), Seq("band", "band_key"))
+      .select(col("bid"), col("pid"))
+      .distinct()
+    // the id-keyed verify fetch: prior text only for candidate pids
+    // (broadcast semi join — the candidate set is batch-sized), one
+    // shingle set per touched doc on either side
+    val pids = cands.select(col("pid")).distinct()
+    val priorSh = clean(prior)
+      .select(col(idCol).as("pid"), col(textCol))
+      .join(broadcast(pids), Seq("pid"), "left_semi")
+      .select(col("pid"), shingleHashes(col(textCol), shingleK).as("psh"))
+    val batchSh = clean(batch)
+      .select(col(idCol).as("bid"),
+        shingleHashes(col(textCol), shingleK).as("bsh"))
+    val verified = cands
+      .join(batchSh, Seq("bid"))
+      .join(priorSh, Seq("pid"))
+      .select(col("bid"), col("pid"),
+        jaccardShingles(col("bsh"), col("psh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // best match per batch doc — the window runs over the verified pair
+    // table (candidate-sized, nothing corpus-sized)
+    val best = verified
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("bid"))
+          .orderBy(col("jaccard").desc, col("pid"))))
+      .filter(col("__rk") === 1)
+      .select(col("bid").as(idCol), col("pid").as("dup_of"), col("jaccard"))
+    batch.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("jaccard"))
+  }
+
   /** Within-document passage self-dedup: tile each document into
     * `passageTokens`-token passages, DROP every passage whose exact
     * text already occurred earlier in the same document, and re-join

@@ -279,6 +279,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus — every vector is
+    * simultaneously a query and a candidate, the primitive under
+    * graph-based curation (SemDeDup-style cluster pruning, diversity
+    * sampling, graph-connectivity dedup all start from this edge list).
+    *
+    * Differs from [[lshTopK]] in the one way that matters at 100 TB:
+    * there is NO small query side to broadcast. Both roles stream
+    * through the SAME bucket exchange — the self-join shuffles the
+    * corpus once per side on the bucket key, per-bucket work is
+    * quadratic in bucket population (the LSH contract: ~2^planes
+    * reduction vs all-pairs), and the per-partition bounded heap holds
+    * k entries per DISTINCT query id in the partition (memory O(k ×
+    * queries-per-partition), never the candidate volume). `multiProbe`
+    * extends recall by probing all 1-bit-flip buckets on the query
+    * role only — a hamming-≤1 edge is reachable through exactly one
+    * probe, so no dedup is needed.
+    *
+    * Edges are DIRECTED (a → its top-k list); `mutual` marks edges
+    * whose reverse also survived — the mutual-kNN subgraph is the
+    * standard robust-clustering reduction (an edge-keyed self-join of
+    * the top-k output against its reversal, edge-list-sized, nothing
+    * corpus-sized moves). No reference analog (arcon has no vector
+    * ops); Spark-first throughout.
+    *
+    * @return (src_id, dst_id, cosine, rank, mutual), rank ≤ k per src.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    val edges = lshTopK(corpus, corpus, idCol, vecCol, k, nPlanes, dim,
+      multiProbe)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
+        col("cosine"), col("rank"))
+    val rev = edges.select(col("dst_id").as("src_id"),
+      col("src_id").as("dst_id"), lit(true).as("mutual"))
+    edges.join(rev, Seq("src_id", "dst_id"), "left")
+      .select(col("src_id"), col("dst_id"), col("cosine"), col("rank"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** `multiProbe = true` additionally probes every 1-bit-flip neighbor
     * of the QUERY's bucket (explode factor nPlanes+1, queries are the
     * small side), so candidates include corpus vectors whose signature

@@ -118,7 +118,8 @@ object EventTimeQueries extends QueryModule {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
-    // W8 session windows (absent in the reference — superset capability):
+    // SURVEY §2 row W8, session windows (absent in the reference —
+    // superset capability; the query key is w3, streaming twin is w9):
     // gap-based sessionization, 30-minute inactivity gap, via ordered
     // window + cumulative session counter (one shuffle+sort per key).
     // Hot-key escape hatch at 100×: graft.operators.ScalableWindows

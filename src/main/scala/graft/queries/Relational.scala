@@ -371,7 +371,47 @@ object Relational extends QueryModule {
       Tables.events(s, d)
         .groupBy(col("event_type"),
           floor(col("value") / 10.0).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))),
+
+    // Sketch quantiles with a BOUNDED-RANK-ERROR contract (the h1
+    // discipline): each engine runs its OWN single-pass mergeable
+    // sketch (Spark: Greenwald-Khanna at accuracy 10⁴ → rank error
+    // ≤ n/10⁴; DuckDB: t-digest), then certifies its estimate by the
+    // estimate's EXACT rank — `count(x ≤ q̂)/n` must land within 1% of
+    // the target percentile. Raw sketch outputs are not cross-engine
+    // comparable (and GK's partial-merge order isn't even run-to-run
+    // stable), but the certification boolean is deterministically true
+    // on both sides, so every column hash-matches while the sketch
+    // path stays the thing under test.
+    //
+    // This is the 100 TB quantile path: ONE pass, map-side sketch
+    // partials merged at ~KB sizes — against which x14's exact banded
+    // two-phase rank is the exact-answer alternative. The certify pass
+    // joins 3 broadcast rows and re-aggregates; at scale you'd skip it
+    // (the sketch bound is a theorem for GK) — it exists to make the
+    // sketch's claim *checkable* by an engine-independent oracle.
+    "h4_approx_quantile" -> ((s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(ps.map(lit): _*), lit(10000)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          posexplode(col("qs")).as(Seq("pi", "qhat")))
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("pi"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("l_extendedprice") <= col("qhat"), 1L)
+            .otherwise(0L)).as("n_le"))
+        .select(col("l_returnflag"),
+          element_at(array(ps.map(lit): _*), col("pi") + 1).as("p"),
+          col("n"),
+          (abs(col("n_le").cast("double") / col("n").cast("double") -
+            element_at(array(ps.map(lit): _*), col("pi") + 1)) <= 0.01)
+            .as("within_1pct_rank"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -593,6 +633,29 @@ object Relational extends QueryModule {
     "h3_histogram" ->
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |  count(*) AS n, sum(value) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's own t-digest sketch (approx_quantile), certified by the
+    // same exact-rank band — both engines' estimates land within 1% of
+    // target rank at this cardinality, so the booleans (and the exact
+    // counts) hash-match while each engine genuinely runs its sketch.
+    "h4_approx_quantile" ->
+      """WITH sk AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    [approx_quantile(l_extendedprice, 0.25),
+        |     approx_quantile(l_extendedprice, 0.5),
+        |     approx_quantile(l_extendedprice, 0.75),
+        |     approx_quantile(l_extendedprice, 0.95)] AS qs
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT l_returnflag, n, t.pi AS pi, qs[t.pi + 1] AS qhat,
+        |    [0.25, 0.5, 0.75, 0.95][t.pi + 1] AS p
+        |  FROM sk CROSS JOIN range(4) AS t(pi))
+        |SELECT li.l_returnflag, e.p, e.n,
+        |  abs(CAST(count(CASE WHEN li.l_extendedprice <= e.qhat THEN 1 END)
+        |      AS DOUBLE) / CAST(e.n AS DOUBLE) - e.p) <= 0.01
+        |    AS within_1pct_rank
+        |FROM lineitem li JOIN e ON li.l_returnflag = e.l_returnflag
+        |GROUP BY li.l_returnflag, e.p, e.n, e.qhat""".stripMargin
   )
 }

@@ -116,6 +116,20 @@ object TrainingDataQueries extends QueryModule {
       .union(prefixTruncated(docs, mod = 10, idOffset = 2000000L))
   }
 
+  /** [[newCrawlDocs]] ∪ 1/5-token-prefix pages of every 13th doc — the
+    * dd14 ingest batch: exact re-crawls (Jaccard 1), changed pages
+    * (4/5 prefix, Jaccard ≈ 0.8) and genuinely new content (1/5
+    * prefix, Jaccard ≈ 0.2 to its source — far below threshold). */
+  private def incrBatchDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ts = split(col("text"), " ")
+    val nKeep = greatest(floor(size(ts) / 5), lit(1)).cast("int")
+    newCrawlDocs(s, d).union(
+      docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          array_join(slice(ts, lit(1), nKeep), " ").as("text")))
+  }
+
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
     * offsets and a per-copy tag token appended to the text — copies are
     * near-identical but not identical, so signatures/shingles/lengths
@@ -778,6 +792,18 @@ object TrainingDataQueries extends QueryModule {
           Tables.documents(s, d).select(col("text")), "text")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))),
 
+    // Fuzzy incremental ingest — dd12's near-dup complement (dd12 lets
+    // a one-word-changed page through; this gate stops it): exact
+    // re-crawls verify at Jaccard 1, changed pages (4/5 prefix) at
+    // ≈ 0.8, genuinely new pages keep. Banding is replayed bit-exactly
+    // by the oracle, so the candidate set (including any truncation
+    // LSH happens to miss — the banding recall contract) agrees
+    // cross-engine by construction.
+    "dd14_incremental_fuzzy" -> ((s, d) =>
+      Dedup.incrementalMinHash(incrBatchDocs(s, d),
+        Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
     // Exact cross-document substring dedup (Lee et al. 2022
     // ExactSubstr): every maximal ≥10-token span shared verbatim with
     // another doc, per doc, as 1-based token positions. On the planted
@@ -898,6 +924,15 @@ object TrainingDataQueries extends QueryModule {
       Similarity.ivfSq8TopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, rerank = 16)
     }),
+
+    // Corpus-wide approximate k-NN graph (every vector both query and
+    // candidate — no broadcastable query side): multiprobe LSH bucket
+    // self-join, per-partition bounded-heap top-5 per src, directed
+    // edges with the mutual-kNN mark. The edge list is the input to
+    // graph-based curation (cluster pruning, diversity sampling).
+    "sim9_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nPlanes = 8, dim = 64, multiProbe = true)),
 
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
     // its label's integer-quantized mean centroid; the most prototypical
@@ -1995,6 +2030,45 @@ object TrainingDataQueries extends QueryModule {
         |FROM newc n WHERE NOT EXISTS (
         |  SELECT 1 FROM documents p WHERE p.text = n.text)""".stripMargin,
 
+    // The fuzzy ingest gate replayed: batch ∪ prior banded through the
+    // shared MinHash CTE machinery, distinct candidate (bid, pid)
+    // pairs, one exact-Jaccard verify per pair, best match by
+    // (jaccard DESC, pid) — then every batch doc left-joins its match.
+    "dd14_incremental_fuzzy" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest(len(string_split(text, ' ')) // 5, 1)), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${bandSql("b", "batch", "doc_id")},
+         |${bandSql("p", "documents", "doc_id")},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
+         |  FROM bband b JOIN pband p
+         |    ON b.band = p.band AND b.band_key = p.band_key),
+         |ver AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
+         |    FROM cand c
+         |    JOIN bsig bs ON bs.doc_id = c.bid
+         |    JOIN psig ps ON ps.doc_id = c.pid)
+         |  WHERE jaccard >= 0.5),
+         |best AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bid
+         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
+         |  WHERE rk = 1)
+         |SELECT b.doc_id, best.pid IS NULL AS keep,
+         |  best.pid AS dup_of, best.jaccard AS jaccard
+         |FROM batch b LEFT JOIN best ON best.bid = b.doc_id""".stripMargin,
+
     // The self-dedup fold restated as an indexed list_filter (DuckDB
     // lambda index i is 1-BASED where Spark's is 0-based — earlier
     // passages are list_slice(passages, 1, i - 1)).
@@ -2180,6 +2254,30 @@ object TrainingDataQueries extends QueryModule {
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
     "sim3_topk_ivf" -> sim3Sql,
+
+    // The self-graph replay: one signature CTE used in both roles, the
+    // hamming-≤1 join (≡ the query-side 1-bit-flip probes), per-src
+    // rank ≤ 5, then the mutual mark by left-joining the top-k edge
+    // list against its own reversal.
+    "sim9_knn_graph" ->
+      s"""WITH sig AS (SELECT vec_id, embedding AS v,
+         |    ${bucket("embedding")} AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT l.vec_id AS src_id, r.vec_id AS dst_id,
+         |    ${cos("l.v", "r.v")} AS cosine
+         |  FROM sig l JOIN sig r
+         |    ON bit_count(xor(l.bucket, r.bucket)) <= 1
+         |    AND l.vec_id <> r.vec_id),
+         |top AS (
+         |  SELECT src_id, dst_id, cosine, "rank" FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cosine DESC, dst_id) AS BIGINT) AS "rank"
+         |    FROM scored) WHERE "rank" <= 5)
+         |SELECT t.src_id, t.dst_id, t.cosine, t."rank",
+         |  coalesce(r2.m, false) AS mutual
+         |FROM top t LEFT JOIN (SELECT dst_id AS src_id, src_id AS dst_id,
+         |    true AS m FROM top) r2
+         |  ON t.src_id = r2.src_id AND t.dst_id = r2.dst_id""".stripMargin,
 
     "mm1_media_meta" ->
       """SELECT doc_id, source,

@@ -1034,4 +1034,34 @@ class DedupSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  test("incrementalMinHash: re-crawls gate at J=1, near-identical pages gate fuzzily, new/short docs keep, ties break to min prior id") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val prior = Seq(
+      (10L, base),            // duplicate prior texts: the tie target
+      (11L, base),
+      (20L, "p q r s t u v")) // unrelated prior doc
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                                     // exact re-crawl
+      (101L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz"),  // 1-token change
+      (102L, "k1 k2 k3 k4 k5 k6 k7 k8"),                // genuinely new
+      (103L, "a b"))                                    // < shingleK tokens
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinHash(batch, prior, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L))
+    // exact re-crawl: dropped; equal-Jaccard (=1.0) prior twins 10/11
+    // tie-break to the smaller id
+    assert(out(100L) == ((false, Some(10L))))
+    // 1-token change: 9 of 10 shingles survive (J = 9/11 ≈ 0.82 ≥ 0.5)
+    assert(out(101L) == ((false, Some(10L))))
+    // genuinely new and shingle-less: keep, no match
+    assert(out(102L) == ((true, None)))
+    assert(out(103L) == ((true, None)))
+  }
 }

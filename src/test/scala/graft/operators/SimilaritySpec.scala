@@ -140,4 +140,50 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.sq8TopK(e, e, "vec_id", "embedding", k = 5, rerank = 4)
     }
   }
+
+  test("knnGraph: ≤ k ranked edges per node, cosine ordering, mutual ⇔ reverse edge present") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(edges.nonEmpty)
+    // per-src: ranks are 1..n (n ≤ k), cosine non-increasing in rank
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      val byRank = es.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq, s"src $src")
+      assert(byRank.length <= 5, s"src $src has > k edges")
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"src $src rank order")
+        case _ =>
+      }
+      assert(es.forall(_._2 != src), s"src $src has a self-edge")
+    }
+    // mutual is exactly "the reversed edge also survived top-k"
+    val edgeSet = edges.map(t => (t._1, t._2)).toSet
+    edges.foreach { case (s, d, _, _, m) =>
+      assert(m == edgeSet.contains((d, s)), s"mutual flag wrong on ($s, $d)")
+    }
+  }
+
+  test("knnGraph: within tight clusters every edge is mutual and cluster-internal") {
+    import spark.implicits._
+    // two tight clusters in nearly-opposite directions: cross-cluster
+    // bucket signatures differ in ≥ 2 planes with overwhelming
+    // probability, within-cluster vectors share their bucket
+    val df = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(0.99f, 0.0f)), (3L, Seq(1.0f, 0.02f)),
+      (11L, Seq(-1.0f, -0.01f)), (12L, Seq(-0.99f, 0.0f)), (13L, Seq(-1.0f, -0.02f)))
+      .toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(df, "vec_id", "embedding", k = 2,
+        nPlanes = 4, dim = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(edges.length == 12) // 6 nodes × 2 cluster-mates each
+    edges.foreach { case (s, d, m) =>
+      assert((s < 10) == (d < 10), s"cross-cluster edge ($s, $d)")
+      assert(m, s"within-cluster edge ($s, $d) not mutual")
+    }
+  }
 }

@@ -447,4 +447,31 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
     assert(exchanges.forall(l => !l.contains("text#")), p)
   }
+
+  test("h4_approx_quantile: sketch aggregates with a map-side partial; certify join broadcasts; contract holds") {
+    val p = plan("h4_approx_quantile")
+    // the sketch is a partial+final aggregate (ObjectHashAggregate for
+    // percentile_approx) — the one-pass mergeable-sketch shape
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_percentile_approx") || p.contains("Partial"), p)
+    // the 12-row sketch table broadcasts back for certification — the
+    // fact scan never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // and the certification booleans actually hold (GK at accuracy 10⁴
+    // is orders of magnitude inside the 1% rank band)
+    val rows = SparkEntry.queries("h4_approx_quantile")(spark, sf).collect()
+    assert(rows.length == 12, rows.length)
+    assert(rows.forall(r => r.getBoolean(3)), rows.mkString("\n"))
+  }
+
+  test("dd14_incremental_fuzzy: prior text never rides a corpus-wide exchange; candidate fetch is a broadcast semi join") {
+    val p = staticScalePlan("dd14_incremental_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    // the verify fetch: prior side reduced by a broadcast LeftSemi
+    assert(p.contains("LeftSemi, BuildRight") ||
+      (p.contains("LeftSemi") && p.contains("BroadcastExchange")), p)
+    // band-key exchanges carry (band, band_key, id) — never text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")), p)
+  }
 }
