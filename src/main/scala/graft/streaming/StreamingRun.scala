@@ -78,6 +78,19 @@ object StreamingRun {
     else normalized
   }
 
+  /** State-store partition count for the bounded oracle drains. A
+    * streaming query instantiates (and commits, every micro-batch) one
+    * state store per shuffle partition, so the partition count is THE
+    * state-sizing knob — and it is pinned into the checkpoint at first
+    * start, so it must be chosen for the KEYED-STATE volume, not
+    * inherited from the batch session's scan parallelism. The drains
+    * here hold ≤ a few hundred thousand state rows (measured: 32
+    * inherited partitions spend 1.8× the wall time of 8 on identical
+    * 600 k-row input — pure per-store fixed cost); a production
+    * deployment with TB-scale keyed state sets this high once at
+    * provisioning and the same plans run unchanged. */
+  private val drainStatePartitions = 8
+
   /** Run `plan` (a streaming aggregation) to completion under
     * `Trigger.AvailableNow` in complete mode into a memory sink; block
     * until drained; return the sink table. `inspect` (tests) sees the
@@ -103,6 +116,13 @@ object StreamingRun {
       inspect: StreamingQuery => Unit): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    // size state partitions to the drain's keyed-state volume (see
+    // drainStatePartitions); the conf is read at stream START and only
+    // affects THIS query's state layout — the batch readout of the
+    // memory sink runs under the restored session setting
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.getOption(spKey)
+    s.conf.set(spKey, drainStatePartitions.toString)
     val q = plan.writeStream
       .outputMode(mode)
       .format("memory")
@@ -115,6 +135,10 @@ object StreamingRun {
       inspect(q)
     } finally {
       q.stop()
+      prevSp match {
+        case Some(p) => s.conf.set(spKey, p)
+        case None => s.conf.unset(spKey)
+      }
       // the checkpoint is single-use (unique sink name per call): remove
       // it so repeated bench/verify invocations don't accumulate temp dirs
       scala.util.Try {
