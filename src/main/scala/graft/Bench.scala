@@ -665,7 +665,11 @@ object Bench {
       "(copy pairs are true candidates); dd3's distinct-signature " +
       "banding is the scheme-creep measure and stays ~1 on the same " +
       "corpus - the r10 compaction fix, proven empirically. dd4 is not " +
-      "comparable with r6-, dd3 not with r9-. " else ""
+      "comparable with r6-, dd3 not with r9-. dd14 (batch x prior band " +
+      "join, both sides scaled) and sim9 (multiprobe bucket self-join, " +
+      "totalPairs includes the N self-matches) saturate totalPairs on " +
+      "the self-union by the same planted-copy contract; their health " +
+      "signal is max_block staying bounded. " else ""
     val dd3Note =
       "dd3 r10 changes: token hash widened to fill all 61 signature " +
       "bits (the old fold left bits 30-60 zero - whole corpus in one " +

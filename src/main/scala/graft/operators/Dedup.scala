@@ -109,10 +109,14 @@ object Dedup {
         minHashBandKeys(col(textCol), shingleK, numHashes, bands))
         .as(Seq("band", "band_key")))
       .select(col("band"), col("band_key"), col(as))
+    // localCheckpoint: the candidate table feeds BOTH the verify join
+    // and the broadcast pid fetch below — without it the band join
+    // (the one prior-index-sized stage) would evaluate twice
     val cands = bandRows(batch, "bid")
       .join(bandRows(prior, "pid"), Seq("band", "band_key"))
       .select(col("bid"), col("pid"))
       .distinct()
+      .localCheckpoint()
     // the id-keyed verify fetch: prior text only for candidate pids
     // (broadcast semi join — the candidate set is batch-sized), one
     // shingle set per touched doc on either side
@@ -757,6 +761,49 @@ object Dedup {
     val tpLong =
       if (tp.bitLength >= 64) Long.MaxValue else tp.longValueExact()
     BlockVolume(r.getLong(0), r.getLong(1), tpLong)
+  }
+
+  /** Cross-table variant of [[blockVolume]]: candidate volume of a
+    * probe×build bucket join — per matched key the candidate count is
+    * |probe_b| · |build_b| (not c·(c−1)/2; the two sides are distinct
+    * tables). `nBlocks` counts MATCHED keys, `maxBlock` is the hottest
+    * key's candidate count. Same DECIMAL(38) overflow discipline and
+    * Long clamp as [[blockVolume]]. */
+  def crossBlockVolume(probe: DataFrame, build: DataFrame,
+      blockCols: Seq[String]): BlockVolume = {
+    val pc = probe.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("pc"))
+    val bc = build.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("bc"))
+    val cand = (col("pc").cast("decimal(38,0)") * col("bc"))
+      .cast("decimal(38,0)")
+    val r = pc.join(bc, blockCols)
+      .select(cand.as("p"))
+      .agg(count(lit(1)).as("nb"),
+        coalesce(max(col("p")), lit(0)).cast("decimal(38,0)").as("mx"),
+        coalesce(sum(col("p")), lit(0)).cast("decimal(38,0)").as("tp"))
+      .collect()(0)
+    def clamp(i: java.math.BigInteger): Long =
+      if (i.bitLength >= 64) Long.MaxValue else i.longValueExact()
+    BlockVolume(r.getLong(0), clamp(r.getDecimal(1).toBigInteger),
+      clamp(r.getDecimal(2).toBigInteger))
+  }
+
+  /** [[crossBlockVolume]] over [[incrementalMinHash]]'s band join —
+    * batch band rows probed against the prior corpus's band index,
+    * exactly as the gate joins them. The scaled self-union saturates
+    * `totalPairs` (every copy is a true near-dup of every other copy
+    * of its source, so candidate growth IS the planted-pair contract);
+    * the scheme-health signal is `maxBlock` staying bounded. */
+  def incrementalBandVolume(batch: DataFrame, prior: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): BlockVolume = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def bandRows(df: DataFrame) = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+    crossBlockVolume(bandRows(batch), bandRows(prior),
+      Seq("band", "band_key"))
   }
 
   /** [[blockVolume]] over the LSH band buckets a [[minHashLsh]] call

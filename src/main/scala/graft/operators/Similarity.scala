@@ -308,15 +308,42 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64,
       multiProbe: Boolean = true): DataFrame = {
+    // localCheckpoint: the edge list feeds both the output and its
+    // reversal — without it the whole bucket-join + rank pipeline (the
+    // corpus-sized work) would evaluate twice
     val edges = lshTopK(corpus, corpus, idCol, vecCol, k, nPlanes, dim,
       multiProbe)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
         col("cosine"), col("rank"))
+      .localCheckpoint()
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(true).as("mutual"))
     edges.join(rev, Seq("src_id", "dst_id"), "left")
       .select(col("src_id"), col("dst_id"), col("cosine"), col("rank"),
         coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
+  /** [[Dedup.crossBlockVolume]] over [[knnGraph]]'s bucket self-join —
+    * probe rows are every vector's multiprobe buckets (nPlanes+1 per
+    * vector), build rows its exact bucket, exactly as the graph joins
+    * them. `totalPairs` counts the raw candidate rows, including the N
+    * hamming-0 self-matches the operator filters; `maxBlock` is the
+    * hottest bucket's probe×member product — the quantity that must
+    * stay bounded for the per-bucket quadratic to survive scale. */
+  def knnGraphBucketVolume(corpus: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int = 8, dim: Int = 64,
+      multiProbe: Boolean = true): Dedup.BlockVolume = {
+    val exact = coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L))
+    val probed =
+      if (multiProbe)
+        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+          .map(flip => exact.bitwiseXOR(flip)): _*))
+      else exact
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    Dedup.crossBlockVolume(
+      clean.select(probed.as("bucket")),
+      clean.select(exact.as("bucket")),
+      Seq("bucket"))
   }
 
   /** `multiProbe = true` additionally probes every 1-bit-flip neighbor

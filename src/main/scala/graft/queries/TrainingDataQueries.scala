@@ -116,18 +116,20 @@ object TrainingDataQueries extends QueryModule {
       .union(prefixTruncated(docs, mod = 10, idOffset = 2000000L))
   }
 
-  /** [[newCrawlDocs]] ∪ 1/5-token-prefix pages of every 13th doc — the
-    * dd14 ingest batch: exact re-crawls (Jaccard 1), changed pages
-    * (4/5 prefix, Jaccard ≈ 0.8) and genuinely new content (1/5
-    * prefix, Jaccard ≈ 0.2 to its source — far below threshold). */
+  /** [[newCrawlDocs]] ∪ token-REVERSED pages of every 13th doc — the
+    * dd14/pl7 ingest batch: exact re-crawls (Jaccard 1), changed pages
+    * (4/5 prefix, Jaccard ≈ 0.8), and genuinely new content. Reversal
+    * keeps every length/alpha/stopword statistic of a real document
+    * (so the pl7 quality stage sees the corpus's ~47% Gopher keep
+    * rate, not a degenerate all-fail batch of stubs) while replacing
+    * essentially the whole 3-shingle set — novel content at full
+    * document shape. */
   private def incrBatchDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val ts = split(col("text"), " ")
-    val nKeep = greatest(floor(size(ts) / 5), lit(1)).cast("int")
     newCrawlDocs(s, d).union(
       docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 4000000L).as("doc_id"),
-          array_join(slice(ts, lit(1), nKeep), " ").as("text")))
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
   }
 
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
@@ -243,6 +245,25 @@ object TrainingDataQueries extends QueryModule {
     // partition the sort must handle.
     "dd13_substring" -> Dedup.substringAnchorVolume(
       scaleDocs(nearDupDocs(s, d), copies), "doc_id", "text", k = 10),
+    // dd14's batch×prior band join, both sides scaled: the self-union
+    // saturates totalPairs (each batch copy's source has ~copies true
+    // near-copies in the prior — candidate growth IS the planted-pair
+    // contract, the dd2 adjudication); maxBlock bounded is the
+    // scheme-health signal.
+    "dd14_incremental_fuzzy" -> Dedup.incrementalBandVolume(
+      scaleDocs(incrBatchDocs(s, d), copies),
+      scaleDocs(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        copies),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8),
+    // sim9's multiprobe bucket self-join: totalPairs includes the N
+    // self-matches and saturates quadratically on the perturbed
+    // self-union (copies of a vector share buckets by construction);
+    // maxBlock — the hottest bucket's probe×member product — is the
+    // health signal.
+    "sim9_knn_graph" -> Similarity.knnGraphBucketVolume(
+      scaleEmb(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")), copies),
+      "vec_id", "embedding", nPlanes = 8, dim = 64, multiProbe = true),
     // dd2/dd11 over the REALISTIC ~1.6%-dup-rate corpus (see
     // realisticDocs): 1× is the subsample, 10× the full table — the
     // receipt that banding/prefix filtering are linear when duplication
@@ -1052,7 +1073,40 @@ object TrainingDataQueries extends QueryModule {
           sum(T.tokenCount(col("text"))).as("n_tokens"),
           countDistinct(col("text")).as("n_distinct_texts"),
           sum(when(GopherRules.keep(col("text")), 1L).otherwise(0L))
-            .as("n_gopher_keep")))
+            .as("n_gopher_keep"))),
+
+    // The day-N ingest funnel, staged cheapest-first the way a
+    // production crawl pipeline runs it: (1) exact content-key gate
+    // (dd12 — a 16-byte anti join kills verbatim re-crawls before
+    // anything fuzzy spends a shuffle), (2) MinHash near-dup gate
+    // against the frozen prior index (dd14) over the exact survivors
+    // only, (3) Gopher quality battery (x15 — a narrow projection) over
+    // the dedup survivors. One fate per batch doc; dup_of/jaccard carry
+    // the near-dup evidence. Every stage is the already-audited
+    // operator — the funnel adds only batch-sized left joins.
+    "pl7_ingest_funnel" -> ((s, d) => {
+      val batch = incrBatchDocs(s, d)
+      val prior = Tables.documents(s, d)
+      val exactKept = Dedup.incrementalNew(batch,
+        prior.select(col("text")), "text")
+      val fuzzy = Dedup.incrementalMinHash(exactKept, prior,
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      val fuzzyKept = exactKept.join(
+        fuzzy.filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+      val quality = GopherRules.report(fuzzyKept, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("q_keep"))
+      batch.select(col("doc_id"))
+        .join(fuzzy.select(col("doc_id"), col("keep").as("fz_keep"),
+          col("dup_of"), col("jaccard")), Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("fz_keep").isNull, "exact_dup")
+            .when(!col("fz_keep"), "near_dup")
+            .when(!col("q_keep"), "low_quality")
+            .otherwise("kept").as("fate"),
+          col("dup_of"), col("jaccard"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1249,7 +1303,11 @@ object TrainingDataQueries extends QueryModule {
 
   /** Full x15 oracle query (the Gopher rule battery) — also embedded as
     * a CTE by pl3's curation-pipeline oracle. */
-  private lazy val x15Sql: String = {
+  private lazy val x15Sql: String = x15SqlFor("documents")
+
+  /** The same battery over any (doc_id, text) CTE/table `src` —
+    * pl7's quality stage runs it over the dedup survivors. */
+  private def x15SqlFor(src: String): String = {
     val keyCols = (GopherRules.topNgramMax ++ GopherRules.dupNgramMax)
       .map { case (n, _) => s"    ${ngramKeysSql(n)} AS k$n" }
       .mkString(",\n")
@@ -1265,7 +1323,7 @@ object TrainingDataQueries extends QueryModule {
       s"top${n}gram_frac <= $thr" } ++
       GopherRules.dupNgramMax.map { case (n, thr) =>
         s"dup${n}gram_frac <= $thr" }).mkString(" AND ")
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM $src),
        |g AS (SELECT doc_id, text, ts,
        |$keyCols
        |  FROM t),
@@ -2044,8 +2102,7 @@ object TrainingDataQueries extends QueryModule {
          |  FROM documents WHERE doc_id % 10 = 0
          |  UNION ALL
          |  SELECT doc_id + 4000000 AS doc_id,
-         |    array_to_string(list_slice(string_split(text, ' '), 1,
-         |      greatest(len(string_split(text, ' ')) // 5, 1)), ' ') AS text
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
          |  FROM documents WHERE doc_id % 13 = 0),
          |${bandSql("b", "batch", "doc_id")},
          |${bandSql("p", "documents", "doc_id")},
@@ -2421,7 +2478,60 @@ object TrainingDataQueries extends QueryModule {
          |  CAST(count(DISTINCT d.text) AS BIGINT) AS n_distinct_texts,
          |  CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep
          |FROM documents d JOIN gop g USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    // The funnel restated stage by stage: text-equality anti join →
+    // dd14's band/verify/best CTEs over the exact survivors → the x15
+    // battery over the dedup survivors → one fate per batch doc.
+    "pl7_ingest_funnel" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |exact_kept AS (
+         |  SELECT b.doc_id, b.text FROM batch b WHERE NOT EXISTS (
+         |    SELECT 1 FROM documents p WHERE p.text = b.text)),
+         |${bandSql("b", "exact_kept", "doc_id")},
+         |${bandSql("p", "documents", "doc_id")},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
+         |  FROM bband b JOIN pband p
+         |    ON b.band = p.band AND b.band_key = p.band_key),
+         |ver AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
+         |    FROM cand c
+         |    JOIN bsig bs ON bs.doc_id = c.bid
+         |    JOIN psig ps ON ps.doc_id = c.pid)
+         |  WHERE jaccard >= 0.5),
+         |best AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bid
+         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
+         |  WHERE rk = 1),
+         |fuzzy_kept AS (
+         |  SELECT e.doc_id, e.text FROM exact_kept e
+         |  LEFT JOIN best ON best.bid = e.doc_id WHERE best.bid IS NULL),
+         |gop AS (
+         |${x15SqlFor("fuzzy_kept")}
+         |)
+         |SELECT b.doc_id,
+         |  CASE WHEN e.doc_id IS NULL THEN 'exact_dup'
+         |       WHEN best.bid IS NOT NULL THEN 'near_dup'
+         |       WHEN NOT g.keep THEN 'low_quality'
+         |       ELSE 'kept' END AS fate,
+         |  best.pid AS dup_of, best.jaccard AS jaccard
+         |FROM batch b
+         |LEFT JOIN exact_kept e ON e.doc_id = b.doc_id
+         |LEFT JOIN best ON best.bid = b.doc_id
+         |LEFT JOIN gop g ON g.doc_id = b.doc_id""".stripMargin
   )
 
   /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the
