@@ -1087,11 +1087,21 @@ object TrainingDataQueries extends QueryModule {
     "pl7_ingest_funnel" -> ((s, d) => {
       val batch = incrBatchDocs(s, d)
       val prior = Tables.documents(s, d)
+      // localCheckpoint: the exact-gate survivors feed FOUR consumers
+      // (dd14's band rows + signature fetch, the fuzzy-kept join, the
+      // quality stage) — without it the corpus-sized content-key anti
+      // join would evaluate once per consumer (the pl1-pl4
+      // stage-boundary discipline)
       val exactKept = Dedup.incrementalNew(batch,
-        prior.select(col("text")), "text")
+        prior.select(col("text")), "text").localCheckpoint()
+      // localCheckpoint: the gate verdict feeds both the fuzzy-kept
+      // join and the fate projection — without it the verify pipeline
+      // (including a second corpus-sized prior scan for the candidate
+      // text fetch) replays per consumer. The verdict is batch-sized:
+      // one row per exact-gate survivor.
       val fuzzy = Dedup.incrementalMinHash(exactKept, prior,
         "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
-        threshold = 0.5)
+        threshold = 0.5).localCheckpoint()
       val fuzzyKept = exactKept.join(
         fuzzy.filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
       val quality = GopherRules.report(fuzzyKept, "doc_id", "text")

@@ -474,4 +474,64 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
     assert(exchanges.forall(l => !l.contains("text#")), p)
   }
+
+  test("sim9_knn_graph: corpus self-join shuffles on the bucket key; rank is a bounded heap + WindowGroupLimit, never a global sort") {
+    // Audit the PRE-checkpoint edge pipeline (knnGraph materializes it
+    // behind a localCheckpoint, so the final plan only shows
+    // ExistingRDD scans): both roles of the corpus must meet in a
+    // SHUFFLE join on the bucket key — with no small side there is
+    // nothing to broadcast at scale — and the per-query top-k must be
+    // the two-phase bounded-heap + WindowGroupLimit shape, never a
+    // corpus-wide unbounded window sort.
+    import graft.operators.Similarity
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      val corpus = graft.Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      Similarity.lshTopK(corpus, corpus, "vec_id", "embedding", k = 5,
+        nPlanes = 8, dim = 64, multiProbe = true)
+        .queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket self-join is a shuffle join keyed on bucket
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(bucket#")), p)
+    // phase 1: the per-partition bounded heap (typed mapPartitions)
+    assert(p.contains("MapPartitions"), p)
+    // phase 2: rank<=k pushes into a WindowGroupLimit on both sides of
+    // the final exchange — survivors per partition are <= k per query
+    assert(p.contains("WindowGroupLimit"), p)
+    // the one post-heap exchange carries (query_id, neighbor_id,
+    // cosine) scalars — the embedding arrays never ride a shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("embedding#")), p)
+  }
+
+  test("pl7_ingest_funnel: every funnel stage materializes once; only batch-sized rows recompute") {
+    // The funnel checkpoints its two stage boundaries (exact-gate
+    // survivors, fuzzy verdict), so the executed plan must contain NO
+    // residual heavy operator: no anti join, no band join, no window
+    // rank, no shingle verify — those all ran exactly once inside the
+    // checkpoints. What remains: the three batch doc_id parquet scans
+    // for the fate spine and ExistingRDD scans of the checkpoints.
+    val p = plan("pl7_ingest_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("LeftAnti"), p)       // exact gate: inside checkpoint
+    assert(!p.contains("band_key"), p)       // band join: inside checkpoint
+    assert(!p.contains("WindowGroupLimit"), p) // best-match: inside checkpoint
+    assert(!p.contains("jaccardshingles"), p)  // verify: inside checkpoint
+    // residual parquet scans read doc_id only (the fate spine) — the
+    // batch text column never re-reads in the final plan
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("struct<doc_id:bigint>")), p)
+  }
 }
