@@ -119,4 +119,51 @@ object Relevance {
           (acc, x) => acc + x.getField("contrib")).as("bm25"),
         size(col("cs")).cast("long").as("n_terms_matched"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    * hybrid-retrieval combinator: given N ranked lists per query
+    * (sparse BM25, dense cosine, …), score every retrieved document
+    * `Σ_i 1/(kRrf + rank_i)` over the lists it appears in and emit the
+    * fused top-`k` per query. Rank-based fusion needs no score
+    * calibration between retrievers — the reason production RAG stacks
+    * fuse this way rather than mixing raw BM25 and cosine values.
+    *
+    * Each input: (query_id, doc_id, rank), rank 1-based, one row per
+    * (query, doc) per list. The RRF sum is an ordered fold in
+    * list-index order (the library-wide float-reduction convention),
+    * so the result is bit-identical run-to-run and engine-to-engine
+    * even though double addition does not commute exactly. Final ties
+    * break by doc_id ascending.
+    *
+    * Plan at 100 TB: fusion never touches the corpus — the inputs are
+    * already top-`fetchK` lists, |queries|·fetchK rows each, so the
+    * union + (query, doc)-keyed aggregate and the per-query rank
+    * window (WindowGroupLimit, ≤ k survivors per partition) are
+    * query-side-sized. The corpus-scan cost lives entirely in the
+    * upstream retrievers ([[bm25]]; `Similarity.bruteForceTopK` /
+    * `lshTopK` / `ivfSq8TopK`). No reference analog (arcon has no
+    * retrieval ops); Spark-first design.
+    *
+    * @return (query_id, doc_id, rrf, rank) with rank ≤ k per query.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no ranked lists")
+    require(k > 0, "k must be positive")
+    require(kRrf > 0, "kRrf must be positive")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("doc_id"), lit(i).as("src"),
+        col("rank").cast("long").as("r"))
+    }
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("src"), col("r")))).as("cs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + lit(1.0) / (lit(kRrf) + x.getField("r")))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -955,6 +955,41 @@ object TrainingDataQueries extends QueryModule {
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 5, nPlanes = 8, dim = 64, multiProbe = true)),
 
+    // Hybrid retrieval: BM25 ranked lists and dense-cosine ranked lists
+    // fused per query by reciprocal rank (the production RAG shape —
+    // no score calibration between retrievers). The bench pairing of a
+    // term set with a query vector is synthetic (the corpus has no real
+    // queries); the semantics under test are the fusion: rank-depth
+    // fetchK per retriever, RRF k=60 fold, fused top-10. Both ranked
+    // lists are |Q|·fetchK-sized, so everything after the retrievers is
+    // query-side work (rrfFuse scaladoc has the 100 TB argument).
+    "sim10_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sparseScored = hybridQueries.map { case (qid, terms, _) =>
+        Relevance.bm25(docs, "doc_id", "text", terms, k1 = bm25K1, b = bm25B)
+          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
+      }.reduce(_ unionByName _)
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val sparseRanked = sparseScored
+        .withColumn("rank", row_number().over(ws).cast("long"))
+        .filter(col("rank") <= hybridFetchK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qvecMap = hybridQueries.map { case (qid, _, vid) => vid -> qid }
+      val denseRanked = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(qvecMap.map(_._1): _*)), emb,
+        "vec_id", "embedding", k = hybridFetchK)
+        .select(qvecMap.tail.foldLeft(
+            when(col("query_id") === qvecMap.head._1, qvecMap.head._2)) {
+            case (c, (vid, qid)) => c.when(col("query_id") === vid, qid)
+          }.as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Relevance.rrfFuse(Seq(sparseRanked, denseRanked), k = 10,
+        kRrf = hybridKRrf)
+    }),
+
     // Prototypicality pruning (SSL-prototypes): cosine of each vector to
     // its label's integer-quantized mean centroid; the most prototypical
     // (redundant) examples flag for pruning. The quantized centroid makes
@@ -1236,6 +1271,39 @@ object TrainingDataQueries extends QueryModule {
     * SQL (the SQL interpolates these same values) — one source of truth. */
   private val bm25K1 = 1.2
   private val bm25B = 0.75
+
+  /** sim10's query set: (query_id, BM25 term set, dense query vec_id).
+    * The Spark wiring and the oracle CTEs both derive from this one
+    * value (the bm25K1/bm25B discipline — a query change must hit both
+    * sides). */
+  private val hybridQueries: Seq[(Long, Seq[String], Long)] = Seq(
+    (0L, Seq("spark", "join", "window"), 5L),
+    (1L, Seq("hash", "scan", "filter"), 17L),
+    (2L, Seq("stream", "batch", "vector"), 29L))
+  private val hybridFetchK = 20
+  private val hybridKRrf = 60
+
+  /** BM25-scored (doc_id, bm25) block for one term set — the x13
+    * formula verbatim as a derived table; expects `dl` (doc_id, dl) and
+    * `stats` (n, avgdl) CTEs in the enclosing query (outer CTEs are in
+    * scope inside a nested WITH per the SQL standard; DuckDB honors
+    * it). */
+  private def bm25ScoredSqlFor(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""(WITH qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents) t WHERE term IN ($termList)
+       |        GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM qtf GROUP BY 1),
+       |contrib AS (SELECT doc_id, term,
+       |  ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf * ($bm25K1 + 1.0)) / (tf + ($bm25K1 * ((1.0 - $bm25B) + $bm25B * dl / avgdl))) AS contrib
+       |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id,
+       |  list_reduce(array_agg(contrib ORDER BY term), (a, b) -> a + b) AS bm25
+       |FROM contrib GROUP BY doc_id)""".stripMargin
+  }
 
   private val nearDupDocsSql =
     """SELECT doc_id, text FROM documents
@@ -2345,6 +2413,55 @@ object TrainingDataQueries extends QueryModule {
          |FROM top t LEFT JOIN (SELECT dst_id AS src_id, src_id AS dst_id,
          |    true AS m FROM top) r2
          |  ON t.src_id = r2.src_id AND t.dst_id = r2.dst_id""".stripMargin,
+
+    // The funnel restated: per-query BM25 blocks (shared dl/stats CTEs,
+    // the x13 formula verbatim), dense cosine blocks (the sim1 shape,
+    // self-match excluded by ORIGINAL vec_id), rank-depth fetchK each,
+    // then the RRF ordered fold in list order and the fused top-10.
+    "sim10_hybrid_rrf" -> {
+      val sparseArms = hybridQueries.map { case (qid, terms, _) =>
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, bm25
+           |  FROM ${bm25ScoredSqlFor(terms)}""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val vidCase = hybridQueries.map { case (qid, _, vid) =>
+        s"WHEN $vid THEN $qid" }.mkString(" ")
+      val vids = hybridQueries.map(_._3).mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM dl),
+         |sp AS (
+         |  $sparseArms),
+         |sranked AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+         |    FROM sp) WHERE r <= $hybridFetchK),
+         |dq AS (SELECT CAST(CASE vec_id $vidCase END AS BIGINT) AS query_id,
+         |         vec_id AS qvid, embedding AS qv
+         |       FROM embeddings WHERE vec_id IN ($vids)),
+         |dscored AS (SELECT query_id, c.vec_id AS doc_id,
+         |    ${cos("qv", "c.embedding")} AS cosine
+         |  FROM dq, embeddings c WHERE c.vec_id <> qvid),
+         |dranked AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+         |    FROM dscored) WHERE r <= $hybridFetchK),
+         |u AS (SELECT query_id, doc_id, 0 AS src, r FROM sranked
+         |      UNION ALL
+         |      SELECT query_id, doc_id, 1 AS src, r FROM dranked),
+         |f AS (SELECT query_id, doc_id,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(array_agg({'src': src, 'r': r} ORDER BY src, r),
+         |            s -> 1.0 / ($hybridKRrf + s.r))), (a, b) -> a + b) AS rrf
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank" FROM f)
+         |WHERE "rank" <= 10""".stripMargin
+    },
 
     "mm1_media_meta" ->
       """SELECT doc_id, source,

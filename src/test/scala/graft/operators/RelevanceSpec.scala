@@ -85,4 +85,42 @@ class RelevanceSpec extends SparkTestBase {
     assert(runT() == runT())
     assert(runB() == runB())
   }
+
+  test("rrfFuse: hand-computed RRF scores; one-list docs score one term; ties break by doc_id") {
+    // query 0: doc 10 is rank 1 in BOTH lists → 2/(60+1);
+    // doc 11 rank 2 sparse only → 1/62; doc 12 rank 2 dense only → 1/62
+    // (tie with doc 11 → doc 11 first); doc 13 rank 3 sparse + rank 4
+    // dense → 1/63 + 1/64.
+    val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 10L, 1L), (0L, 12L, 2L), (0L, 13L, 4L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Relevance.rrfFuse(Seq(sparse, dense), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = Seq(
+      (0L, 10L, 1.0 / 61 + 1.0 / 61, 1L),
+      (0L, 13L, 1.0 / 63 + 1.0 / 64, 2L),
+      (0L, 11L, 1.0 / 62, 3L),         // tie on score with doc 12:
+      (0L, 12L, 1.0 / 62, 4L))         // doc_id ascending breaks it
+    assert(out.length == 4)
+    out.zip(expected).foreach { case ((q, d, s, r), (eq, ed, es, er)) =>
+      assert(q == eq && d == ed && r == er, out.mkString("\n"))
+      assert(s == es, s"$d: $s != $es") // bit-exact: ordered two-term sum
+    }
+  }
+
+  test("rrfFuse: fused top-k truncates at k per query; queries fuse independently") {
+    val sparse = (1 to 8).map(i => (0L, i.toLong, i.toLong)) ++
+      Seq((1L, 100L, 1L))
+    val dense = (1 to 8).map(i => (0L, (100 + i).toLong, i.toLong)) ++
+      Seq((1L, 200L, 1L))
+    val out = Relevance.rrfFuse(
+      Seq(sparse.toDF("query_id", "doc_id", "rank"),
+        dense.toDF("query_id", "doc_id", "rank")), k = 5)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ(0L).length == 5)               // 16 candidates → top 5
+    assert(byQ(1L).length == 2)               // fewer than k survive
+    assert(byQ(0L).map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }

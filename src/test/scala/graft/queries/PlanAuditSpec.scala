@@ -515,6 +515,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.forall(l => !l.contains("embedding#")), p)
   }
 
+  test("sim10_hybrid_rrf: every rank<=k pushes into WindowGroupLimit; fusion never touches an embedding or text column") {
+    val p = plan("sim10_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // three rank stages (sparse fetchK, dense fetchK via rankTopK, fused
+    // top-10), each with partial+final WindowGroupLimit — no stage ever
+    // sorts more than k rows per key per partition
+    val wgl = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(wgl >= 6, s"expected >=6 WindowGroupLimit (3 ranks x partial+final), got $wgl\n$p")
+    // post-retrieval exchanges carry (query_id, doc_id, rank/score)
+    // scalars only — fusion is query-side work by construction
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("text#")), p)
+  }
+
   test("pl7_ingest_funnel: every funnel stage materializes once; only batch-sized rows recompute") {
     // The funnel checkpoints its two stage boundaries (exact-gate
     // survivors, fuzzy verdict), so the executed plan must contain NO
