@@ -109,12 +109,16 @@ object TrainingDataQueries extends QueryModule {
   /** The "new crawl" snapshot for incremental dedup: exact re-crawls of
     * every 10th doc (must drop at the gate) plus 4/5-token-prefix
     * truncations of the same docs (changed pages — must pass). */
-  private def newCrawlDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  private def newCrawlDocs(s: SparkSession, d: String): DataFrame =
+    newCrawlOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[newCrawlDocs]] over an arbitrary (doc_id, text) frame — shared
+    * with the STREAMING ingest-gate row, which derives the same batch
+    * from the documents table read through `readStream`. */
+  private def newCrawlOf(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       .union(prefixTruncated(docs, mod = 10, idOffset = 2000000L))
-  }
 
   /** [[newCrawlDocs]] ∪ token-REVERSED pages of every 13th doc — the
     * dd14/pl7 ingest batch: exact re-crawls (Jaccard 1), changed pages
@@ -124,9 +128,14 @@ object TrainingDataQueries extends QueryModule {
     * rate, not a degenerate all-fail batch of stubs) while replacing
     * essentially the whole 3-shingle set — novel content at full
     * document shape. */
-  private def incrBatchDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    newCrawlDocs(s, d).union(
+  private def incrBatchDocs(s: SparkSession, d: String): DataFrame =
+    incrBatchOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[incrBatchDocs]] over an arbitrary (doc_id, text) frame — the
+    * derivation w14's streaming gate applies to the `readStream` read
+    * of the same table (one rule, both execution paths). */
+  private[graft] def incrBatchOf(docs: DataFrame): DataFrame = {
+    newCrawlOf(docs).union(
       docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 4000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
@@ -825,6 +834,23 @@ object TrainingDataQueries extends QueryModule {
         Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
+    // dd14 through the ACTUAL streaming execution path: the ingest
+    // batch derived (same incrBatchOf rule) from the documents table
+    // read via readStream, gated against the static prior through two
+    // stream-static joins + one streaming argmax aggregation
+    // (StreamingRun.ingestGate has the plan story). Identical oracle
+    // to dd14 — the streaming and batch gates must agree verdict for
+    // verdict, bit for bit.
+    "w14_streaming_ingest_gate" -> ((s, d) => {
+      val batch = incrBatchOf(
+        graft.streaming.StreamingRun.tableStream(s, d, "documents")
+          .select(col("doc_id"), col("text")))
+      graft.streaming.StreamingRun.ingestGate(s, batch,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)
+    }),
+
     // Exact cross-document substring dedup (Lee et al. 2022
     // ExactSubstr): every maximal ≥10-token span shared verbatim with
     // another doc, per doc, as 1-based token positions. On the planted
@@ -1271,6 +1297,42 @@ object TrainingDataQueries extends QueryModule {
     * SQL (the SQL interpolates these same values) — one source of truth. */
   private val bm25K1 = 1.2
   private val bm25B = 0.75
+
+  /** dd14's oracle — also w14's verbatim: the streaming gate must
+    * agree with the batch gate verdict for verdict, bit for bit. */
+  private lazy val dd14Sql: String =
+      s"""WITH batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${bandSql("b", "batch", "doc_id")},
+         |${bandSql("p", "documents", "doc_id")},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
+         |  FROM bband b JOIN pband p
+         |    ON b.band = p.band AND b.band_key = p.band_key),
+         |ver AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
+         |    FROM cand c
+         |    JOIN bsig bs ON bs.doc_id = c.bid
+         |    JOIN psig ps ON ps.doc_id = c.pid)
+         |  WHERE jaccard >= 0.5),
+         |best AS (
+         |  SELECT bid, pid, jaccard FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bid
+         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
+         |  WHERE rk = 1)
+         |SELECT b.doc_id, best.pid IS NULL AS keep,
+         |  best.pid AS dup_of, best.jaccard AS jaccard
+         |FROM batch b LEFT JOIN best ON best.bid = b.doc_id""".stripMargin
 
   /** sim10's query set: (query_id, BM25 term set, dense query vec_id).
     * The Spark wiring and the oracle CTEs both derive from this one
@@ -2170,39 +2232,12 @@ object TrainingDataQueries extends QueryModule {
     // shared MinHash CTE machinery, distinct candidate (bid, pid)
     // pairs, one exact-Jaccard verify per pair, best match by
     // (jaccard DESC, pid) — then every batch doc left-joins its match.
-    "dd14_incremental_fuzzy" ->
-      s"""WITH batch AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id,
-         |    array_to_string(list_slice(string_split(text, ' '), 1,
-         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
-         |  FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 4000000 AS doc_id,
-         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |${bandSql("b", "batch", "doc_id")},
-         |${bandSql("p", "documents", "doc_id")},
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
-         |  FROM bband b JOIN pband p
-         |    ON b.band = p.band AND b.band_key = p.band_key),
-         |ver AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
-         |    FROM cand c
-         |    JOIN bsig bs ON bs.doc_id = c.bid
-         |    JOIN psig ps ON ps.doc_id = c.pid)
-         |  WHERE jaccard >= 0.5),
-         |best AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY bid
-         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
-         |  WHERE rk = 1)
-         |SELECT b.doc_id, best.pid IS NULL AS keep,
-         |  best.pid AS dup_of, best.jaccard AS jaccard
-         |FROM batch b LEFT JOIN best ON best.bid = b.doc_id""".stripMargin,
+    "dd14_incremental_fuzzy" -> dd14Sql,
+
+    // The streaming gate must agree with the batch gate verdict for
+    // verdict — same oracle, literally.
+    "w14_streaming_ingest_gate" -> dd14Sql,
+
 
     // The self-dedup fold restated as an indexed list_filter (DuckDB
     // lambda index i is 1-BASED where Spark's is 0-based — earlier

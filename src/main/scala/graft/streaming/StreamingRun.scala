@@ -36,10 +36,21 @@ object StreamingRun {
     * session-tz TimestampType, the legacy TIMESTAMP(NANOS)-as-long
     * flavor converted with exact integer division. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.LongType
+    val normalized = tableStream(s, dir, "events")
+    if (normalized.schema("ts").dataType == LongType)
+      normalized.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else normalized
+  }
+
+  /** Any single-parquet testdata table through `readStream`, with the
+    * same staging and NTZ normalization as [[eventsStream]] (which adds
+    * only the events-specific legacy-nanos conversion on top). */
+  def tableStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     // FileStreamSource reads DIRECTORIES of files (at 100 TB the input
     // is one); the testdata ships a single parquet file, so stage a
     // symlink directory — zero data copied, the source lists and reads
@@ -59,7 +70,7 @@ object StreamingRun {
         val d = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft-stream-src-$tag")
         java.nio.file.Files.createDirectories(d)
-        val link = d.resolve("events.parquet")
+        val link = d.resolve(s"$table.parquet")
         if (!java.nio.file.Files.exists(link,
             java.nio.file.LinkOption.NOFOLLOW_LINKS))
           scala.util.Try(java.nio.file.Files.createSymbolicLink(link, abs))
@@ -70,12 +81,8 @@ object StreamingRun {
     val raw = s.read.parquet(path).schema // metadata-only: no data scan
     val df = s.readStream.schema(raw).parquet(path)
     val ntz = raw.fields.filter(_.dataType == TimestampNTZType).map(_.name)
-    val normalized =
-      if (ntz.isEmpty) df
-      else df.withColumns(ntz.map(n => n -> col(n).cast(TimestampType)).toMap)
-    if (raw("ts").dataType == LongType)
-      normalized.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else normalized
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(n => n -> col(n).cast(TimestampType)).toMap)
   }
 
   /** State-store partition count for the bounded oracle drains. A
@@ -218,6 +225,74 @@ object StreamingRun {
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
       inspect)
+
+  /** The day-N fuzzy ingest gate (dd14,
+    * [[graft.operators.Dedup.incrementalMinHash]]) through the ACTUAL
+    * streaming path — the production deployment shape, where the crawl
+    * batch ARRIVES as a stream and gates against a frozen prior-corpus
+    * index: two stateless stream-static left-outer joins (band rows →
+    * prior band index; candidates → prior signature table) feeding ONE
+    * streaming aggregation (per-doc argmax verdict), complete-mode
+    * drain. Identical output contract and DuckDB oracle as batch dd14.
+    *
+    * Streaming-legal re-composition of the batch operator, same math:
+    * the batch plan's candidate `distinct` is DROPPED (a same-(bid,pid)
+    * candidate reached through two bands scores the same jaccard, so
+    * the argmax is unaffected — dedup state for nothing); the batch
+    * plan's `row_number = 1` best-match window becomes
+    * `max_by(value, (jaccard, −pid))` (same (jaccard DESC, pid ASC)
+    * pick, null-ordering rows ignored, mergeable across micro-batches);
+    * shingle-less docs survive via `posexplode_outer` (null band
+    * matches no index row) and emit keep = true, the batch left-join
+    * semantics. The batch side carries its shingle set through the
+    * band explode (bands× width amplification on the BATCH only — the
+    * stream-legal trade for the batch plan's post-candidate signature
+    * re-join; the corpus-sized prior stays in its two static tables,
+    * exactly the index + signature store a production gate keeps
+    * materialized between days).
+    *
+    * At 100 TB: the prior never rides a stream-batch shuffle — both
+    * joins key on (band, band_key) / pid with the static side's
+    * exchange planned once per micro-batch over the materialized
+    * index; state is one verdict row per batch doc (day-sized, not
+    * corpus-sized). Reference bar: arcon's source→operator→state
+    * pipeline (`arcon/src/stream/operator/mod.rs:21-54`) has no dedup
+    * analog; this is the library's own gate run under the engine's
+    * streaming execution. */
+  def ingestGate(s: SparkSession, batch: DataFrame, prior: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import graft.functions.TextFunctions.{jaccardShingles, minHashBandKeys, shingleHashes}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def clean(df: DataFrame) =
+      df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+    val bandRows = clean(batch).select(col(idCol).as("bid"),
+      shingleHashes(col(textCol), shingleK).as("bsh"),
+      posexplode_outer(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+    val cleanPrior = clean(prior)
+    val priorIndex = cleanPrior.select(col(idCol).as("pid"), posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col("pid"))
+    val priorSh = cleanPrior.select(col(idCol).as("pid"),
+      shingleHashes(col(textCol), shingleK).as("psh"))
+    val verdict = bandRows
+      .join(priorIndex, Seq("band", "band_key"), "left_outer")
+      .join(priorSh, Seq("pid"), "left_outer")
+      .select(col("bid"), col("pid"),
+        when(col("pid").isNotNull,
+          jaccardShingles(col("bsh"), col("psh"))).as("jaccard"))
+      .groupBy(col("bid").as(idCol))
+      .agg(max_by(struct(col("pid").as("dup_of"), col("jaccard")),
+        when(col("jaccard") >= threshold,
+          struct(col("jaccard"), (-col("pid")).as("neg")))).as("best"))
+    drainComplete(s, verdict, inspect)
+      .select(col(idCol), col("best").isNull.as("keep"),
+        col("best.dup_of").as("dup_of"), col("best.jaccard").as("jaccard"))
+  }
 
   /** The DSL's custom [[graft.operators.StatefulOperator]] (T6) through
     * the ACTUAL streaming path — `flatMapGroupsWithState` /

@@ -138,6 +138,33 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("w14_streaming_ingest_gate runs the stateful agg over stream-static joins and equals batch dd14 exactly") {
+    var plan = ""
+    val batch = graft.queries.TrainingDataQueries.incrBatchOf(
+      StreamingRun.tableStream(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")))
+    val streaming = StreamingRun.ingestGate(spark, batch,
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, inspect = q => plan = planOf(q))
+    // the verdict aggregation is stateful streaming state, the batch
+    // docs arrive through a file streaming source, and the prior joins
+    // in statically (a plain non-streaming join inside the
+    // micro-batch — NO stream-stream symmetric join state)
+    assert(plan.contains("StateStoreSave"), plan)
+    assert(plan.contains("FileScan parquet"), plan)
+    assert(!plan.contains("StreamingSymmetricHashJoin"), plan)
+    val got = streaming.collect().map(_.toSeq).toSet
+    val want = graft.operators.Dedup.incrementalMinHash(
+      graft.queries.TrainingDataQueries.incrBatchOf(
+        graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+      graft.Tables.documents(spark, sfDir), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)   // bit-for-bit: same jaccards, same argmax picks
+    assert(got.nonEmpty)
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
