@@ -667,9 +667,16 @@ object Bench {
       "corpus - the r10 compaction fix, proven empirically. dd4 is not " +
       "comparable with r6-, dd3 not with r9-. dd14 (batch x prior band " +
       "join, both sides scaled) and sim9 (multiprobe bucket self-join, " +
-      "totalPairs includes the N self-matches) saturate totalPairs on " +
-      "the self-union by the same planted-copy contract; their health " +
-      "signal is max_block staying bounded. " else ""
+      "totalPairs includes the N self-matches) saturate BOTH totalPairs " +
+      "and max_block on the self-union by the same planted-copy " +
+      "contract (copies share buckets by construction, so the hot " +
+      "bucket's two sides each scale with copies); sim9's scheme " +
+      "receipt is the _realistic row - organic 10x growth (subsample " +
+      "vs full table) with the production nPlanes knob scaled " +
+      "8 -> 12, measured exponent ~1.47, residual above 1 = multiprobe " +
+      "fanout (13/9) + the corpus's cluster mass (near-identical " +
+      "vectors share a bucket at any plane count; mitigation is " +
+      "upstream compaction dd5/dd9, not more planes). " else ""
     val dd3Note =
       "dd3 r10 changes: token hash widened to fill all 61 signature " +
       "bits (the old fold left bits 30-60 zero - whole corpus in one " +
