@@ -670,8 +670,10 @@ object Bench {
       "totalPairs includes the N self-matches) saturate BOTH totalPairs " +
       "and max_block on the self-union by the same planted-copy " +
       "contract (copies share buckets by construction, so the hot " +
-      "bucket's two sides each scale with copies); sim9's scheme " +
-      "receipt is the _realistic row - organic 10x growth (subsample " +
+      "bucket's two sides each scale with copies); dd14's scheme " +
+      "receipt is dd2's _realistic row (identical minhash banding, " +
+      "~1.0 on sparse dups) and sim9's is its own _realistic row - " +
+      "organic 10x growth (subsample " +
       "vs full table) with the production nPlanes knob scaled " +
       "8 -> 12, measured exponent ~1.47, residual above 1 = multiprobe " +
       "fanout (13/9) + the corpus's cluster mass (near-identical " +
