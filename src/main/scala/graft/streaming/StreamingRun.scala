@@ -267,11 +267,19 @@ object StreamingRun {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def clean(df: DataFrame) =
       df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
-    val bandRows = clean(batch).select(col(idCol).as("bid"),
-      shingleHashes(col(textCol), shingleK).as("bsh"),
-      posexplode_outer(
-        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
-        .as(Seq("band", "band_key")))
+    // the BATCH side keeps null-text docs: their band-key array is null,
+    // posexplode_outer emits the one null-band row, the null key matches
+    // no index row, and the verdict is keep = true — the same fate the
+    // batch operator's final left join gives them. (Null-ID docs are
+    // dropped on both paths' candidate sides; the batch operator emits
+    // them keep = true while this keyed aggregation would collapse them
+    // into one row — don't feed null ids to either.)
+    val bandRows = batch.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("bid"),
+        shingleHashes(col(textCol), shingleK).as("bsh"),
+        posexplode_outer(
+          minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+          .as(Seq("band", "band_key")))
     val cleanPrior = clean(prior)
     val priorIndex = cleanPrior.select(col(idCol).as("pid"), posexplode(
         minHashBandKeys(col(textCol), shingleK, numHashes, bands))

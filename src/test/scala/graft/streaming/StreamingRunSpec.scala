@@ -165,6 +165,38 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("ingestGate agrees with batch incrementalMinHash on null-text, exact-dup, near-dup and short docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val priorRows = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"))
+    val batchRows = Seq(
+      (10L, "a b c d e f g h"),        // exact re-crawl → keep=false, J=1
+      (11L, "a b c d e f g zz"),       // near-dup of 1
+      (12L, "totally novel words here"),// novel → keep=true
+      (13L, "x y"),                     // too short for k=3 → keep=true
+      (14L, null.asInstanceOf[String]))// null text → keep=true
+    val prior = priorRows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(batchRows: _*)
+    val streaming = StreamingRun.ingestGate(spark,
+      mem.toDF.toDF("doc_id", "text"), prior,
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8,
+      threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Dedup.incrementalMinHash(
+      batchRows.toDF("doc_id", "text"), prior, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batch, s"streaming=$streaming\nbatch=$batch")
+    assert(streaming.size == 5)
+    val keepById = streaming.map(r => r.head -> r(1)).toMap
+    assert(keepById(10L) == false && keepById(12L) == true &&
+      keepById(13L) == true && keepById(14L) == true)
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
