@@ -104,11 +104,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     def clean(df: DataFrame) =
       df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
-    def bandRows(df: DataFrame, as: String) = clean(df)
-      .select(col(idCol).as(as), posexplode(
-        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
-        .as(Seq("band", "band_key")))
-      .select(col("band"), col("band_key"), col(as))
+    def bandRows(df: DataFrame, as: String) =
+      incrBandRows(df, idCol, textCol, shingleK, numHashes, bands, as)
     // localCheckpoint: the candidate table feeds BOTH the verify join
     // and the broadcast pid fetch below — without it the band join
     // (the one prior-index-sized stage) would evaluate twice
@@ -797,14 +794,24 @@ object Dedup {
       idCol: String, textCol: String, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8): BlockVolume = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    def bandRows(df: DataFrame) = df
-      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
-      .select(posexplode(
-        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
-        .as(Seq("band", "band_key")))
+    def bandRows(df: DataFrame) =
+      incrBandRows(df, idCol, textCol, shingleK, numHashes, bands, "id")
+        .select(col("band"), col("band_key"))
     crossBlockVolume(bandRows(batch), bandRows(prior),
       Seq("band", "band_key"))
   }
+
+  /** The (band, band_key, id) rows of [[incrementalMinHash]]'s band
+    * join — ONE definition shared by the operator and the
+    * [[incrementalBandVolume]] bench canary, so the canary can never
+    * drift from the join it measures. */
+  private def incrBandRows(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int, as: String): DataFrame =
+    df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as(as), posexplode(
+        minHashBandKeys(col(textCol), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col(as))
 
   /** [[blockVolume]] over the LSH band buckets a [[minHashLsh]] call
     * joins on — the exact candidate-pair count the band self-join

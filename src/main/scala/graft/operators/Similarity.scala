@@ -333,12 +333,7 @@ object Similarity {
   def knnGraphBucketVolume(corpus: DataFrame, idCol: String,
       vecCol: String, nPlanes: Int = 8, dim: Int = 64,
       multiProbe: Boolean = true): Dedup.BlockVolume = {
-    val exact = coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L))
-    val probed =
-      if (multiProbe)
-        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
-          .map(flip => exact.bitwiseXOR(flip)): _*))
-      else exact
+    val (exact, probed) = bucketExprs(vecCol, nPlanes, dim, multiProbe)
     val clean = corpus.filter(col(vecCol).isNotNull)
     Dedup.crossBlockVolume(
       clean.select(probed.as("bucket")),
@@ -353,19 +348,29 @@ object Similarity {
     * (1-q)^nPlanes to +nPlanes·q·(1-q)^(nPlanes-1) more, at constant
     * cost. A hamming-≤1 candidate is reachable through exactly one
     * probe, so no dedup is needed. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
-    // non-nullable signature (null vectors pre-filtered, coalesce marks
-    // the key non-null) so the optimizer cannot infer
-    // `isnotnull(lshsignatureexpr(v))` and evaluate the signature twice
-    // per row (see PlanAuditSpec's single-eval audit)
+  /** The (exact, probed) bucket expressions of the LSH bucket join —
+    * ONE definition shared by [[lshTopK]]/[[knnGraph]] and the
+    * [[knnGraphBucketVolume]] bench canary, so the canary can never
+    * drift from the join it measures. The coalesce marks the key
+    * non-nullable (null vectors are pre-filtered) so the optimizer
+    * cannot infer `isnotnull(lshsignatureexpr(v))` and evaluate the
+    * signature twice per row (see PlanAuditSpec's single-eval audit);
+    * `probed` additionally explodes every 1-bit-flip neighbor bucket. */
+  private def bucketExprs(vecCol: String, nPlanes: Int, dim: Int,
+      multiProbe: Boolean): (Column, Column) = {
     val exact = coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L))
     val probed =
       if (multiProbe)
         explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
           .map(flip => exact.bitwiseXOR(flip)): _*))
       else exact
+    (exact, probed)
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
+    val (exact, probed) = bucketExprs(vecCol, nPlanes, dim, multiProbe)
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         probed.as("bucket"))

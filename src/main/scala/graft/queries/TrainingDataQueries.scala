@@ -1325,39 +1325,52 @@ object TrainingDataQueries extends QueryModule {
 
   /** dd14's oracle — also w14's verbatim: the streaming gate must
     * agree with the batch gate verdict for verdict, bit for bit. */
+  /** The ingest-batch derivation as a CTE — the SQL twin of
+    * [[incrBatchOf]], shared by the dd14 and pl7 oracles (one
+    * definition; a batch-derivation change hits every consumer). */
+  private lazy val ingestBatchCte: String =
+    """batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
+  /** The dd14 gate's band/candidate/verify/best CTE chain over batch
+    * source `src` vs the `documents` prior — shared by the dd14 oracle
+    * (src = the full batch) and pl7's (src = the exact-gate
+    * survivors). Emits `best` (bid, pid, jaccard). */
+  private def gateCtes(src: String): String =
+    s"""${bandSql("b", src, "doc_id")},
+       |${bandSql("p", "documents", "doc_id")},
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
+       |  FROM bband b JOIN pband p
+       |    ON b.band = p.band AND b.band_key = p.band_key),
+       |ver AS (
+       |  SELECT bid, pid, jaccard FROM (
+       |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
+       |    FROM cand c
+       |    JOIN bsig bs ON bs.doc_id = c.bid
+       |    JOIN psig ps ON ps.doc_id = c.pid)
+       |  WHERE jaccard >= 0.5),
+       |best AS (
+       |  SELECT bid, pid, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bid
+       |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
+       |  WHERE rk = 1)""".stripMargin
+
   private lazy val dd14Sql: String =
-      s"""WITH batch AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id,
-         |    array_to_string(list_slice(string_split(text, ' '), 1,
-         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
-         |  FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 4000000 AS doc_id,
-         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |${bandSql("b", "batch", "doc_id")},
-         |${bandSql("p", "documents", "doc_id")},
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
-         |  FROM bband b JOIN pband p
-         |    ON b.band = p.band AND b.band_key = p.band_key),
-         |ver AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
-         |    FROM cand c
-         |    JOIN bsig bs ON bs.doc_id = c.bid
-         |    JOIN psig ps ON ps.doc_id = c.pid)
-         |  WHERE jaccard >= 0.5),
-         |best AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY bid
-         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
-         |  WHERE rk = 1)
-         |SELECT b.doc_id, best.pid IS NULL AS keep,
-         |  best.pid AS dup_of, best.jaccard AS jaccard
-         |FROM batch b LEFT JOIN best ON best.bid = b.doc_id""".stripMargin
+    s"""WITH $ingestBatchCte,
+       |${gateCtes("batch")}
+       |SELECT b.doc_id, best.pid IS NULL AS keep,
+       |  best.pid AS dup_of, best.jaccard AS jaccard
+       |FROM batch b LEFT JOIN best ON best.bid = b.doc_id""".stripMargin
 
   /** sim10's query set: (query_id, BM25 term set, dense query vec_id).
     * The Spark wiring and the oracle CTEs both derive from this one
@@ -2508,7 +2521,7 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT query_id, doc_id, r FROM (
          |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
-         |    FROM dscored) WHERE r <= $hybridFetchK),
+         |    FROM dscored WHERE NOT isnan(cosine)) WHERE r <= $hybridFetchK),
          |u AS (SELECT query_id, doc_id, 0 AS src, r FROM sranked
          |      UNION ALL
          |      SELECT query_id, doc_id, 1 AS src, r FROM dranked),
@@ -2671,38 +2684,11 @@ object TrainingDataQueries extends QueryModule {
     // dd14's band/verify/best CTEs over the exact survivors → the x15
     // battery over the dedup survivors → one fate per batch doc.
     "pl7_ingest_funnel" ->
-      s"""WITH batch AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id,
-         |    array_to_string(list_slice(string_split(text, ' '), 1,
-         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ') AS text
-         |  FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 4000000 AS doc_id,
-         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-         |  FROM documents WHERE doc_id % 13 = 0),
+      s"""WITH $ingestBatchCte,
          |exact_kept AS (
          |  SELECT b.doc_id, b.text FROM batch b WHERE NOT EXISTS (
          |    SELECT 1 FROM documents p WHERE p.text = b.text)),
-         |${bandSql("b", "exact_kept", "doc_id")},
-         |${bandSql("p", "documents", "doc_id")},
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
-         |  FROM bband b JOIN pband p
-         |    ON b.band = p.band AND b.band_key = p.band_key),
-         |ver AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT c.bid, c.pid, ${jac("bs.shs", "ps.shs")} AS jaccard
-         |    FROM cand c
-         |    JOIN bsig bs ON bs.doc_id = c.bid
-         |    JOIN psig ps ON ps.doc_id = c.pid)
-         |  WHERE jaccard >= 0.5),
-         |best AS (
-         |  SELECT bid, pid, jaccard FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY bid
-         |      ORDER BY jaccard DESC, pid) AS rk FROM ver)
-         |  WHERE rk = 1),
+         |${gateCtes("exact_kept")},
          |fuzzy_kept AS (
          |  SELECT e.doc_id, e.text FROM exact_kept e
          |  LEFT JOIN best ON best.bid = e.doc_id WHERE best.bid IS NULL),

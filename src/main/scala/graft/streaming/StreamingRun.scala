@@ -234,6 +234,10 @@ object StreamingRun {
     * prior band index; candidates → prior signature table) feeding ONE
     * streaming aggregation (per-doc argmax verdict), complete-mode
     * drain. Identical output contract and DuckDB oracle as batch dd14.
+    * Batch doc ids must be UNIQUE (the natural ingest contract): a
+    * duplicated non-null id would collapse into one verdict row here
+    * (keyed aggregation) while the batch operator emits one row per
+    * input row — same caveat as null ids, enforced by the caller.
     *
     * Streaming-legal re-composition of the batch operator, same math:
     * the batch plan's candidate `distinct` is DROPPED (a same-(bid,pid)
