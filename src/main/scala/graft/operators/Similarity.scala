@@ -303,11 +303,41 @@ object Similarity {
     * corpus-sized moves). No reference analog (arcon has no vector
     * ops); Spark-first throughout.
     *
+    * Fail-loud scale contract (the same pair-budget discipline as
+    * [[Dedup.ngramJaccardPairs]]/[[Dedup.prefixJaccardPairs]]/
+    * [[Dedup.semanticDedup]]): before the self-join runs, the exact
+    * candidate volume it would generate ([[knnGraphBucketVolume]] — one
+    * cheap aggregate over the signature table, no vector math) is
+    * checked against `maxCandidatePairs`. A skewed or under-planed
+    * corpus aborts with the hottest bucket's size instead of silently
+    * running the per-bucket quadratic; remedies in the message:
+    * [[suggestedPlanes]] (more planes = more buckets), upstream cluster
+    * compaction ([[Dedup.semanticDedup]]/[[Dedup.embeddingDup]] — on
+    * clustered data the hottest bucket tracks the biggest cluster no
+    * matter how many planes), or an explicit larger budget.
+    * `maxCandidatePairs = Long.MaxValue` skips the pre-pass.
+    *
     * @return (src_id, dst_id, cosine, rank, mutual), rank ≤ k per src.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      maxCandidatePairs: Long = 10000000L): DataFrame = {
+    if (maxCandidatePairs < Long.MaxValue) {
+      val v = knnGraphBucketVolume(corpus, idCol, vecCol, nPlanes, dim,
+        multiProbe)
+      if (v.totalPairs > maxCandidatePairs)
+        throw new IllegalArgumentException(
+          s"knnGraph: bucket self-join would generate ${v.totalPairs} " +
+            s"candidate pairs > budget $maxCandidatePairs (hottest bucket " +
+            s"${v.maxBlock} probe×member pairs of ${v.nBlocks} buckets). " +
+            "Raise nPlanes (suggestedPlanes keeps bucket count growing " +
+            "with the corpus), compact dominant clusters upstream " +
+            "(semanticDedup/embeddingDup — the hottest bucket tracks the " +
+            "biggest cluster regardless of plane count), or raise the " +
+            "budget if the corpus genuinely carries this much neighbor " +
+            "mass.")
+    }
     // localCheckpoint: the edge list feeds both the output and its
     // reversal — without it the whole bucket-join + rank pipeline (the
     // corpus-sized work) would evaluate twice
@@ -321,6 +351,31 @@ object Similarity {
     edges.join(rev, Seq("src_id", "dst_id"), "left")
       .select(col("src_id"), col("dst_id"), col("cosine"), col("rank"),
         coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
+  /** Plane count for [[knnGraph]]/[[lshTopK]]: bucket count must grow
+    * LINEARLY with the corpus (2^planes ∝ corpusSize) so mean bucket
+    * population — and with it the per-bucket quadratic's cost — stays
+    * constant as the corpus grows. The [[Dedup.suggestedCells]] rule for
+    * the hyperplane-LSH family: tune `basePlanes` once at a
+    * recall-audited reference scale `baseCorpus` (the sim5-style
+    * recall-vs-exact audit), then every growth factor g adds ⌈log₂ g⌉
+    * planes. Capped at 62 so the signature stays a valid Long bitmask.
+    * Plane growth bounds MEAN bucket size only — a dominant cluster
+    * shares its bucket at any plane count; the [[knnGraph]] pair-budget
+    * guard is the fail-loud backstop for that case, and upstream
+    * compaction ([[Dedup.semanticDedup]]) the mitigation. */
+  def suggestedPlanes(corpusSize: Long, basePlanes: Int = 8,
+      baseCorpus: Long = 250L): Int = {
+    require(corpusSize > 0 && baseCorpus > 0 && basePlanes > 0,
+      s"suggestedPlanes needs positive sizes; got corpusSize=$corpusSize " +
+        s"baseCorpus=$baseCorpus basePlanes=$basePlanes")
+    // overflow-safe ⌈corpusSize / baseCorpus⌉ (the +denominator-1 form
+    // would wrap at corpusSize near Long.MaxValue)
+    val growth = math.max(1L,
+      corpusSize / baseCorpus + (if (corpusSize % baseCorpus == 0) 0L else 1L))
+    val extra = 64 - java.lang.Long.numberOfLeadingZeros(growth - 1) // ⌈log₂⌉
+    math.min(62, basePlanes + math.max(0, extra))
   }
 
   /** [[Dedup.crossBlockVolume]] over [[knnGraph]]'s bucket self-join —

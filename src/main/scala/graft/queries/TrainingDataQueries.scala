@@ -286,10 +286,11 @@ object TrainingDataQueries extends QueryModule {
       n = 3, threshold = 0.7),
     // sim9 over ORGANIC corpus growth (1× = a 1/10 vec_id subsample,
     // 10× = the full table — genuinely new vectors, no replication)
-    // with the production knob applied: LSH bucket count must scale
-    // with the corpus, so the 10× measure runs the +⌈log₂10⌉
-    // hyperplanes a real deployment adds at 10× the data (256 → 4096
-    // buckets; recall re-tuned against the sim5-style audit). Measured
+    // with the production knob applied THROUGH THE API:
+    // Similarity.suggestedPlanes grows the hyperplane count by ⌈log₂ g⌉
+    // per growth factor g so bucket count tracks corpus size (here
+    // 8 planes at 1× → 12 at 10×, 256 → 4096 buckets; base recall
+    // tuned against the sim5-style audit). Measured
     // exponent ≈ 1.47 vs the fixed-knob self-union's 2.21: the knob
     // absorbs the bucket-population growth; the residual above 1.0 is
     // (a) the 13/9 multiprobe-fanout factor (~0.16 of exponent) and
@@ -304,9 +305,14 @@ object TrainingDataQueries extends QueryModule {
     // by the planted-copy contract, like dd2/dd11's unsuffixed rows.
     "sim9_knn_graph_realistic" -> {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      Similarity.knnGraphBucketVolume(
-        if (copies > 1) e else e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", nPlanes = if (copies > 1) 12 else 8,
+      val sub = e.filter(col("vec_id") % 10 === 0)
+      val corpus = if (copies > 1) e else sub
+      // base scale = the 1× subsample; both counts are 1-row aggregate
+      // actions over a tiny id projection (model selection, like
+      // dd9Centroids' corpus count)
+      Similarity.knnGraphBucketVolume(corpus, "vec_id", "embedding",
+        nPlanes = Similarity.suggestedPlanes(corpus.count(),
+          basePlanes = 8, baseCorpus = sub.count()),
         dim = 64, multiProbe = true)
     })
 

@@ -167,6 +167,44 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("knnGraph: pair-budget guard trips loudly on a single-bucket corpus") {
+    import spark.implicits._
+    // 60 near-identical vectors: all share one LSH bucket, so the
+    // multiprobe self-join would generate ~(nPlanes+1)·60² candidate
+    // rows — the skewed-corpus case the guard exists to catch
+    val df = (1L to 60L).map(i => (i, Seq(1.0f, i.toFloat * 1e-6f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(df, "vec_id", "embedding", k = 2,
+        nPlanes = 4, dim = 2, maxCandidatePairs = 1000L)
+    }
+    assert(e.getMessage.contains("candidate pairs > budget 1000"))
+    assert(e.getMessage.contains("suggestedPlanes"))
+    // same corpus, budget lifted: the graph still computes (fail-loud,
+    // not fail-wrong)
+    val edges = Similarity.knnGraph(df, "vec_id", "embedding", k = 2,
+      nPlanes = 4, dim = 2, maxCandidatePairs = Long.MaxValue)
+    assert(edges.groupBy("src_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("suggestedPlanes: bucket count tracks corpus growth, capped at 62") {
+    // at the reference scale the tuned base comes back unchanged
+    assert(Similarity.suggestedPlanes(250L) == 8)
+    assert(Similarity.suggestedPlanes(1L) == 8)
+    // each growth factor g adds ⌈log₂ g⌉ planes (the canary's 8 → 12
+    // at 10× rule, now API)
+    assert(Similarity.suggestedPlanes(2500L) == 12)
+    assert(Similarity.suggestedPlanes(500L) == 9)
+    assert(Similarity.suggestedPlanes(2000L, basePlanes = 8, baseCorpus = 200L) == 12)
+    // exact powers of two don't over-shoot
+    assert(Similarity.suggestedPlanes(2048L, basePlanes = 8, baseCorpus = 256L) == 11)
+    // Long-bitmask cap
+    assert(Similarity.suggestedPlanes(Long.MaxValue, basePlanes = 8, baseCorpus = 1L) == 62)
+    intercept[IllegalArgumentException] {
+      Similarity.suggestedPlanes(0L)
+    }
+  }
+
   test("knnGraph: within tight clusters every edge is mutual and cluster-internal") {
     import spark.implicits._
     // two tight clusters in nearly-opposite directions: cross-cluster
