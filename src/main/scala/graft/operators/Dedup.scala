@@ -58,6 +58,13 @@ object Dedup {
     * the raw text, and the hashed plan must reproduce it). No
     * distinct-ing of the prior key table: an anti join is insensitive
     * to duplicate build keys, so the aggregate would be pure cost. */
+  /** Default verified-Jaccard threshold of the day-N fuzzy ingest gate —
+    * ONE constant shared by [[incrementalMinHash]] and its streaming
+    * twin [[graft.streaming.StreamingRun.ingestGate]] (identical output
+    * contract, identical oracle), so a caller relying on defaults can
+    * never get silently different verdicts from the two paths. */
+  val IngestGateThreshold: Double = 0.5
+
   def incrementalNew(newDocs: DataFrame, prior: DataFrame,
       textCol: String): DataFrame =
     newDocs
@@ -99,7 +106,7 @@ object Dedup {
   def incrementalMinHash(batch: DataFrame, prior: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = IngestGateThreshold): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import org.apache.spark.sql.expressions.Window
     def clean(df: DataFrame) =
@@ -752,12 +759,27 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("nb"),
         coalesce(max(col("c")), lit(0L)).as("mx"),
-        coalesce(sum(pairs), lit(0)).cast("decimal(38,0)").as("tp"))
+        sum(pairs).cast("decimal(38,0)").as("tp"))
       .collect()(0)
-    val tp = r.getDecimal(2).toBigInteger
-    val tpLong =
-      if (tp.bitLength >= 64) Long.MaxValue else tp.longValueExact()
-    BlockVolume(r.getLong(0), r.getLong(1), tpLong)
+    BlockVolume(r.getLong(0), r.getLong(1), sumToLong(r, 2, r.getLong(0)))
+  }
+
+  /** Read a DECIMAL(38,0) sum aggregate defensively: a null sum over a
+    * NON-empty input is a decimal overflow (non-ANSI mode nulls instead
+    * of throwing) and must clamp to Long.MaxValue — the overflow and the
+    * empty-input case would otherwise both read as 0, the
+    * healthiest-looking value a guard could see — while a null over
+    * zero blocks is genuinely "no pairs". Shared by [[blockVolume]] and
+    * [[crossBlockVolume]], same clamp discipline as their bitLength
+    * check. */
+  private def sumToLong(r: org.apache.spark.sql.Row, idx: Int,
+      nBlocks: Long): Long = {
+    val d = r.getDecimal(idx)
+    if (d == null) { if (nBlocks == 0L) 0L else Long.MaxValue }
+    else {
+      val i = d.toBigInteger
+      if (i.bitLength >= 64) Long.MaxValue else i.longValueExact()
+    }
   }
 
   /** Cross-table variant of [[blockVolume]]: candidate volume of a
@@ -776,12 +798,12 @@ object Dedup {
       .select(cand.as("p"))
       .agg(count(lit(1)).as("nb"),
         coalesce(max(col("p")), lit(0)).cast("decimal(38,0)").as("mx"),
-        coalesce(sum(col("p")), lit(0)).cast("decimal(38,0)").as("tp"))
+        sum(col("p")).cast("decimal(38,0)").as("tp"))
       .collect()(0)
     def clamp(i: java.math.BigInteger): Long =
       if (i.bitLength >= 64) Long.MaxValue else i.longValueExact()
     BlockVolume(r.getLong(0), clamp(r.getDecimal(1).toBigInteger),
-      clamp(r.getDecimal(2).toBigInteger))
+      sumToLong(r, 2, r.getLong(0)))
   }
 
   /** [[crossBlockVolume]] over [[incrementalMinHash]]'s band join —

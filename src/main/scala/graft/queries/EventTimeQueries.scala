@@ -87,7 +87,9 @@ object EventTimeQueries extends QueryModule {
     // streaming path — FlatMapGroupsWithStateExec, the FIFTH stateful
     // streaming exec under a driver-visible oracle. Per-element
     // running-state emissions, final-state readout (unique max-count
-    // row per key) — deterministic under any batch split or order.
+    // row per key), integer-scaled (micro-unit) state — deterministic
+    // under any batch split or order, exact (not FP-tolerant)
+    // cross-engine.
     "w12_streaming_operator" -> ((s, d) =>
       graft.streaming.StreamingRun.operatorRunningAgg(s, d)),
 
@@ -349,9 +351,15 @@ object EventTimeQueries extends QueryModule {
     "w11_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
-    // final running state per key = the plain per-key aggregate
+    // final running state per key = the plain per-key aggregate; the
+    // state is integer micro-units (floor(value·1e6) per row — per-row
+    // double math is bit-identical cross-engine, the BIGINT sum
+    // order-free), so the match is exact by construction, not up to FP
+    // associativity. DuckDB sum(BIGINT) widens to HUGEINT — cast back.
     "w12_streaming_operator" ->
-      """SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
         |FROM events GROUP BY user_id""".stripMargin,
 
     // integer-only state: bit-exact cross-engine (DuckDB sum(BIGINT)

@@ -2719,7 +2719,11 @@ object TrainingDataQueries extends QueryModule {
     * frequency (pK), picks the (count DESC, left, right) argmax (bK),
     * and applies the merge as the same leftmost-nonoverlapping string
     * fold as [[Bpe]] — the accumulator ends with the merged token after
-    * a merge, so it can never re-match as the pair's left. MATERIALIZED
+    * a merge, so it can never re-match as the pair's left. An EXHAUSTED
+    * round (no adjacent pairs left, b$k empty) passes the histogram
+    * through unchanged via the NOT EXISTS branch — the same contract as
+    * [[graft.operators.Bpe.learn]] stopping early, instead of the bare
+    * cross join wiping the chain on a degenerate corpus. MATERIALIZED
     * is load-bearing: each CTE is referenced by the two following ones,
     * and inlining would re-derive the whole chain exponentially. */
   private def bpeCtes(n: Int, src: String = "documents"): String = {
@@ -2744,7 +2748,10 @@ object TrainingDataQueries extends QueryModule {
          |      WHEN x = b$k.r AND (acc = b$k.l OR ends_with(acc, ' ' || b$k.l))
          |      THEN acc || x ELSE acc || ' ' || x END) AS sym,
          |    freq
-         |  FROM r$p, b$k)""".stripMargin
+         |  FROM r$p, b$k
+         |  UNION ALL
+         |  SELECT word, sym, freq FROM r$p
+         |  WHERE NOT EXISTS (SELECT 1 FROM b$k))""".stripMargin
     }
     (r0 +: rounds).mkString(",\n")
   }

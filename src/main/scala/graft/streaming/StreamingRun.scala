@@ -130,18 +130,23 @@ object StreamingRun {
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.getOption(spKey)
     s.conf.set(spKey, drainStatePartitions.toString)
-    val q = plan.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // start() sits INSIDE the try: a streaming-plan analysis error at
+    // start must still restore the session's shuffle-partition setting
+    // and remove the checkpoint temp dir, or every later batch query
+    // in the session runs at the drain's 8 partitions
+    var q: StreamingQuery = null
     try {
+      q = plan.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       inspect(q)
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prevSp match {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)
@@ -265,7 +270,8 @@ object StreamingRun {
     * streaming execution. */
   def ingestGate(s: SparkSession, batch: DataFrame, prior: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = graft.operators.Dedup.IngestGateThreshold,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     import graft.functions.TextFunctions.{jaccardShingles, minHashBandKeys, shingleHashes}
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -319,33 +325,39 @@ object StreamingRun {
     * the row with the maximal running count, which is unique (the count
     * is strictly increasing per key, across micro-batches too, since
     * group state persists) and whose running sum has by then absorbed
-    * every element regardless of arrival order. Deterministic under any
-    * batch split; oracle = plain GROUP BY. */
+    * every element regardless of arrival order. The state is
+    * INTEGER-SCALED (micro-units: `floor(value·10⁶)` per element —
+    * per-row double math is bit-identical cross-engine, and the Long
+    * running sum is order-free), the same discipline as
+    * [[indexOperatorRunningAgg]]: a double accumulator folded in
+    * shuffle-arrival order would only match the oracle's scan-order sum
+    * up to FP associativity. Deterministic under any batch split;
+    * oracle = plain GROUP BY over the same per-row scaling. */
   def operatorRunningAgg(s: SparkSession, dir: String,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.Encoders
     import graft.operators.{OperatorContext, StatefulOperator}
     val ds = eventsStream(s, dir)
-      .select(col("user_id"), col("value"))
-      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val op = new StatefulOperator[Long, (Long, Double), (Long, Double), (Long, Long, Double)] {
-      def initialState: (Long, Double) = (0L, 0.0)
-      def handleElement(key: Long, e: (Long, Double), ts: Option[Long],
-          state: (Long, Double), ctx: OperatorContext):
-          ((Long, Double), Iterator[(Long, Long, Double)]) = {
+      .select(col("user_id"), floor(col("value") * lit(1e6)).cast("long"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val op = new StatefulOperator[Long, (Long, Long), (Long, Long), (Long, Long, Long)] {
+      def initialState: (Long, Long) = (0L, 0L)
+      def handleElement(key: Long, e: (Long, Long), ts: Option[Long],
+          state: (Long, Long), ctx: OperatorContext):
+          ((Long, Long), Iterator[(Long, Long, Long)]) = {
         val s2 = (state._1 + 1L, state._2 + e._2)
         (s2, Iterator((key, s2._1, s2._2)))
       }
     }
-    val out = new graft.api.Stream(ds, graft.api.SourceConf[(Long, Double)]())
+    val out = new graft.api.Stream(ds, graft.api.SourceConf[(Long, Long)]())
       .keyBy(_._1)(Encoders.scalaLong)
       .operator(op)(
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
     drainAppend(s, out.toDF, inspect)
       .groupBy(col("_1").as("user_id"))
       .agg(max(col("_2")).as("n_events"),
-        max_by(col("_3"), col("_2")).as("sum_value"))
+        max_by(col("_3"), col("_2")).as("sum_value_micros"))
   }
 
   /** The DSL's [[graft.operators.IndexOperator]] (declared state

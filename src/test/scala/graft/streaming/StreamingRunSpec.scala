@@ -99,21 +99,17 @@ class StreamingRunSpec extends SparkTestBase {
       inspect = q => plan = planOf(q))
     assert(plan.contains("FlatMapGroupsWithState"), plan)
     val got = streaming.collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // integer micro-unit state: the streaming fold and the batch sum
+    // agree EXACTLY, whatever the arrival/partial order
     val want = graft.Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_value_micros"))
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(got.keySet == want.keySet)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
     assert(got.nonEmpty)
-    got.foreach { case (k, (n, s)) =>
-      assert(n == want(k)._1, s"key $k count")
-      // the streaming side is a sequential per-key fold, the batch side a
-      // partial+final sum tree — double results agree to rounding only
-      assert(math.abs(s - want(k)._2) <= 1e-9 * math.max(1.0, math.abs(s)),
-        s"key $k sum $s vs ${want(k)._2}")
-    }
   }
 
   test("w13_streaming_index_operator executes TransformWithStateExec; final state equals the batch aggregate exactly") {
