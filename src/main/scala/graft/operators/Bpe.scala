@@ -45,8 +45,12 @@ object Bpe {
   /** Learned model: the ranked merge list plus the final word → symbol
     * mapping (space-joined symbol string per distinct word) the merges
     * produce — which is all [[tokenize]] needs, since every corpus word
-    * maps through the histogram it was learned from. */
-  final case class Model(merges: Seq[Merge], vocab: DataFrame)
+    * maps through the histogram it was learned from.
+    * `distributedRounds` records how many distributed merge rounds the
+    * trainer ran (0 = the in-memory path handled every merge after the
+    * one histogram scan) — the jobs-per-merge receipt. */
+  final case class Model(merges: Seq[Merge], vocab: DataFrame,
+      distributedRounds: Int = 0)
 
   /** (word, sym, freq) histogram of `textCol` split on single spaces:
     * the ONE corpus-wide scan and exchange of the whole trainer. `sym`
@@ -152,22 +156,200 @@ object Bpe {
       .select(col(idCol), col("bpe_text"),
         size(split(col("bpe_text"), " ")).cast("long").as("n_tokens"))
 
-  /** Run `numMerges` rounds of pair-count → argmax → merge over the
-    * corpus word histogram. `reliable` stages rounds through the
-    * reliable checkpoint directory instead of executor-local blocks —
-    * the same trade documented on [[Dedup.clusters]]. */
+  /** Learn `numMerges` BPE merges over the corpus word histogram.
+    *
+    * The corpus-SCALE work — one scan and one word-keyed exchange into
+    * the (word, freq) histogram — is always distributed; what varies is
+    * where the merge LOOP runs, because the loop touches only the
+    * histogram (distinct-vocabulary-sized — model scale, not data
+    * scale):
+    *
+    *  - **In-memory** (vocab ≤ `localVocabLimit`, the production
+    *    default): collect the histogram once and run the classic
+    *    indexed trainer driver-side — every production BPE trainer
+    *    (SentencePiece, HF tokenizers) trains exactly this way, on the
+    *    histogram, after the distributed counting pass. A real 32k-merge
+    *    vocabulary costs 32k rounds; in memory that is milliseconds per
+    *    round against ~64k serial Spark jobs for a distributed loop —
+    *    the model-size wall-clock wall this path removes. A 100 TB
+    *    crawl's distinct vocabulary is a few million words (Heaps' law)
+    *    ≈ 100s of MB with counts — driver-sized by two orders of
+    *    magnitude.
+    *  - **Distributed batched rounds** (vocab above the limit — the
+    *    fail-open path, never the silently-slow one): per round, ONE
+    *    pair-count job collects the top-`topPairs` pairs and the driver
+    *    accepts the longest PROVABLY-sequential-equal prefix (see
+    *    [[acceptBatch]]), applying the whole batch in one projection.
+    *    Exactly the sequential merge list, ~half the rounds (hot
+    *    symbols conflict quickly — measured ≈ 2× on the test corpus;
+    *    the in-memory path is why this fallback is rarely the one that
+    *    runs).
+    *
+    * Both paths produce the IDENTICAL ranked merge list and vocab (the
+    * BpeSpec ScalaCheck suites prove each against a pure-Scala
+    * sequential reference; the DuckDB oracle replays every merge round
+    * on top). `reliable` stages distributed rounds through the reliable
+    * checkpoint directory — the [[Dedup.clusters]] trade. */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-      reliable: Boolean = false): Model = {
+      reliable: Boolean = false, localVocabLimit: Long = 4000000L,
+      topPairs: Int = 1024): Model = {
     require(numMerges > 0, "numMerges must be positive")
+    require(topPairs > 0, "topPairs must be positive")
     def stage(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    var hist = stage(wordHistogram(docs, textCol))
+    val hist = stage(wordHistogram(docs, textCol))
+    if (hist.count() <= localVocabLimit) learnLocal(hist, numMerges)
+    else learnDistributed(hist, numMerges, stage, topPairs)
+  }
+
+  /** Symbol order shared by both trainers: unsigned UTF-8 byte order —
+    * what Spark's string comparison and DuckDB's default collation use —
+    * NOT java.lang.String's UTF-16 code-unit order (they diverge on
+    * supplementary characters). */
+  private val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The in-memory merge loop over the collected histogram. Indexed:
+    * `where` maps each live pair to the word ids containing it, so a
+    * merge rescans only affected words, with exact incremental count
+    * updates (remove the word's old pair contributions, merge, add the
+    * new ones). Argmax is a scan of the live pair map per round —
+    * O(distinct pairs), the simple exact structure (a heap with lazy
+    * deletion is the constant-factor upgrade; counts stay exact either
+    * way). */
+  private def learnLocal(hist: DataFrame, numMerges: Int): Model = {
+    import scala.collection.mutable
+    val rows = hist.select(col("word"), col("freq")).collect()
+    val words = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] = words.map(_.split(""))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def contribute(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) { counts.remove(p); where.remove(p) }
+        else {
+          counts(p) = c
+          if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+    }
+    syms.indices.foreach(contribute(_, 1L))
+    implicit val pairOrd: Ordering[((String, String), Long)] =
+      Ordering.by[((String, String), Long), Long](-_._2)
+        .orElse(Ordering.by[((String, String), Long), String](_._1._1)(Utf8Order))
+        .orElse(Ordering.by[((String, String), Long), String](_._1._2)(Utf8Order))
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.min
+        merges += Merge(rank.toLong, a, b, a + b, c)
+        val affected = where.getOrElse((a, b), mutable.Set.empty).toArray
+        affected.foreach { i =>
+          contribute(i, -1L)
+          // stale index entries for this word (pairs it no longer has)
+          syms(i).sliding(2).foreach {
+            case Array(x, y) => where.get((x, y)).foreach(_.remove(i))
+            case _ =>
+          }
+          syms(i) = applyMergeLocal(syms(i), a, b)
+          contribute(i, 1L)
+        }
+        where.remove((a, b))
+        rank += 1
+      }
+    }
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val vocab = words.indices
+      .map(i => (words(i), syms(i).mkString(" "), freqs(i)))
+      .toDF("word", "sym", "freq")
+    Model(merges.result(), vocab.localCheckpoint(), distributedRounds = 0)
+  }
+
+  /** Leftmost-nonoverlapping merge on a local symbol array — the same
+    * fold [[applyMerge]] runs as a column expression. */
+  private def applyMergeLocal(s: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The longest prefix of the ranked pair list `ranked` (sorted by
+    * (count DESC, left, right) — the argmax order) that PROVABLY equals
+    * what the sequential trainer would pick next, merged one at a time:
+    *
+    *  1. prefix-only — a skipped higher-ranked pair might keep enough
+    *     count to still be sequential's next pick, so the batch stops
+    *     at the first rejection rather than skipping;
+    *  2. symbol-disjoint from every earlier acceptance — merging (a,b)
+    *     cannot change the count of any pair touching neither a nor b;
+    *  3. strictly above every possible NEW pair — a merge (a,b)→ab
+    *     creates pairs (x,ab)/(ab,y) whose counts are bounded by
+    *     min(count(x,a), c) / min(count(b,y), c); `floor` bounds
+    *     creators truncated out of the top list. Acceptance requires
+    *     count > every such bound (strict, so ties with unknowable new
+    *     pair names never need a lexicographic decision).
+    *
+    * Exactness is ScalaCheck-proven against the sequential reference
+    * (BpeSpec); measured batch factor ≈ 2 on real text (hot symbols
+    * conflict quickly — condition 2 stops the prefix). */
+  private[operators] def acceptBatch(ranked: Seq[(String, String, Long)],
+      maxAccept: Int, floor: Long): Seq[(String, String, Long)] = {
+    var acc = List.empty[(String, String, Long)]
+    var used = Set.empty[String]
+    var stop = false
+    val it = ranked.iterator
+    while (!stop && it.hasNext && acc.length < maxAccept) {
+      val (l, r, c) = it.next()
+      if (acc.isEmpty) { acc = (l, r, c) :: acc; used = used + l + r }
+      else if (used(l) || used(r)) stop = true
+      else {
+        var u = floor
+        for ((aj, bj, cj) <- acc; (ql, qr, cq) <- ranked
+            if qr == aj || ql == bj)
+          u = math.max(u, math.min(cq, cj))
+        if (c <= u) stop = true
+        else { acc = (l, r, c) :: acc; used = used + l + r }
+      }
+    }
+    acc.reverse
+  }
+
+  /** Distributed batched merge rounds — the fallback for vocabularies
+    * over the driver budget. Per round: one pair-count TakeOrdered job
+    * collects the top `topPairs`, [[acceptBatch]] proves a prefix, and
+    * the whole batch applies in ONE staged projection (chained merge
+    * folds). Identical merge list to the sequential loop, ~half the
+    * rounds. */
+  private def learnDistributed(hist0: DataFrame, numMerges: Int,
+      stage: DataFrame => DataFrame, topPairs: Int): Model = {
+    var hist = hist0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var rounds = 0
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
       val s = split(col("sym"), " ")
-      val best = hist
+      val top = hist
         .select(explode_outer(arrays_zip(
           slice(s, lit(1), size(s) - 1).as("l"),
           slice(s, lit(2), size(s) - 1).as("r"))).as("pr"),
@@ -176,18 +358,26 @@ object Bpe {
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(topPairs)
         .collect()
-      if (best.isEmpty) exhausted = true // every word is one symbol
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      if (top.isEmpty) exhausted = true // every word is one symbol
       else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += Merge(rank.toLong, a, b, a + b, c)
-        hist = stage(hist.withColumn("sym", applyMerge(col("sym"), a, b)))
-        rank += 1
+        rounds += 1
+        val floor = if (top.length == topPairs) top.last._3 else 0L
+        val batch = acceptBatch(top, numMerges - rank + 1, floor)
+        batch.foreach { case (a, b, c) =>
+          merges += Merge(rank.toLong, a, b, a + b, c)
+          rank += 1
+        }
+        hist = stage(hist.withColumn("sym",
+          batch.foldLeft(col("sym")) { case (e, (a, b, _)) =>
+            applyMerge(e, a, b)
+          }))
       }
     }
-    Model(merges.result(), hist)
+    Model(merges.result(), hist, distributedRounds = rounds)
   }
 
   /** Tokenize `docs` with a learned model: per-word lookup through the

@@ -131,6 +131,68 @@ class BpeSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("distributed batched rounds equal the sequential reference on random corpora (incl. tiny top-M truncation)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genWord = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genCorpus = for {
+      nw <- Gen.choose(1, 7)
+      ws <- Gen.listOfN(nw, genWord)
+      nDocs <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.oneOf(ws)))
+      k <- Gen.choose(1, 7)
+      m <- Gen.oneOf(2, 3, 5, 1024) // truncated AND complete pair tables
+    } yield (docs.map(_.mkString(" ")), k, m)
+    val prop = Prop.forAll(genCorpus) { case (texts, k, m) =>
+      // localVocabLimit = 0 forces the distributed batched path
+      val model = Bpe.learn(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "text", k, localVocabLimit = 0L, topPairs = m)
+      val (wantMerges, wantHist) = refLearn(texts.flatMap(_.split(" ")), k)
+      val gotMerges = model.merges.map(x => (x.leftSym, x.rightSym, x.pairCount))
+      val gotVocab = model.vocab.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val wantVocab = wantHist.map { case (w, syms) => w -> syms.mkString(" ") }
+      val ok = gotMerges == wantMerges && gotVocab == wantVocab &&
+        model.distributedRounds >= 1 &&
+        model.distributedRounds <= gotMerges.length.max(1)
+      if (!ok) println(s"texts=$texts k=$k m=$m rounds=${model.distributedRounds}\n" +
+        s"got  $gotMerges / $gotVocab\nwant $wantMerges / $wantVocab")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("jobs-per-merge receipt: default path trains 12 merges with ZERO distributed rounds; batched fallback halves rounds") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower widest widest widest",
+      "newest newest newest newest newest newest",
+      "slowest slowest lowest newer wider widen")
+    // default (in-memory) path: the merge loop never touches the
+    // cluster after the one histogram scan — 12 merges, 0 rounds
+    // (the old sequential loop ran 12 rounds of 2 jobs + 1 collect)
+    val local = learnOn(texts, 12)
+    assert(local.distributedRounds == 0)
+    assert(local.merges.length == 12)
+    // forced-distributed batched path: same merges, provably-equal
+    // batches, strictly fewer rounds than the 12 a sequential loop runs
+    // (this tiny corpus batches worse than real text — the documents
+    // corpus measures 2x, see the learn scaladoc; the asymptotic answer
+    // is the zero-round in-memory path above)
+    val dist = Bpe.learn(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "text", 12, localVocabLimit = 0L)
+    assert(dist.merges == local.merges)
+    assert(dist.distributedRounds < 12,
+      s"expected batched rounds < 12, got ${dist.distributedRounds}")
+  }
+
   // pure-Scala rank-ordered merge replay — the applyMerges reference
   private def refReplay(word: String,
       merges: Seq[(String, String)]): String = {
