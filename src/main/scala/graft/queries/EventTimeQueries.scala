@@ -101,6 +101,18 @@ object EventTimeQueries extends QueryModule {
     "w13_streaming_index_operator" -> ((s, d) =>
       graft.streaming.StreamingRun.indexOperatorRunningAgg(s, d)),
 
+    // W15: the tumbling aggregation in APPEND mode under a REAL
+    // advancing watermark — the allowed-lateness/eviction oracle row.
+    // Events are staged as 5 event-time-ordered files driven one per
+    // micro-batch, with deterministic straggler sets both within
+    // lateness (aggregated) and beyond it (dropped by the exec); the
+    // oracle replays the per-batch two-value watermark (SPARK-40925)
+    // row for row, so the drop/evict/emit decisions themselves are
+    // driver-checked. Trailing windows the final watermark never
+    // passes are held in state and never appear.
+    "w15_streaming_watermark" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDailyWatermarked(s, d)),
+
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
         graft.streaming.StreamingRun.eventsStream(s, d)
@@ -350,6 +362,40 @@ object EventTimeQueries extends QueryModule {
 
     "w11_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // w15: replay of the staged watermark run, constants single-sourced
+    // with StreamingRun.tumblingDailyWatermarked's defaults (5 files,
+    // 2-day delay, %97 one-file stragglers, %89 three-file stragglers
+    // from the first two files). b = the staged batch index
+    // (watermarkBatchIndex); a row survives the late filter iff its
+    // window end exceeds the LAGGED watermark (data through batch b-2,
+    // ms floor, minus delay — SPARK-40925's two-value contract); a
+    // window appears iff its end <= the final eviction watermark.
+    "w15_streaming_watermark" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    max(mx) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000 AS late_wm_ms
+        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
+        |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
+        |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
+        |FROM ev JOIN wm USING (b), fin
+        |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+        |  AND ev.wend_ms <= fin.wm_ms
+        |GROUP BY 1, 2""".stripMargin,
 
     // final running state per key = the plain per-key aggregate; the
     // state is integer micro-units (floor(value·1e6) per row — per-row

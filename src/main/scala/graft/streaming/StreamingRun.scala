@@ -312,6 +312,138 @@ object StreamingRun {
         col("best.dup_of").as("dup_of"), col("best.jaccard").as("jaccard"))
   }
 
+  /** w1's tumbling daily aggregation in APPEND mode under a REAL
+    * advancing watermark — the driver-visible oracle for allowed-
+    * lateness semantics (late-data drop + state eviction + finalized-
+    * window emission), the behavior
+    * `/root/reference/arcon/src/stream/operator/window/assigner.rs:160-165`
+    * pins with its `late arrival` guard. The other streaming rows
+    * run complete mode on bounded input (a watermark can never pass the
+    * final window) or append without a watermark; this one makes the
+    * watermark itself deterministic by staging the events table as
+    * `nFiles` event-time-ordered files and driving ONE file per
+    * micro-batch (`maxFilesPerTrigger = 1` under AvailableNow):
+    *
+    *  - file k holds the k-th ntile of events by event_id (≈ event
+    *    time; the ntile staging is test scaffolding — production files
+    *    simply arrive in order), except every `bumpMod`-th event is
+    *    BUMPED one file later (a straggler WITHIN the allowed lateness:
+    *    it aggregates into its still-open window) and every
+    *    `dropMod`-th event from the first nFiles−3 files is bumped
+    *    THREE files later (provably beyond the lateness bound under
+    *    this geometry: its window end precedes even the lagged
+    *    late-event watermark, so the exec must DROP it — and, never
+    *    having touched state, it can never cause a double emission);
+    *  - watermarks follow Spark's two-value contract (SPARK-40925,
+    *    determined empirically against this very drain): state
+    *    EVICTION/emission in batch k uses
+    *    `floor(max event-time ms over batches < k) − delay`, while
+    *    LATE-EVENT FILTERING uses the previous batch's value (data
+    *    through k−2) — dropped rows still advance the watermark, since
+    *    the event-time tracker sits source-side of the filter;
+    *  - a window EMITS (and its state evicts) in the first batch whose
+    *    eviction watermark ≥ window_end; trailing windows the final
+    *    watermark (max ts − delay) never passes are held in state
+    *    forever and never appear — the append-mode holdback the bounded
+    *    complete-mode rows cannot show.
+    *
+    * All of that is replayed row-for-row by the DuckDB oracle (same
+    * ntile, same per-batch running-max watermarks with the one-batch
+    * filter lag, same ms-floor), so the streaming exec's
+    * drop/evict/emit decisions — not just the window arithmetic — are
+    * what the driver checks. Sums are integer micro-units (the w12
+    * discipline) for exact cross-engine equality.
+    *
+    * At 100 TB nothing here is test-shaped: the plan is the same ONE
+    * keyed exchange into StateStoreSaveExec (append) every production
+    * watermark deployment runs; state holds only open windows (bounded
+    * by the window calendar × keys behind the watermark horizon), and
+    * the emitted stream is final-on-arrival. */
+  def tumblingDailyWatermarked(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    drainAppend(s,
+      stream
+        .withWatermark("ts", s"$delayDays days")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(1e6)).cast("long"))
+            .as("sum_value_micros")),
+      inspect)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+  }
+
+  /** The staged batch index of [[tumblingDailyWatermarked]] — ONE
+    * definition shared by the staging writer, the replay spec, and
+    * (inlined as SQL) the DuckDB oracle, so the oracle can never drift
+    * from the files the stream actually reads: base file = event_id
+    * ntile, +1 for the allowed-late stragglers, +3 (from the first
+    * nFiles−3 files only, so the cap cannot soften their lateness) for
+    * the beyond-lateness set, capped at the last file. */
+  def watermarkBatchIndex(nFiles: Int, bumpMod: Int,
+      dropMod: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.expressions.Window
+    val b0 = ntile(nFiles).over(Window.orderBy(col("event_id"))) - 1
+    least(lit(nFiles - 1),
+      b0 + when(pmod(col("event_id"), lit(bumpMod)) === 0, 1).otherwise(0)
+        + when(b0 <= nFiles - 4 &&
+            pmod(col("event_id"), lit(dropMod)) === 0, 3).otherwise(0))
+  }
+
+  /** Stage the events table as `nFiles` single-parquet files in batch
+    * order ([[watermarkBatchIndex]]), with strictly increasing
+    * modification times so FileStreamSource delivers them in exactly
+    * this order. Staged once per (dir, nFiles, bumpMod, dropMod) and
+    * reused — same caching discipline as [[tableStream]]'s symlink dir.
+    * The ntile needs a global sort: test scaffolding only, never a
+    * production path. */
+  private def stageEventsOrdered(s: SparkSession, dir: String,
+      nFiles: Int, bumpMod: Int, dropMod: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(nFiles > 4, "need nFiles > 4 so the +3 straggler set exists")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$nFiles|$bumpMod|$dropMod"))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-wm-$tag")
+    val marker = root.resolve("_STAGED")
+    if (Files.exists(marker)) return root.toString
+    Files.createDirectories(root)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("__b", watermarkBatchIndex(nFiles, bumpMod, dropMod))
+      .localCheckpoint() // one sort, nFiles filtered writes below
+    val tmp = root.resolve("tmp")
+    (0 until nFiles).foreach { k =>
+      ev.filter(col("__b") === k).drop("__b")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = root.resolve(f"b$k%03d.parquet")
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing mtimes: the file source's delivery order
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+    }
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    Files.createFile(marker)
+    root.toString
+  }
+
   /** The DSL's custom [[graft.operators.StatefulOperator]] (T6) through
     * the ACTUAL streaming path — `flatMapGroupsWithState` /
     * `FlatMapGroupsWithStateExec`, the engine mechanism the reference's

@@ -193,6 +193,64 @@ class StreamingRunSpec extends SparkTestBase {
       keepById(13L) == true && keepById(14L) == true)
   }
 
+  test("w15 watermarked append drain: StateStoreSaveExec evicts/emits/drops exactly as the batch replay predicts") {
+    import org.apache.spark.sql.expressions.Window
+    var plan = ""
+    var dropped = 0L
+    val got = StreamingRun.tumblingDailyWatermarked(spark, sfDir,
+        nFiles = 5, delayDays = 2, bumpMod = 97, dropMod = 89,
+        inspect = q => {
+          plan = planOf(q)
+          dropped = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq)
+            .map(_.numRowsDroppedByWatermark).sum
+        })
+      .collect().map(_.toSeq).toSet
+    assert(plan.contains("StateStoreSave"), plan)
+    // the beyond-lateness straggler set must actually be dropped by the
+    // exec (not silently aggregated) — the progress metric is the proof
+    assert(dropped > 0L, "expected numRowsDroppedByWatermark > 0")
+    // batch replay of the exact semantics (SPARK-40925 two-value
+    // watermark): late-event filtering in batch k uses the watermark
+    // from data through k-2, eviction/emission through k-1; a window
+    // appears iff its end <= the final eviction watermark
+    val n = 5; val delayMs = 2L * 86400000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("b", StreamingRun.watermarkBatchIndex(n, 97, 89))
+      .withColumn("ts_ms", floor(unix_micros(col("ts")) / 1000))
+      .withColumn("wend_ms",
+        (floor(col("ts_ms") / 86400000L) + 1) * 86400000L)
+    val wm = ev.groupBy(col("b")).agg(max(col("ts_ms")).as("mx"))
+      .withColumn("late_wm_ms",
+        max(col("mx")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -2)) - delayMs)
+      .select(col("b"), col("late_wm_ms"))
+    val finalWm = ev.agg(max(col("ts_ms"))).collect()(0).getLong(0) - delayMs
+    val want = ev.join(wm, Seq("b"))
+      .filter(col("late_wm_ms").isNull || col("wend_ms") > col("late_wm_ms"))
+      .filter(col("wend_ms") <= finalWm)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"got ${got.size} rows, want ${want.size};\nonly-got: ${got -- want}\nonly-want: ${want -- got}")
+    assert(got.nonEmpty)
+    // the semantics were actually exercised: the full batch aggregation
+    // differs (late drops + trailing-window holdback)
+    val full = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert(got != full, "watermark run must differ from the full batch aggregate")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
