@@ -284,6 +284,15 @@ object TrainingDataQueries extends QueryModule {
     "dd11_jaccard_prefix_realistic" -> Dedup.prefixJaccardVolume(
       realisticDocs(s, d, tenth = copies > 1), "doc_id", "text",
       n = 3, threshold = 0.7),
+    // dd13 over the same realistic corpus — the control the saturated
+    // dd13 row above lacks: with per-doc token salting, a k-gram is
+    // cross-doc-shared only through TRUE duplication (the ~1.6% planted
+    // prefix copies), so the anchor-bucket histogram must grow ~linearly
+    // and the hottest (fp, ln) bucket must track the most-repeated
+    // k-gram of a planted pair, not corpus size. The unsuffixed dd13's
+    // 2.6+ exponent is then provably the 31-word corpus's inherent
+    // template-phrase sharing, the same adjudication dd2/dd11 carry.
+    "dd13_substring_realistic" -> dd13RealisticVolume(s, d, copies),
     // sim9 over ORGANIC corpus growth (1× = a 1/10 vec_id subsample,
     // 10× = the full table — genuinely new vectors, no replication)
     // with the production knob applied THROUGH THE API:
@@ -315,6 +324,15 @@ object TrainingDataQueries extends QueryModule {
           basePlanes = 8, baseCorpus = sub.count()),
         dim = 64, multiProbe = true)
     })
+
+  /** dd13's realistic-corpus anchor volume alone — single-sourced
+    * between the [[blockedQueryVolumesAt]] canary map and the DedupSpec
+    * exponent guard (which would otherwise have to compute every canary
+    * twice just to read this one). */
+  def dd13RealisticVolume(s: SparkSession, d: String,
+      copies: Int): graft.operators.Dedup.BlockVolume =
+    Dedup.substringAnchorVolume(
+      realisticDocs(s, d, tenth = copies > 1), "doc_id", "text", k = 10)
 
   /** dd9's cell-split constants — tight enough that the overgrown-cell
     * split ([[Dedup.splitOvergrownCells]]) actually fires on the sf0.01

@@ -1035,6 +1035,27 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("dd13 realistic canary: salted-corpus anchor buckets grow ~linearly, hottest bucket stays doc-local") {
+    // the bench artifact's receipt, asserted here at sf0.01 so a
+    // regression in the salting/volume machinery is caught before a
+    // record run: with per-doc token salting, a (fp, ln) k-gram bucket
+    // crosses documents only through true (planted) duplication, so the
+    // 1x -> 10x pair-growth exponent must stay far below the saturated
+    // dd13 row's 2.6+, and the hottest bucket must not track corpus size
+    val a = graft.queries.TrainingDataQueries
+      .dd13RealisticVolume(spark, "/root/testdata/sf0.01", copies = 1)
+    val b = graft.queries.TrainingDataQueries
+      .dd13RealisticVolume(spark, "/root/testdata/sf0.01", copies = 10)
+    assert(a.totalPairs > 0 && b.totalPairs > 0, s"degenerate: $a / $b")
+    val exp = math.log(b.totalPairs.toDouble / a.totalPairs.toDouble) /
+      math.log(10.0)
+    assert(exp <= 1.3, s"exponent $exp (1x=$a, 10x=$b)")
+    // hottest bucket bounded by within-doc/planted-pair repetition, not
+    // by the 10x document count
+    assert(b.maxBlock < 10L * a.maxBlock,
+      s"hottest bucket tracks corpus size: ${a.maxBlock} -> ${b.maxBlock}")
+  }
+
   test("incrementalMinHash: re-crawls gate at J=1, near-identical pages gate fuzzily, new/short docs keep, ties break to min prior id") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val prior = Seq(
