@@ -131,6 +131,43 @@ object NativeText {
     sig
   }
 
+  /** 61-bit average-hash (aHash) of a media byte stream — the
+    * perceptual-hash primitive under image near-dup (dd15). The bytes
+    * are average-pooled into 61 contiguous cells — the deterministic,
+    * engine-replayable stand-in for a real decoder's grayscale
+    * downscale grid (production swaps a real decode+8×8 pool in front;
+    * the signature/banding contract is unchanged) — each cell =
+    * floor(mean of its unsigned bytes) (empty cell = 0), and bit j is
+    * set iff cell(j) > floor(mean of all cells). Pure integer math:
+    * the DuckDB oracle replays it byte-for-byte over hex(blob). 61
+    * bits, not 64, for the house signature packing ([[simHash]]): the
+    * top bits stay clear so the signature survives signed-BIGINT
+    * shifts in every engine. */
+  def aHash61(b: Array[Byte]): Long = {
+    val n = b.length
+    val cells = new Array[Long](61)
+    var total = 0L
+    var j = 0
+    while (j < 61) {
+      val lo = (j.toLong * n / 61).toInt
+      val hi = ((j + 1).toLong * n / 61).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += (b(i) & 0xff); i += 1 }
+      cells(j) = if (hi > lo) s / (hi - lo) else 0L
+      total += cells(j)
+      j += 1
+    }
+    val mean = total / 61
+    var sig = 0L
+    j = 0
+    while (j < 61) {
+      if (cells(j) > mean) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Set Jaccard |A∩B| / |A∪B| of two hash arrays. Duplicates inside
     * either input are deduplicated first (the `array_intersect` /
     * `array_distinct` semantics of the HOF twin), so the result is
@@ -300,6 +337,18 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.simHash($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** binary media → 61-bit average-hash ([[NativeText.aHash61]]); one
+  * compiled loop per row, inside whole-stage codegen. */
+case class AHash61Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.aHash61(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.aHash61($c)")
+  override protected def withNewChildInternal(newChild: Expression): AHash61Expr =
     copy(child = newChild)
 }
 

@@ -137,6 +137,12 @@ object TextFunctions {
     * expression ([[SimHashExpr]]: one compiled loop per row). */
   def simHash(text: Column): Column = ncol(SimHashExpr(nexpr(text)))
 
+  /** 61-bit average-hash of a binary media column
+    * ([[NativeText.aHash61]]) — the perceptual signature under
+    * [[graft.operators.Dedup.perceptualHashDup]]. Native expression,
+    * codegen'd. */
+  def aHash61(media: Column): Column = ncol(AHash61Expr(nexpr(media)))
+
   /** Low-half fold of the simhash token hash ([[NativeText.M2]]/
     * [[NativeText.P2]]), declarative form. */
   def polyHash2Hof(s: Column): Column =

@@ -677,8 +677,33 @@ object Dedup {
     * population (bounded by the ~31-bit key space), and the per-document
     * work is linear plus the inherent output size. */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // NULL-text rows can never band-match (null keys don't equi-join);
+      maxHamming: Int = 3): DataFrame =
+    signatureDup(docs, idCol, textCol, simHash(col(textCol)), maxHamming)
+
+  /** [[simHashDup]] for the MULTIMODAL column: perceptual near-duplicate
+    * MEDIA pairs — hamming(aHash(media_a), aHash(media_b)) ≤
+    * `maxHamming` over the 61-bit average-hash
+    * ([[graft.functions.TextFunctions.aHash61]]), the pHash/banding
+    * pass every frontier multimodal pipeline runs after text dedup
+    * (re-encoded, resized, or slightly-corrupted copies of one image
+    * share an aHash up to a few flipped bits while exact byte dedup
+    * sees distinct blobs). Identical scale machinery to the text path —
+    * ONE signature exchange, hamming-0 mass emitted from membership,
+    * Manku combinatorial banding over DISTINCT signatures only — via
+    * [[signatureDup]]; production swaps a real decoder's grayscale grid
+    * in front of the hash and nothing else changes. No reference analog
+    * (arcon has no media ops); Spark-first design. */
+  def perceptualHashDup(docs: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame =
+    signatureDup(docs, idCol, mediaCol, aHash61(col(mediaCol)), maxHamming)
+
+  /** The banded near-dup engine shared by [[simHashDup]] (61-bit text
+    * SimHash) and [[perceptualHashDup]] (61-bit media average-hash):
+    * everything below is signature-generic — the signature expression
+    * is the ONLY thing the modalities disagree on. */
+  private def signatureDup(docs: DataFrame, idCol: String, srcCol: String,
+      sigExpr: org.apache.spark.sql.Column, maxHamming: Int): DataFrame = {
+    // NULL-source rows can never band-match (null keys don't equi-join);
     // drop them BEFORE the signature and mark the signature non-nullable
     // (coalesce with a non-null literal). Without this the optimizer
     // infers `isnotnull(simhashexpr(text))` from the join keys and the
@@ -693,9 +718,9 @@ object Dedup {
     // id coalesce can then never fire and survives only as the
     // non-nullability marker described above, typed to the id column.
     val members = docs
-      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .filter(col(srcCol).isNotNull && col(idCol).isNotNull)
       .select(coalesce(col(idCol), lit(-1L).cast(docs.schema(idCol).dataType)).as("id"),
-        coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
+        coalesce(sigExpr, lit(0L)).as("sig"))
       .repartition(col("sig")) // the ONE corpus-wide exchange, shared below
     val sigs = members.groupBy(col("sig")).agg(count(lit(1)).as("n"))
     // (2) intra-signature pairs: docs sharing an exact signature are
@@ -859,10 +884,22 @@ object Dedup {
     * them after signature-identical compaction. */
   def simHashBandVolume(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): BlockVolume =
+    signatureBandVolume(docs, idCol, textCol, simHash(col(textCol)),
+      maxHamming)
+
+  /** [[simHashBandVolume]] for [[perceptualHashDup]]'s media
+    * average-hash banding — the dd15 bench canary. */
+  def perceptualBandVolume(docs: DataFrame, idCol: String,
+      mediaCol: String, maxHamming: Int): BlockVolume =
+    signatureBandVolume(docs, idCol, mediaCol, aHash61(col(mediaCol)),
+      maxHamming)
+
+  private def signatureBandVolume(docs: DataFrame, idCol: String,
+      srcCol: String, sigExpr: org.apache.spark.sql.Column,
+      maxHamming: Int): BlockVolume =
     blockVolume(
-      docs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"),
-          coalesce(simHash(col(textCol)), lit(0L)).as("sig"))
+      docs.filter(col(srcCol).isNotNull)
+        .select(col(idCol).as("id"), coalesce(sigExpr, lit(0L)).as("sig"))
         .dropDuplicates("sig")
         .select(col("sig"), posexplode(simHashBandKeys(col("sig"), maxHamming)))
         .withColumnRenamed("pos", "tbl")

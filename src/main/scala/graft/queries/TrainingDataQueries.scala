@@ -41,6 +41,22 @@ object TrainingDataQueries extends QueryModule {
         array_join(slice(ts, lit(1), nKeep), " ").as("text"))
   }
 
+  /** documents ∪ same-LENGTH single-byte-perturbed copies of every 16th
+    * doc (first character uppercased, id +2,000,000) — the multimodal
+    * near-dup corpus: when the text bytes stand in for media bytes
+    * (the mm1-mm3 convention), a same-length byte substitution is the
+    * "same image, re-encoded" analog (the average-pool cells shift by
+    * 0-1 gray levels, so the planted pair's aHash hamming is small),
+    * while a length change would misalign every pooling cell the way a
+    * crop does. Oracle CTEs pin the identical derivation. */
+  private def phashDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.union(docs.filter(col("doc_id") % 16 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)")).as("text")))
+  }
+
   /** documents ∪ identical copies of every 10th doc (exact dups). */
   private def exactDupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -240,6 +256,12 @@ object TrainingDataQueries extends QueryModule {
       shingleK = 3, numHashes = 32, bands = 8),
     "dd3_simhash" -> Dedup.simHashBandVolume(
       scaleDocs(exactDupDocs(s, d), copies), "doc_id", "text", maxHamming = 3),
+    // dd15's Manku tables over DISTINCT media signatures, its own corpus
+    // scaled — same compaction-then-band shape as dd3, media modality.
+    "dd15_phash_neardup" -> Dedup.perceptualBandVolume(
+      scaleDocs(phashDocs(s, d), copies)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("media")),
+      "doc_id", "media", maxHamming = 3),
     "dd9_semantic_dedup" -> {
       val emb = scaleEmb(nearDupEmb(s, d), copies)
       Dedup.semanticCellVolume(emb, "vec_id", "embedding",
@@ -830,6 +852,20 @@ object TrainingDataQueries extends QueryModule {
 
     "dd3_simhash" -> ((s, d) =>
       Dedup.simHashDup(exactDupDocs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // Perceptual near-dup for the MULTIMODAL column (the pHash/banding
+    // pass a frontier multimodal pipeline runs after text dedup): media
+    // bytes → 61-bit average-hash → Manku banding → hamming ≤ 3 pairs.
+    // The planted same-length byte perturbations land at hamming 0-5
+    // (probed: most ≤ 1), unrelated docs ≥ ~11, so the threshold
+    // separates cleanly; the oracle replays the hash byte-for-byte over
+    // hex(blob) and verifies via the UNFILTERED n² form — a hash match
+    // proves the banded result IS the brute force (the dd11 discipline).
+    "dd15_phash_neardup" -> ((s, d) =>
+      Dedup.perceptualHashDup(
+        phashDocs(s, d).select(col("doc_id"),
+          encode(col("text"), "utf-8").as("media")),
+        "doc_id", "media", maxHamming = 3)),
 
     // Near-dup pairs → connected components → canonical keeper per
     // cluster (min doc id) — the keep/drop decision step.
@@ -2226,6 +2262,42 @@ object TrainingDataQueries extends QueryModule {
          |  FROM chunked l JOIN chunked r
          |    ON l.chunk = r.chunk AND l.chunk_key = r.chunk_key AND l.id < r.id)
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
+    // dd15: NativeText.aHash61 replayed byte-for-byte over hex(blob)
+    // (pure integer pooling), then the UNFILTERED n² verify — a hash
+    // match proves the banded operator result IS the brute force (the
+    // dd11 oracle discipline; the banding is pigeonhole-lossless).
+    "dd15_phash_neardup" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, upper(substr(text, 1, 1)) || substr(text, 2)
+         |  FROM documents WHERE doc_id % 16 = 0),
+         |hx0 AS (SELECT doc_id AS id, hex(CAST(text AS BLOB)) AS hx
+         |  FROM cand WHERE text IS NOT NULL),
+         |bs0 AS (
+         |  SELECT id, len(hx)//2 AS n,
+         |    list_transform(range(len(hx)//2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bs
+         |  FROM hx0),
+         |cl AS (
+         |  SELECT id, list_transform(range(61), j ->
+         |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
+         |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
+         |             // (((j+1)*n)//61 - (j*n)//61)
+         |        ELSE 0 END) AS cells
+         |  FROM bs0),
+         |sig AS (
+         |  SELECT id, CAST(list_sum(list_transform(range(61), j ->
+         |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
+         |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+         |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+         |  FROM cl)
+         |SELECT l.id AS doc_a, r.id AS doc_b,
+         |  CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+         |FROM sig l JOIN sig r ON l.id < r.id
+         |WHERE bit_count(xor(l.sig, r.sig)) <= 3""".stripMargin,
 
     "dd4_ngram_jaccard" ->
       s"""WITH sh AS (SELECT lang, source, length(text) // 64 AS len_band,

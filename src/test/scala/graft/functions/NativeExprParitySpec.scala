@@ -67,6 +67,37 @@ class NativeExprParitySpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("native aHash61 ≡ pure-Scala reference on random byte streams + edges") {
+    // independent reference: functional restatement of the pooling rule
+    def ref(b: Array[Byte]): Long = {
+      val n = b.length
+      val cells = (0 until 61).map { j =>
+        val lo = (j.toLong * n / 61).toInt
+        val hi = ((j + 1).toLong * n / 61).toInt
+        if (hi > lo) b.slice(lo, hi).map(x => (x & 0xff).toLong).sum / (hi - lo)
+        else 0L
+      }
+      val mean = cells.sum / 61
+      cells.zipWithIndex.collect { case (c, j) if c > mean => 1L << j }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0), Array[Byte](-1), // unsigned-read edge (0xff)
+      Array.fill[Byte](61)(42),
+      Array.fill[Byte](7)(0)) ++
+      (1 to 40).map(_ => Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt(256).toByte))
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"), T.aHash61(col("media")).as("sig"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) == ref(b), s"case $i (len ${b.length})")
+    }
+    // the 61-bit packing contract: top bits always clear
+    assert(got.values.forall(s => (s >>> 61) == 0L))
+  }
+
   test("native vector expressions ≡ HOF twins (cosine/lshSignature)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -1035,6 +1035,22 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("perceptualHashDup: identical media pair at hamming 0, near-copy within threshold, unrelated media unmatched") {
+    val base = Array.tabulate[Byte](600)(i => ((i * 37) % 251).toByte)
+    val near = base.clone(); near(5) = (near(5) + 1).toByte // 1-byte "re-encode"
+    val far = Array.tabulate[Byte](600)(i => ((i * 91 + 13) % 251).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far),
+        (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val got = Dedup.perceptualHashDup(df, "doc_id", "media", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L) // intra (hamming-0) path
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 3L) // banded inter path
+    assert(got.contains((2L, 3L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L },
+      s"unrelated/null media matched: $got")
+  }
+
   test("dd13 realistic canary: salted-corpus anchor buckets grow ~linearly, hottest bucket stays doc-local") {
     // the bench artifact's receipt, asserted here at sf0.01 so a
     // regression in the salting/volume machinery is caught before a
