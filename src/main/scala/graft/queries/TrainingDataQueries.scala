@@ -1262,6 +1262,53 @@ object TrainingDataQueries extends QueryModule {
             .when(!col("q_keep"), "low_quality")
             .otherwise("kept").as("fate"),
           col("dup_of"), col("jaccard"))
+    }),
+
+    // The full RAG query path as ONE pipeline — the retrieval stack
+    // composed end-to-end: sparse arm = per-query BM25 rank-depth lists
+    // (x13's scorer), dense arm = sim7's quantized SQ8 scan + exact-
+    // cosine re-rank (the memory-bound production ANN), sim10's
+    // reciprocal-rank fusion, then ck2's boundary-aligned chunking over
+    // ONLY the retrieved documents — chunk attribution is query-side
+    // work (≤ |Q|·10 docs reach the chunker through a broadcast join;
+    // the corpus is scanned exactly once per retriever arm). Stage
+    // boundary at the fused list (the pl1-pl7 localCheckpoint
+    // discipline): neither retrieval arm replays per chunk consumer.
+    "pl8_rag_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sparseScored = hybridQueries.map { case (qid, terms, _) =>
+        Relevance.bm25(docs, "doc_id", "text", terms, k1 = bm25K1, b = bm25B)
+          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
+      }.reduce(_ unionByName _)
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val sparseRanked = sparseScored
+        .withColumn("rank", row_number().over(ws).cast("long"))
+        .filter(col("rank") <= hybridFetchK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qvecMap = hybridQueries.map { case (qid, _, vid) => vid -> qid }
+      val denseRanked = Similarity.sq8TopK(
+        emb.filter(col("vec_id").isin(qvecMap.map(_._1): _*)), emb,
+        "vec_id", "embedding", k = hybridFetchK, rerank = 2 * hybridFetchK)
+        .select(qvecMap.tail.foldLeft(
+            when(col("query_id") === qvecMap.head._1, qvecMap.head._2)) {
+            case (c, (vid, qid)) => c.when(col("query_id") === vid, qid)
+          }.as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = Relevance.rrfFuse(Seq(sparseRanked, denseRanked), k = 10,
+        kRrf = hybridKRrf).localCheckpoint()
+      val hitDocs = fused.select(col("doc_id")).distinct()
+      val chunks = Chunker.sentencePack(
+        sentenced(docs.select(col("doc_id"), col("text"))
+          .join(broadcast(hitDocs), Seq("doc_id"))),
+        "doc_id", col("sentences"), budget = 24)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"),
+          col("n_tokens"))
+      fused.join(chunks, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"),
+          col("chunk_id"), col("chunk"), col("n_tokens"))
     })
   )
 
@@ -2630,6 +2677,74 @@ object TrainingDataQueries extends QueryModule {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank" FROM f)
          |WHERE "rank" <= 10""".stripMargin
+    },
+
+    // The RAG path restated stage by stage: sim10's fusion replay with
+    // the dense arm swapped to sim7's quantized-scan form (top-2·fetchK
+    // integer-score candidates, exact-cosine re-rank to fetchK), then
+    // ck2's packing CTEs over ONLY the fused documents.
+    "pl8_rag_retrieval" -> {
+      val sparseArms = hybridQueries.map { case (qid, terms, _) =>
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, bm25
+           |  FROM ${bm25ScoredSqlFor(terms)}""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val vidCase = hybridQueries.map { case (qid, _, vid) =>
+        s"WHEN $vid THEN $qid" }.mkString(" ")
+      val vids = hybridQueries.map(_._3).mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM dl),
+         |sp AS (
+         |  $sparseArms),
+         |sranked AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+         |    FROM sp) WHERE r <= $hybridFetchK),
+         |$sq8CodesCte,
+         |dcand AS (
+         |  SELECT qvid, query_id, doc_id FROM (
+         |    SELECT q.vec_id AS qvid,
+         |      CAST(CASE q.vec_id $vidCase END AS BIGINT) AS query_id,
+         |      c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(64),
+         |          i -> q.q8[i+1] * c.q8[i+1])) AS BIGINT) DESC,
+         |        c.vec_id) AS rn
+         |    FROM e8 q, e8 c WHERE q.vec_id IN ($vids) AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= ${2 * hybridFetchK}),
+         |dsc AS (
+         |  SELECT query_id, doc_id, ${cos("q.embedding", "c.embedding")} AS cosine
+         |  FROM dcand
+         |  JOIN embeddings q ON q.vec_id = qvid
+         |  JOIN embeddings c ON c.vec_id = doc_id),
+         |dranked AS (
+         |  SELECT query_id, doc_id, r FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+         |    FROM dsc WHERE NOT isnan(cosine)) WHERE r <= $hybridFetchK),
+         |u AS (SELECT query_id, doc_id, 0 AS src, r FROM sranked
+         |      UNION ALL
+         |      SELECT query_id, doc_id, 1 AS src, r FROM dranked),
+         |fz AS (SELECT query_id, doc_id,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(array_agg({'src': src, 'r': r} ORDER BY src, r),
+         |            s -> 1.0 / ($hybridKRrf + s.r))), (a, b) -> a + b) AS rrf
+         |      FROM u GROUP BY 1, 2),
+         |fused AS (
+         |  SELECT query_id, doc_id, rrf, "rank" FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank" FROM fz)
+         |  WHERE "rank" <= 10),
+         |${sentencePackSql(
+            "(SELECT d2.doc_id, d2.text FROM documents d2 " +
+              "JOIN (SELECT DISTINCT doc_id FROM fused) h USING (doc_id))",
+            24)}
+         |SELECT f2.query_id, f2.doc_id, f2.rrf, f2."rank",
+         |  c.chunk_id, c.chunk, c.n_tokens
+         |FROM fused f2 JOIN ck2chunks c USING (doc_id)""".stripMargin
     },
 
     "mm1_media_meta" ->

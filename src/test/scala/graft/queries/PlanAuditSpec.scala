@@ -529,6 +529,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("text#")), p)
   }
 
+  test("pl8_rag_retrieval: retrieval materializes once at the fused boundary; chunk attribution is a broadcast over fused hits") {
+    val p = plan("pl8_rag_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    // the fused list is the pipeline's localCheckpoint stage boundary:
+    // the executed plan reads it as an ExistingRDD and contains NO
+    // residual retrieval work (no BM25 term explode, no quantized-scan
+    // rank — those ran exactly once inside the checkpoint)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("WindowGroupLimit"), p) // all three ranks: inside the checkpoint
+    // chunk attribution: the fused doc ids BROADCAST into the corpus
+    // scan — the documents table never rides an exchange to learn which
+    // ~|Q|*10 docs were retrieved
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("embedding#")), p)
+  }
+
   test("pl7_ingest_funnel: every funnel stage materializes once; only batch-sized rows recompute") {
     // The funnel checkpoints its two stage boundaries (exact-gate
     // survivors, fuzzy verdict), so the executed plan must contain NO
