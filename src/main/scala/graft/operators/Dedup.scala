@@ -62,7 +62,15 @@ object Dedup {
     * ONE constant shared by [[incrementalMinHash]] and its streaming
     * twin [[graft.streaming.StreamingRun.ingestGate]] (identical output
     * contract, identical oracle), so a caller relying on defaults can
-    * never get silently different verdicts from the two paths. */
+    * never get silently different verdicts from the two paths.
+    *
+    * BEHAVIOR CHANGE (r16 unification): [[incrementalMinHash]]'s default
+    * threshold was 0.6 before the two paths shared this constant; it is
+    * now 0.5, the streaming gate's historical default. A default-arg
+    * caller of the batch path therefore gates strictly MORE documents as
+    * duplicates than before (docs whose best verified prior Jaccard
+    * falls in [0.5, 0.6) are now dropped). Pass `threshold = 0.6`
+    * explicitly to reproduce the pre-unification batch retention. */
   val IngestGateThreshold: Double = 0.5
 
   def incrementalNew(newDocs: DataFrame, prior: DataFrame,

@@ -317,15 +317,36 @@ object Similarity {
     * matter how many planes), or an explicit larger budget.
     * `maxCandidatePairs = Long.MaxValue` skips the pre-pass.
     *
+    * BEHAVIOR CHANGE (r16): the pair-budget guard is NEW and ON BY
+    * DEFAULT — a call that previously ran (however slowly) on a large,
+    * skewed, or under-planed corpus now throws IllegalArgumentException
+    * once its exact candidate volume exceeds the 10M-pair default
+    * budget. This is deliberate fail-loud (the silent alternative is an
+    * unbounded per-bucket quadratic); existing callers that accept the
+    * cost must opt out with `maxCandidatePairs = Long.MaxValue` or pass
+    * their own budget. The guard does NOT rescan the corpus: one
+    * checkpointed (id, vector, signature) projection feeds the volume
+    * aggregate AND both sides of the bucket self-join, so the signature
+    * expression evaluates once per row with or without the guard.
+    *
     * @return (src_id, dst_id, cosine, rank, mutual), rank ≤ k per src.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64,
       multiProbe: Boolean = true,
       maxCandidatePairs: Long = 10000000L): DataFrame = {
+    val (exact, _) = bucketExprs(vecCol, nPlanes, dim, multiProbe)
+    // ONE corpus scan + signature eval, shared by the guard's volume
+    // aggregate and both roles of the self-join below
+    val signed = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        exact.as("__sig"))
+      .localCheckpoint()
+    def probedSig = probedBuckets(col("__sig"), nPlanes, multiProbe)
     if (maxCandidatePairs < Long.MaxValue) {
-      val v = knnGraphBucketVolume(corpus, idCol, vecCol, nPlanes, dim,
-        multiProbe)
+      val v = Dedup.crossBlockVolume(
+        signed.select(probedSig.as("bucket")),
+        signed.select(col("__sig").as("bucket")), Seq("bucket"))
       if (v.totalPairs > maxCandidatePairs)
         throw new IllegalArgumentException(
           s"knnGraph: bucket self-join would generate ${v.totalPairs} " +
@@ -341,8 +362,15 @@ object Similarity {
     // localCheckpoint: the edge list feeds both the output and its
     // reversal — without it the whole bucket-join + rank pipeline (the
     // corpus-sized work) would evaluate twice
-    val edges = lshTopK(corpus, corpus, idCol, vecCol, k, nPlanes, dim,
-      multiProbe)
+    val q = signed.select(col("__id").as("query_id"), col("__v").as("qv"),
+      probedSig.as("bucket"))
+    val c = signed.select(col("__id").as("neighbor_id"),
+      col("__v").as("cv"), col("__sig").as("bucket"))
+    val edges = rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("cosine")), k)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
         col("cosine"), col("rank"))
       .localCheckpoint()
@@ -412,15 +440,23 @@ object Similarity {
     * signature twice per row (see PlanAuditSpec's single-eval audit);
     * `probed` additionally explodes every 1-bit-flip neighbor bucket. */
   private def bucketExprs(vecCol: String, nPlanes: Int, dim: Int,
-      multiProbe: Boolean): (Column, Column) = {
-    val exact = coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L))
-    val probed =
-      if (multiProbe)
-        explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
-          .map(flip => exact.bitwiseXOR(flip)): _*))
-      else exact
-    (exact, probed)
-  }
+      multiProbe: Boolean): (Column, Column) =
+    (coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L)),
+      probedBuckets(
+        coalesce(lshSignature(col(vecCol), nPlanes, dim), lit(0L)),
+        nPlanes, multiProbe))
+
+  /** The probe-side bucket set derived from an ALREADY-COMPUTED exact
+    * signature column: the bucket itself plus (under multiprobe) its
+    * nPlanes 1-bit-flip neighbors. Factored out so [[knnGraph]] can
+    * probe from its checkpointed signature column without re-evaluating
+    * the signature expression. */
+  private def probedBuckets(sig: Column, nPlanes: Int,
+      multiProbe: Boolean): Column =
+    if (multiProbe)
+      explode(array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)))
+        .map(flip => sig.bitwiseXOR(flip)): _*))
+    else sig
 
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -399,37 +399,57 @@ object StreamingRun {
   /** Stage the events table as `nFiles` single-parquet files in batch
     * order ([[watermarkBatchIndex]]), with strictly increasing
     * modification times so FileStreamSource delivers them in exactly
-    * this order. Staged once per (dir, nFiles, bumpMod, dropMod) and
-    * reused — same caching discipline as [[tableStream]]'s symlink dir.
-    * The ntile needs a global sort: test scaffolding only, never a
-    * production path. */
+    * this order. Staged once per (source fingerprint, nFiles, bumpMod,
+    * dropMod) and reused — same caching discipline as [[tableStream]]'s
+    * symlink dir, but keyed on the CONTENT of the source table
+    * (name/size/mtime of every parquet under `dir`), so regenerating
+    * the events table in place invalidates the cache instead of
+    * silently replaying stale data against a fresh oracle. The build is
+    * concurrency-safe: each builder stages into a process-private temp
+    * dir and publishes with ONE atomic rename — a concurrent reader
+    * either sees the complete published dir or none; a lost race just
+    * adopts the winner's dir. The ntile needs a global sort: test
+    * scaffolding only, never a production path.
+    *
+    * Every staged file is asserted NON-EMPTY: the oracle's SPARK-40925
+    * one-batch filter-lag replay frames over batches that produced a
+    * watermark row, so an empty file (a micro-batch that advances the
+    * batch counter but not the watermark) would silently desynchronize
+    * the replay from the exec by one batch. */
   private def stageEventsOrdered(s: SparkSession, dir: String,
       nFiles: Int, bumpMod: Int, dropMod: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(nFiles > 4, "need nFiles > 4 so the +3 straggler set exists")
+    val fp = sourceFingerprint(dir)
     val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$nFiles|$bumpMod|$dropMod"))
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|$fp|$nFiles|$bumpMod|$dropMod"))
     val root = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-wm-$tag")
-    val marker = root.resolve("_STAGED")
-    if (Files.exists(marker)) return root.toString
-    Files.createDirectories(root)
+    if (Files.exists(root.resolve("_STAGED"))) return root.toString
+    // build in a private dir; publish with one atomic rename
+    val build = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-wm-$tag.build-${java.lang.ProcessHandle.current().pid()}")
+    Files.createDirectories(build)
     val ev = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withColumn("__b", watermarkBatchIndex(nFiles, bumpMod, dropMod))
       .localCheckpoint() // one sort, nFiles filtered writes below
-    val tmp = root.resolve("tmp")
+    val tmp = build.resolve("tmp")
     (0 until nFiles).foreach { k =>
-      ev.filter(col("__b") === k).drop("__b")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+      val batch = ev.filter(col("__b") === k).drop("__b")
+        .coalesce(1).localCheckpoint()
+      require(!batch.isEmpty, s"staged watermark batch $k is empty — " +
+        "an empty micro-batch advances the batch counter without a " +
+        "watermark row and desynchronizes the oracle's filter-lag replay")
+      batch.write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).iterator()
       var src: java.nio.file.Path = null
       while (part.hasNext) {
         val p = part.next()
         if (p.getFileName.toString.endsWith(".parquet")) src = p
       }
-      val dst = root.resolve(f"b$k%03d.parquet")
+      val dst = build.resolve(f"b$k%03d.parquet")
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
       // strictly increasing mtimes: the file source's delivery order
       Files.setLastModifiedTime(dst,
@@ -440,8 +460,40 @@ object StreamingRun {
       Files.walk(tmp).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
-    Files.createFile(marker)
+    Files.createFile(build.resolve("_STAGED"))
+    try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost the publish race: adopt the winner's complete dir
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.FileSystemException
+        if Files.exists(root.resolve("_STAGED")) =>
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(build).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+    }
     root.toString
+  }
+
+  /** Cheap content fingerprint of a source table directory: murmur over
+    * the sorted (relative name, size, mtime-ms) of every parquet file
+    * under `dir` — filesystem metadata only, no Spark job. Any in-place
+    * regeneration of the table changes at least one component. */
+  private def sourceFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val parts =
+      if (!Files.exists(root)) Seq(s"missing:$dir")
+      else Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"${root.relativize(p)}|${Files.size(p)}|" +
+          s"${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(parts))
   }
 
   /** The DSL's custom [[graft.operators.StatefulOperator]] (T6) through
