@@ -671,8 +671,9 @@ object Bench {
       "and max_block on the self-union by the same planted-copy " +
       "contract (copies share buckets by construction, so the hot " +
       "bucket's two sides each scale with copies); dd14's scheme " +
-      "receipt is dd2's _realistic row (identical minhash banding, " +
-      "~1.0 on sparse dups) and sim9's is its own _realistic row - " +
+      "receipt is its own _realistic row (salted sparse-dup prior, " +
+      "batch = planted re-crawls + re-salted novel docs, ~1.0 " +
+      "exponent) and sim9's is its own _realistic row - " +
       "organic 10x growth (subsample " +
       "vs full table) with the production nPlanes knob scaled " +
       "8 -> 12, measured exponent ~1.47, residual above 1 = multiprobe " +

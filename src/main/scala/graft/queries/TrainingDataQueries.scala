@@ -209,13 +209,47 @@ object TrainingDataQueries extends QueryModule {
     * measurements is the receipt. */
   private def realisticDocs(s: SparkSession, d: String,
       tenth: Boolean): DataFrame = {
+    val base = realisticBase(s, d, tenth)
+    base.union(
+      prefixTruncated(base, mod = realisticPlantMod(tenth),
+        idOffset = 1000000L))
+  }
+
+  /** The salted base docs of [[realisticDocs]] (no plants): subsample at
+    * 1×, full table at 10×, every token salted with `doc_id +
+    * saltOffset`. A non-zero `saltOffset` yields docs with full document
+    * shape but a vocabulary DISJOINT from every saltOffset-0 doc — the
+    * "genuinely novel content" ingredient of [[realisticIncrBatch]]. */
+  private def realisticBase(s: SparkSession, d: String, tenth: Boolean,
+      saltOffset: Long = 0L, idOffset: Long = 0L): DataFrame = {
     val all = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val base0 = if (tenth) all else all.filter(col("doc_id") % 10 === 0)
-    val base = base0.select(col("doc_id"),
+    base0.select((col("doc_id") + idOffset).as("doc_id"),
       array_join(transform(split(col("text"), " "),
-        t => concat(t, lit("#"), col("doc_id"))), " ").as("text"))
-    val plantMod = if (tenth) 64 else 640
-    base.union(prefixTruncated(base, mod = plantMod, idOffset = 1000000L))
+        t => concat(t, lit("#"), col("doc_id") + saltOffset)), " ")
+        .as("text"))
+  }
+
+  /** Plant modulus of [[realisticDocs]]: compensates for the 1× tenth
+    * subsample so the planted-dup RATE (~1.6% of base) is equal at both
+    * scales. */
+  private def realisticPlantMod(tenth: Boolean): Int =
+    if (tenth) 64 else 640
+
+  /** dd14's realistic ingest batch against the [[realisticBase]] prior:
+    * the planted 4/5-prefix re-crawls (~1.6% of prior, INHERITING their
+    * source's salt so their minhash bands truly collide with the prior
+    * index — a real crawl's changed-page fraction) plus novel docs (the
+    * every-13th base doc RE-salted with a disjoint salt: full document
+    * shape, zero shingle overlap with any prior doc — the
+    * [[incrBatchOf]] reversal trick, salt-form). */
+  private def realisticIncrBatch(s: SparkSession, d: String,
+      tenth: Boolean): DataFrame = {
+    val base = realisticBase(s, d, tenth)
+    val novel = realisticBase(s, d, tenth, saltOffset = 5000000L,
+      idOffset = 4000000L).filter(col("doc_id") % 13 === 0)
+    prefixTruncated(base, mod = realisticPlantMod(tenth),
+      idOffset = 1000000L).union(novel)
   }
 
   /** The blocked-pairwise queries' pair volumes at a given scale factor —
@@ -315,6 +349,17 @@ object TrainingDataQueries extends QueryModule {
     // 2.6+ exponent is then provably the 31-word corpus's inherent
     // template-phrase sharing, the same adjudication dd2/dd11 carry.
     "dd13_substring_realistic" -> dd13RealisticVolume(s, d, copies),
+    // dd14 over the realistic corpus — the control the saturated dd14
+    // row above lacks (the last dedup modality without one): prior =
+    // the salted sparse-dup base, batch = the ~1.6% planted re-crawls
+    // (salt-inherited, so their bands collide with their prior source)
+    // plus re-salted novel docs (zero prior overlap). With both sides
+    // growing 10x organically, band collisions grow only through true
+    // duplication, so totalPairs must scale ~linearly and the hottest
+    // (band, band_key) bucket stays a single planted pair's bands —
+    // proving the unsuffixed dd14's 1.9+ exponent is the self-union's
+    // planted-copy contract, not batch-side scheme creep.
+    "dd14_incremental_fuzzy_realistic" -> dd14RealisticVolume(s, d, copies),
     // sim9 over ORGANIC corpus growth (1× = a 1/10 vec_id subsample,
     // 10× = the full table — genuinely new vectors, no replication)
     // with the production knob applied THROUGH THE API:
@@ -355,6 +400,16 @@ object TrainingDataQueries extends QueryModule {
       copies: Int): graft.operators.Dedup.BlockVolume =
     Dedup.substringAnchorVolume(
       realisticDocs(s, d, tenth = copies > 1), "doc_id", "text", k = 10)
+
+  /** dd14's realistic-corpus batch×prior band volume — single-sourced
+    * between the [[blockedQueryVolumesAt]] canary map and the DedupSpec
+    * exponent guard, like [[dd13RealisticVolume]]. */
+  def dd14RealisticVolume(s: SparkSession, d: String,
+      copies: Int): graft.operators.Dedup.BlockVolume =
+    Dedup.incrementalBandVolume(
+      realisticIncrBatch(s, d, tenth = copies > 1),
+      realisticBase(s, d, tenth = copies > 1),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8)
 
   /** dd9's cell-split constants — tight enough that the overgrown-cell
     * split ([[Dedup.splitOvergrownCells]]) actually fires on the sf0.01

@@ -1072,6 +1072,25 @@ class DedupSpec extends SparkTestBase {
       s"hottest bucket tracks corpus size: ${a.maxBlock} -> ${b.maxBlock}")
   }
 
+  test("dd14 realistic canary: batch x prior band collisions grow ~linearly on the sparse-dup corpus") {
+    // the incremental fuzzy gate's sparse-dup control (the last dedup
+    // modality whose only bench canary was the dup-saturated self-union,
+    // exponent 1.9+): with per-doc token salting, a batch band key hits
+    // the prior index only through a true planted re-crawl, so organic
+    // 10x growth of BOTH sides must grow collisions ~linearly and the
+    // hottest (band, band_key) bucket stays one planted pair's bands
+    val a = graft.queries.TrainingDataQueries
+      .dd14RealisticVolume(spark, "/root/testdata/sf0.01", copies = 1)
+    val b = graft.queries.TrainingDataQueries
+      .dd14RealisticVolume(spark, "/root/testdata/sf0.01", copies = 10)
+    assert(a.totalPairs > 0 && b.totalPairs > 0, s"degenerate: $a / $b")
+    val exp = math.log(b.totalPairs.toDouble / a.totalPairs.toDouble) /
+      math.log(10.0)
+    assert(exp <= 1.3, s"exponent $exp (1x=$a, 10x=$b)")
+    assert(b.maxBlock < 10L * a.maxBlock,
+      s"hottest bucket tracks corpus size: ${a.maxBlock} -> ${b.maxBlock}")
+  }
+
   test("incrementalMinHash: re-crawls gate at J=1, near-identical pages gate fuzzily, new/short docs keep, ties break to min prior id") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val prior = Seq(
