@@ -3,6 +3,87 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Machine-checkable health verdicts for the bench's
+  * `block_volume_scaling` canaries. Each modality's 1×→10× growth has a
+  * DOCUMENTED expected shape — linear for banding/prefix schemes on
+  * sparse-dup corpora, saturated for the perturbed self-unions whose
+  * quadratic pair floor IS the planted-copy contract, max-bucket-linear
+  * for dd13's skew canary — and until now those rules lived in prose
+  * (bench notes + verdict adjudications), so a round-over-round canary
+  * regression had to be re-spotted by a reader. This object single-
+  * sources the rule per canary and stamps a `health` field into every
+  * scaling entry: `ok` (linear scheme behaving linearly),
+  * `expected-saturated` (saturation within the documented contract),
+  * `regressed` (growth beyond the rule — a real scheme change),
+  * `degenerate` (a scale too small to measure: zero pairs on either
+  * side). Bounds cover the exponents MEASURED across the two run
+  * contexts, sf0.1 (the driver's protocol scale) and sf0.001 (local
+  * smokes — tiny corpora make exponents granular: dd11 reads 2.05 at
+  * sf0.1 but 2.64 at sf0.001, dd4 2.05 vs 2.37, dd13_realistic 0.98 vs
+  * 1.43), plus ~10% slack. The artifact health is therefore a COARSE
+  * tripwire — any `regressed` is a real scheme change at either scale;
+  * the tight per-SF instruments are the DedupSpec exponent guards
+  * (fixed sf0.01, bound 1.3). */
+object CanaryHealth {
+  import graft.operators.Dedup.BlockVolume
+
+  sealed trait Rule {
+    def health(x1: BlockVolume, x10: BlockVolume, exp: Double): String =
+      if (x1.totalPairs <= 0 || x10.totalPairs <= 0) "degenerate"
+      else verdict(x1, x10, exp)
+    protected def verdict(x1: BlockVolume, x10: BlockVolume,
+        exp: Double): String
+  }
+  /** A scheme that must spread with the corpus: pairs growth exponent
+    * bounded near 1. */
+  final case class LinearPairs(maxExp: Double) extends Rule {
+    protected def verdict(x1: BlockVolume, x10: BlockVolume, exp: Double) =
+      if (exp <= maxExp) "ok" else "regressed"
+  }
+  /** A dup-saturated self-union corpus: the quadratic pair floor is the
+    * planted-copy contract, so saturation up to `maxExp` is expected;
+    * beyond it the scheme itself crept. */
+  final case class SaturatedPairs(maxExp: Double) extends Rule {
+    protected def verdict(x1: BlockVolume, x10: BlockVolume, exp: Double) =
+      if (exp <= maxExp) "expected-saturated" else "regressed"
+  }
+  /** dd13's skew canary: totalPairs saturates by contract (no pairwise
+    * join runs over these buckets); the health signal is the hottest
+    * bucket staying ~linear in the corpus. */
+  final case class SkewMaxBlock(maxBlockRatio: Double) extends Rule {
+    protected def verdict(x1: BlockVolume, x10: BlockVolume, exp: Double) =
+      if (x1.maxBlock > 0 &&
+          x10.maxBlock.toDouble / x1.maxBlock.toDouble <= maxBlockRatio)
+        "expected-saturated"
+      else "regressed"
+  }
+
+  /** ONE rule per block_volume_scaling canary — BenchSpec pins that this
+    * map covers every emitted canary, so adding a canary without
+    * declaring its expected shape fails the build. */
+  val rules: Map[String, Rule] = Map(
+    "dd2_minhash_lsh" -> SaturatedPairs(2.9),
+    "dd3_simhash" -> LinearPairs(1.3),
+    "dd4_ngram_jaccard" -> SaturatedPairs(2.5),
+    "dd9_semantic_dedup" -> LinearPairs(1.3),
+    "dd11_jaccard_prefix" -> SaturatedPairs(2.8),
+    "dd13_substring" -> SkewMaxBlock(12.0),
+    "dd14_incremental_fuzzy" -> SaturatedPairs(2.2),
+    "dd15_phash_neardup" -> LinearPairs(1.3),
+    "sim9_knn_graph" -> SaturatedPairs(2.45),
+    "dd2_minhash_lsh_realistic" -> LinearPairs(1.3),
+    "dd11_jaccard_prefix_realistic" -> LinearPairs(1.3),
+    "dd13_substring_realistic" -> LinearPairs(1.5),
+    "dd14_incremental_fuzzy_realistic" -> LinearPairs(1.3),
+    "sim9_knn_graph_realistic" -> LinearPairs(1.7))
+
+  /** The artifact verdict for one canary; an UNDECLARED canary reads
+    * `unknown` (and fails BenchSpec's coverage pin). */
+  def health(name: String, x1: BlockVolume, x10: BlockVolume,
+      exp: Double): String =
+    rules.get(name).map(_.health(x1, x10, exp)).getOrElse("unknown")
+}
+
 /** Benchmark main — BASELINE.md §3 protocol: per query, one untimed
   * warm-up then the median of 3 warm runs. The measured action is a
   * full-column checksum (xxhash64 over every output column, summed), so
@@ -570,8 +651,10 @@ object Bench {
                     math.log(b.totalPairs.toDouble / a.totalPairs.toDouble) /
                       math.log(10.0)
                   else -1.0
+                val health = CanaryHealth.health(q, a, b, exp)
                 s""""$q":{"x1":${volJson(a)},"x10":${volJson(b)},""" +
-                  f""""pairs_growth_exponent":$exp%.3f}"""
+                  f""""pairs_growth_exponent":$exp%.3f,""" +
+                  s""""health":"$health"}"""
               }.mkString("{", ",", "}")
               s""","block_volume_scaling":$obj"""
             } catch {
@@ -679,7 +762,11 @@ object Bench {
       "8 -> 12, measured exponent ~1.47, residual above 1 = multiprobe " +
       "fanout (13/9) + the corpus's cluster mass (near-identical " +
       "vectors share a bucket at any plane count; mitigation is " +
-      "upstream compaction dd5/dd9, not more planes). " else ""
+      "upstream compaction dd5/dd9, not more planes). Each entry " +
+      "carries a machine-checked health verdict (ok / " +
+      "expected-saturated / regressed / degenerate) from the declared " +
+      "per-canary rule (CanaryHealth, spec-pinned) - any 'regressed' " +
+      "is a real scheme change, not a re-adjudication call. " else ""
     val dd3Note =
       "dd3 r10 changes: token hash widened to fill all 61 signature " +
       "bits (the old fold left bits 30-60 zero - whole corpus in one " +

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup.BlockVolume
+
+/** Pins the block_volume_scaling health machinery: every emitted canary
+  * must carry a declared expected-shape rule (adding a canary without
+  * one fails here, not in a verdict reader's prose), and each rule kind
+  * must map measured volumes to the documented verdict strings. */
+class BenchCanarySpec extends SparkTestBase {
+  import CanaryHealth._
+
+  test("every emitted canary has a declared health rule, and every rule names an emitted canary") {
+    val emitted = graft.queries.TrainingDataQueries
+      .blockedQueryVolumesAt(spark, "/root/testdata/sf0.001", copies = 1)
+      .keySet
+    assert(rules.keySet == emitted,
+      s"undeclared canaries: ${emitted -- rules.keySet}; " +
+        s"stale rules: ${rules.keySet -- emitted}")
+  }
+
+  test("LinearPairs: ok within bound, regressed beyond, degenerate on zero pairs") {
+    val r = LinearPairs(1.3)
+    val a = BlockVolume(10, 2, 100)
+    assert(r.health(a, BlockVolume(90, 2, 1500), 1.18) == "ok")
+    assert(r.health(a, BlockVolume(90, 40, 10000), 2.0) == "regressed")
+    assert(r.health(BlockVolume(10, 0, 0), a, -1.0) == "degenerate")
+    assert(r.health(a, BlockVolume(0, 0, 0), -1.0) == "degenerate")
+  }
+
+  test("SaturatedPairs: expected-saturated within the planted-copy contract, regressed beyond") {
+    val r = SaturatedPairs(2.3)
+    val a = BlockVolume(10, 20, 1000)
+    assert(r.health(a, BlockVolume(15, 200, 100000), 2.0) ==
+      "expected-saturated")
+    assert(r.health(a, BlockVolume(15, 2000, 400000), 2.6) == "regressed")
+  }
+
+  test("SkewMaxBlock: verdict tracks the hottest bucket's growth, not totalPairs") {
+    val r = SkewMaxBlock(12.0)
+    val a = BlockVolume(100, 5, 30000)
+    // pairs saturate (exp 2.67) but max bucket linear: healthy by rule
+    assert(r.health(a, BlockVolume(900, 50, 14000000), 2.67) ==
+      "expected-saturated")
+    // hottest bucket tracking corpus size: regressed regardless of exp
+    assert(r.health(a, BlockVolume(900, 500, 14000000), 2.67) ==
+      "regressed")
+  }
+
+  test("an undeclared canary name reads unknown") {
+    val a = BlockVolume(10, 2, 100)
+    assert(health("not_a_canary", a, a, 1.0) == "unknown")
+  }
+
+  test("declared rule kinds match each canary family's documented shape") {
+    // realistic (sparse-dup) rows and distinct-signature banding are
+    // linear; perturbed self-unions saturate by the planted-copy
+    // contract; dd13 is the skew canary
+    Seq("dd2_minhash_lsh_realistic", "dd11_jaccard_prefix_realistic",
+      "dd13_substring_realistic", "dd14_incremental_fuzzy_realistic",
+      "sim9_knn_graph_realistic", "dd3_simhash", "dd9_semantic_dedup",
+      "dd15_phash_neardup").foreach { n =>
+      assert(rules(n).isInstanceOf[LinearPairs], n)
+    }
+    Seq("dd2_minhash_lsh", "dd4_ngram_jaccard", "dd11_jaccard_prefix",
+      "dd14_incremental_fuzzy", "sim9_knn_graph").foreach { n =>
+      assert(rules(n).isInstanceOf[SaturatedPairs], n)
+    }
+    assert(rules("dd13_substring").isInstanceOf[SkewMaxBlock])
+  }
+}
