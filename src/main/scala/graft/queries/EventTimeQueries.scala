@@ -113,6 +113,17 @@ object EventTimeQueries extends QueryModule {
     "w15_streaming_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.tumblingDailyWatermarked(s, d)),
 
+    // W16: SESSION windows in APPEND mode under the same staged
+    // advancing watermark — MergingSessions eviction under the driver
+    // oracle. Within-lateness stragglers merge into their still-open
+    // session in state; beyond-lateness stragglers drop at the exec;
+    // a session emits when the eviction watermark passes its end. The
+    // oracle replays the two-value watermark contract over batch
+    // gaps-and-islands (exact under this geometry — see
+    // StreamingRun.sessionWatermarked's scaladoc for the proof).
+    "w16_streaming_session_watermark" -> ((s, d) =>
+      graft.streaming.StreamingRun.sessionWatermarked(s, d)),
+
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
         graft.streaming.StreamingRun.eventsStream(s, d)
@@ -396,6 +407,52 @@ object EventTimeQueries extends QueryModule {
         |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
         |  AND ev.wend_ms <= fin.wm_ms
         |GROUP BY 1, 2""".stripMargin,
+
+    // w16: the session analog of w15's replay, same staged batches and
+    // per-batch two-value watermarks but µs-precision timestamps (the
+    // session boundary compare ts - lag >= gap must match the exec's µs
+    // arithmetic; only the WATERMARK floors to ms). accepted = candidate
+    // session end (ts+gap) survives the lagged late watermark; sessions
+    // = gaps-and-islands per user over accepted rows; a session appears
+    // iff the final eviction watermark passed its end. Exactness of the
+    // flat replay vs the exec's incremental merge/evict is the geometry
+    // argument in StreamingRun.sessionWatermarked's scaladoc.
+    "w16_streaming_session_watermark" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    (max(mx_ms) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000) * 1000 AS late_wm_us
+        |  FROM (SELECT b, max(ts_us // 1000) AS mx_ms FROM ev GROUP BY b)),
+        |fin AS (SELECT (max(ts_us // 1000) - 172800000) * 1000 AS wm_us
+        |        FROM ev),
+        |acc AS (
+        |  SELECT ev.user_id, ev.value, ev.ts_us FROM ev JOIN wm USING (b)
+        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us + 1800000000 > wm.late_wm_us),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |isl AS (
+        |  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged)
+        |SELECT user_id,
+        |  make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
+        |FROM isl, fin
+        |GROUP BY user_id, island, fin.wm_us
+        |HAVING max(ts_us) + 1800000000 <= fin.wm_us""".stripMargin,
 
     // final running state per key = the plain per-key aggregate; the
     // state is integer micro-units (floor(value·1e6) per row — per-row

@@ -379,6 +379,66 @@ object StreamingRun {
         col("n"), col("sum_value_micros"))
   }
 
+  /** w9's SESSION windows in APPEND mode under a REAL advancing
+    * watermark — the session analog of [[tumblingDailyWatermarked]],
+    * and the driver-visible oracle for `MergingSessions` eviction: the
+    * reference's allowed-lateness guard
+    * (`/root/reference/arcon/src/stream/operator/window/assigner.rs:160-165`)
+    * applied to gap-merged windows rather than calendar ones. Same
+    * staged-file protocol (ONE event-time-ordered file per micro-batch,
+    * [[watermarkBatchIndex]] stragglers), same two-value watermark
+    * contract (SPARK-40925: late-event filtering lags eviction by one
+    * batch), but the stateful exec is
+    * `SessionWindowStateStoreRestore/SaveExec`: a within-lateness
+    * straggler MERGES into its still-open session in state (possibly
+    * bridging two open sessions into one), a beyond-lateness straggler
+    * drops before touching state, and a session EMITS (state evicted)
+    * in the first batch whose eviction watermark passes its end.
+    *
+    * Why a flat oracle replay is exact here (the session-specific
+    * proof obligation — merging makes emitted output ORDER-dependent in
+    * general): a session already emitted can never receive another
+    * accepted row under this geometry. Eviction in batch k uses
+    * `maxTs(batches < k) − delay`, so any already-evicted session ended
+    * ≥ 2 days before the newest pre-k event, while every batch-k row —
+    * natural or one-file-bumped — carries a timestamp within one
+    * ~6-day file span of that maximum; for the bumped stragglers the
+    * gap between their timestamp and any evicted session's end is
+    * ≥ delay (2 days) minus nothing, and the session gap is 30 MINUTES.
+    * No accepted row can therefore land within `gap` of an evicted
+    * session, so the exec's incremental merge/evict equals the batch
+    * gaps-and-islands over the accepted rows, restricted to islands the
+    * final eviction watermark passed — exactly what the DuckDB oracle
+    * computes. Sums are integer micro-units (the w12 discipline).
+    *
+    * At 100 TB: one keyed exchange into the session-merging state
+    * store, state bounded by OPEN sessions behind the horizon (a gap
+    * of minutes + a delay of days keeps per-key state to the sessions
+    * of the lateness window, not history), emitted sessions final on
+    * arrival. */
+  def sessionWatermarked(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89, gapMinutes: Int = 30,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    drainAppend(s,
+      stream
+        .withWatermark("ts", s"$delayDays days")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMinutes minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1e6)).cast("long"))
+            .as("sum_value_micros")),
+      inspect)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value_micros"))
+  }
+
   /** The staged batch index of [[tumblingDailyWatermarked]] — ONE
     * definition shared by the staging writer, the replay spec, and
     * (inlined as SQL) the DuckDB oracle, so the oracle can never drift
@@ -420,10 +480,13 @@ object StreamingRun {
       nFiles: Int, bumpMod: Int, dropMod: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(nFiles > 4, "need nFiles > 4 so the +3 straggler set exists")
+    // the staged projection — part of the cache tag, so widening it
+    // (w16 added user_id for the session drain) invalidates stale dirs
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val fp = sourceFingerprint(dir)
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir|$fp|$nFiles|$bumpMod|$dropMod"))
+        s"$dir|$fp|$nFiles|$bumpMod|$dropMod|${cols.mkString(",")}"))
     val root = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-wm-$tag")
     if (Files.exists(root.resolve("_STAGED"))) return root.toString
@@ -432,7 +495,7 @@ object StreamingRun {
       s"graft-stream-wm-$tag.build-${java.lang.ProcessHandle.current().pid()}")
     Files.createDirectories(build)
     val ev = graft.Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .select(cols.map(col): _*)
       .withColumn("__b", watermarkBatchIndex(nFiles, bumpMod, dropMod))
       .localCheckpoint() // one sort, nFiles filtered writes below
     val tmp = build.resolve("tmp")

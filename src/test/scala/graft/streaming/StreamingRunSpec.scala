@@ -251,6 +251,77 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got != full, "watermark run must differ from the full batch aggregate")
   }
 
+  test("w16 watermarked session drain: SessionWindowStateStoreSave merges/evicts/drops exactly as the batch replay predicts") {
+    import org.apache.spark.sql.expressions.Window
+    var plan = ""
+    var dropped = 0L
+    val got = StreamingRun.sessionWatermarked(spark, sfDir,
+        nFiles = 5, delayDays = 2, bumpMod = 97, dropMod = 89,
+        gapMinutes = 30,
+        inspect = q => {
+          plan = planOf(q)
+          dropped = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq)
+            .map(_.numRowsDroppedByWatermark).sum
+        })
+      .collect().map(_.toSeq).toSet
+    // the session-merging state exec, not the tumbling one
+    assert(plan.contains("SessionWindowStateStoreSave"), plan)
+    // the beyond-lateness straggler set must actually drop at the exec
+    assert(dropped > 0L, "expected numRowsDroppedByWatermark > 0")
+    // flat replay (see sessionWatermarked's scaladoc for why it is
+    // exact under this geometry): accepted = rows whose candidate
+    // session end survives the LAGGED late-event watermark; sessions =
+    // gaps-and-islands over accepted rows; emitted = islands whose end
+    // the final eviction watermark passed
+    val n = 5; val delayMs = 2L * 86400000L
+    val gapUs = 30L * 60L * 1000000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("b", StreamingRun.watermarkBatchIndex(n, 97, 89))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val wm = ev.groupBy(col("b"))
+      .agg(max(floor(col("ts_us") / 1000)).as("mx_ms"))
+      .withColumn("late_wm_us",
+        (max(col("mx_ms")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -2)) - delayMs) * 1000)
+      .select(col("b"), col("late_wm_us"))
+    val finWmUs = (ev.agg(max(floor(col("ts_us") / 1000)))
+      .collect()(0).getLong(0) - delayMs) * 1000
+    val userW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val want = ev.join(wm, Seq("b"))
+      .filter(col("late_wm_us").isNull ||
+        col("ts_us") + gapUs > col("late_wm_us"))
+      .withColumn("nf",
+        when(lag(col("ts_us"), 1).over(userW).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(userW) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("nf")).over(
+        userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) + gapUs).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+      .filter(col("end_us") <= finWmUs)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"got ${got.size} rows, want ${want.size};\nonly-got: ${(got -- want).take(5)}\nonly-want: ${(want -- got).take(5)}")
+    assert(got.nonEmpty)
+    // semantics actually exercised: differs from the full batch sessions
+    // (late drops + trailing open sessions held back)
+    val full = graft.queries.EventTimeQueries
+      .defs("w9_streaming_sessions")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got.size < full.size,
+      "watermark run must hold back/drop relative to the complete-mode sessions")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
