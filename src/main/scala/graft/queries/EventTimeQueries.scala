@@ -124,6 +124,17 @@ object EventTimeQueries extends QueryModule {
     "w16_streaming_session_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.sessionWatermarked(s, d)),
 
+    // W17: the stream-stream interval join WITH watermarks on both
+    // sides (w10 runs append without one, by pre-w15 design) — LEFT
+    // OUTER so state eviction is visible in the OUTPUT: null-extended
+    // views emit only when the eviction watermark passes their match
+    // horizon, trailing views are held in state forever, and
+    // beyond-lateness stragglers drop on both sides. The oracle is the
+    // batch interval join over late-filter-accepted rows plus the
+    // final-horizon rule for the null-extended set.
+    "w17_streaming_interval_join_watermark" -> ((s, d) =>
+      graft.streaming.StreamingRun.intervalJoinWatermarked(s, d)),
+
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
         graft.streaming.StreamingRun.eventsStream(s, d)
@@ -453,6 +464,63 @@ object EventTimeQueries extends QueryModule {
         |FROM isl, fin
         |GROUP BY user_id, island, fin.wm_us
         |HAVING max(ts_us) + 1800000000 <= fin.wm_us""".stripMargin,
+
+    // w17: replay of the watermarked symmetric join. The watermark is
+    // PER-SIDE (Catalyst pushes the event-type filter below each
+    // EventTimeWatermark node, so each side's tracker advances on its
+    // own rows and the global value is the MIN of the two — verified
+    // against the exec's per-batch progress trace). accepted = raw ts
+    // survives the lagged late watermark (a plain-column watermark, so
+    // the predicate is on ts itself, unlike w15/w16's window-end);
+    // matched = accepted views x accepted purchases under the interval
+    // condition (µs-exact integer arithmetic); null-extended = accepted
+    // views with no accepted match whose horizon (ts + 12h) the final
+    // eviction watermark passed — Spark's per-side state watermarks are
+    // sized from the range condition so an evicted row's would-be
+    // partner is always itself late-dropped (proof in
+    // StreamingRun.intervalJoinWatermarked's scaladoc), which is what
+    // makes this flat join exact.
+    "w17_streaming_interval_join_watermark" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS ts_us,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |bm AS (
+        |  SELECT b,
+        |    max(CASE WHEN event_type = 'view' THEN ts_us // 1000 END) AS vmx,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts_us // 1000 END)
+        |      AS pmx
+        |  FROM ev GROUP BY b),
+        |wm AS (
+        |  SELECT b,
+        |    CASE WHEN vrun IS NULL OR prun IS NULL THEN NULL
+        |         ELSE (least(vrun, prun) - 172800000) * 1000 END
+        |      AS late_wm_us
+        |  FROM (SELECT b,
+        |      max(vmx) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS vrun,
+        |      max(pmx) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS prun
+        |    FROM bm)),
+        |fin AS (SELECT (least(
+        |    max(CASE WHEN event_type = 'view' THEN ts_us // 1000 END),
+        |    max(CASE WHEN event_type = 'purchase' THEN ts_us // 1000 END))
+        |    - 172800000) * 1000 AS wm_us FROM ev),
+        |acc AS (
+        |  SELECT ev.* FROM ev JOIN wm USING (b)
+        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us > wm.late_wm_us)
+        |SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts
+        |FROM (SELECT * FROM acc WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM acc WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts_us > v.ts_us
+        | AND p.ts_us <= v.ts_us + 43200000000
+        |, fin
+        |WHERE p.event_id IS NOT NULL
+        |   OR v.ts_us + 43200000000 < fin.wm_us""".stripMargin,
 
     // final running state per key = the plain per-key aggregate; the
     // state is integer micro-units (floor(value·1e6) per row — per-row

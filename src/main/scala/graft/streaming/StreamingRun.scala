@@ -439,6 +439,77 @@ object StreamingRun {
         col("n_events"), col("sum_value_micros"))
   }
 
+  /** w10's stream-stream interval join WITH watermarks on both sides —
+    * `StreamingSymmetricHashJoinExec` under real state eviction, the
+    * last of the reference's late-data behaviors
+    * (`/root/reference/arcon/src/stream/operator/window/assigner.rs:160-165`
+    * applied to two-sided join state) to come under the driver oracle.
+    * Same staged-file protocol as w15/w16; BOTH sides stream the same
+    * staged dir (each `FileStreamSource` lists it independently, so
+    * batch k carries file k on both sides). The watermarks are
+    * PER-SIDE: Catalyst pushes the event-type predicate below the
+    * `EventTimeWatermark` node (it does not reference the event-time
+    * column), so each side's tracker advances on its own rows only and
+    * the query's global watermark is the MINIMUM of the two — verified
+    * against the per-batch progress trace, and exactly the production
+    * shape (a views topic and a purchases topic advancing
+    * independently). LEFT OUTER
+    * rather than inner, deliberately: an inner join's output never
+    * shows eviction (matches emit on arrival), but the outer join's
+    * null-extended rows emit ONLY when the left row's state evicts —
+    * i.e. when the eviction watermark passes its last possible match
+    * time (`view.ts + window`) — and views the final watermark never
+    * passes are held in state forever, the join analog of w15's
+    * trailing-window holdback. Beyond-lateness stragglers drop at the
+    * exec on BOTH sides before touching state.
+    *
+    * Why the flat oracle is exact: Spark sizes each side's state
+    * watermark from the range condition precisely so that a stored row
+    * is evicted only once no future row surviving the late filter can
+    * match it. Under the two-value contract, a purchase that would
+    * have matched an already-evicted view satisfies
+    * `p.ts ≤ v.ts + window < late_wm(k)` — i.e. it is dropped as late
+    * before it could miss the match; symmetrically for views against
+    * evicted purchases (a view matches only purchases LATER than it).
+    * Matched output is therefore exactly {accepted view × accepted
+    * purchase} under the join condition, and the null-extended rows
+    * are the accepted views with no accepted match whose horizon the
+    * final eviction watermark passed.
+    *
+    * At 100 TB: the production shape — two keyed exchanges into the
+    * symmetric join, per-side state bounded by the range condition ×
+    * the lateness delay (12 h + 2 days of events per user, never
+    * history), matched rows final on arrival. */
+  def intervalJoinWatermarked(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89, windowHours: Int = 12,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    // withWatermark before the event-type filter in the DSL, but the
+    // EXECUTED tracker is per-side: the optimizer pushes the filter
+    // below the watermark node, so each side advances on its own rows
+    // (see the scaladoc — the global watermark is the min of the two)
+    def side() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", s"$delayDays days")
+    val views = side().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = side().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <=
+          col("view_ts") + expr(s"INTERVAL $windowHours HOURS"),
+      "left_outer")
+    drainAppend(s, joined, inspect)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** The staged batch index of [[tumblingDailyWatermarked]] — ONE
     * definition shared by the staging writer, the replay spec, and
     * (inlined as SQL) the DuckDB oracle, so the oracle can never drift

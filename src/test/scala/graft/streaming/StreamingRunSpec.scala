@@ -322,6 +322,90 @@ class StreamingRunSpec extends SparkTestBase {
       "watermark run must hold back/drop relative to the complete-mode sessions")
   }
 
+  test("w17 watermarked stream-stream interval join: symmetric join state drops/evicts/emits exactly as the batch replay predicts") {
+    import org.apache.spark.sql.expressions.Window
+    var plan = ""
+    var dropped = 0L
+    var removed = 0L
+    val got = StreamingRun.intervalJoinWatermarked(spark, sfDir,
+        nFiles = 5, delayDays = 2, bumpMod = 97, dropMod = 89,
+        windowHours = 12,
+        inspect = q => {
+          plan = planOf(q)
+          val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+          dropped = ops.map(_.numRowsDroppedByWatermark).sum
+          removed = ops.map(_.numRowsRemoved).sum
+        })
+      .collect().map(_.toSeq).toSet
+    assert(plan.contains("StreamingSymmetricHashJoin"), plan)
+    // the exec must BOTH drop the beyond-lateness stragglers and evict
+    // join state as the watermark advances (eviction is what releases
+    // the null-extended rows)
+    assert(dropped > 0L, "expected numRowsDroppedByWatermark > 0")
+    assert(removed > 0L, "expected join state eviction (numRowsRemoved > 0)")
+    // flat replay: the watermark is PER-SIDE (the event-type filter
+    // pushes below each watermark node), so the global value is the MIN
+    // of the view-side and purchase-side running maxes; accepted = rows
+    // surviving the LAGGED global watermark; matched = accepted views x
+    // accepted purchases under the interval condition; null-extended =
+    // accepted views with no accepted match whose horizon (ts + 12h)
+    // the FINAL eviction watermark passed
+    val n = 5; val delayMs = 2L * 86400000L
+    val winUs = 12L * 3600L * 1000000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("b", StreamingRun.watermarkBatchIndex(n, 97, 89))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val wWin = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -2)
+    val vrun = max(col("vmx")).over(wWin)
+    val prun = max(col("pmx")).over(wWin)
+    val wm = ev.groupBy(col("b"))
+      .agg(max(when(col("event_type") === "view",
+          floor(col("ts_us") / 1000))).as("vmx"),
+        max(when(col("event_type") === "purchase",
+          floor(col("ts_us") / 1000))).as("pmx"))
+      .withColumn("late_wm_us",
+        when(vrun.isNull || prun.isNull, lit(null))
+          .otherwise((least(vrun, prun) - delayMs) * 1000))
+      .select(col("b"), col("late_wm_us"))
+    val mm = ev.agg(
+      max(when(col("event_type") === "view", floor(col("ts_us") / 1000))),
+      max(when(col("event_type") === "purchase", floor(col("ts_us") / 1000))))
+      .collect()(0)
+    val finWmUs = (math.min(mm.getLong(0), mm.getLong(1)) - delayMs) * 1000
+    val acc = ev.join(wm, Seq("b"))
+      .filter(col("late_wm_us").isNull || col("ts_us") > col("late_wm_us"))
+    val v = acc.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("ts_us").as("v_us"))
+    val p = acc.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("ts_us").as("p_us"))
+    val pairs = v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_us") > col("v_us") && col("p_us") <= col("v_us") + winUs,
+      "left_outer")
+    val want = pairs
+      .filter(col("purchase_id").isNotNull ||
+        col("v_us") + winUs < finWmUs)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"got ${got.size} rows, want ${want.size};\nonly-got: ${(got -- want).take(5)}\nonly-want: ${(want -- got).take(5)}")
+    assert(got.nonEmpty)
+    assert(got.exists(_(3) == null),
+      "expected null-extended rows (state eviction output)")
+    // trailing holdback exercised: some accepted unmatched views never
+    // evict (their horizon is past the final watermark)
+    val heldBack = pairs
+      .filter(col("purchase_id").isNull && col("v_us") + winUs >= finWmUs)
+      .count()
+    assert(heldBack > 0L, "geometry should hold back some trailing views")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
