@@ -70,6 +70,7 @@ object CanaryHealth {
     "dd13_substring" -> SkewMaxBlock(12.0),
     "dd14_incremental_fuzzy" -> SaturatedPairs(2.2),
     "dd15_phash_neardup" -> LinearPairs(1.3),
+    "pl9_frame_phash" -> LinearPairs(1.3),
     "sim9_knn_graph" -> SaturatedPairs(2.45),
     "dd2_minhash_lsh_realistic" -> LinearPairs(1.3),
     "dd11_jaccard_prefix_realistic" -> LinearPairs(1.3),

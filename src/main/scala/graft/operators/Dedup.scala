@@ -705,12 +705,33 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     signatureDup(docs, idCol, mediaCol, aHash61(col(mediaCol)), maxHamming)
 
+  /** [[perceptualHashDup]] at FRAME granularity — the per-frame leg of
+    * the video/media near-dup rollup (pl9): input is one row per
+    * (media id, frame_no, frame bytes) — [[graft.operators.Multimodal]]
+    * frame sampling output joined back to frame content — and output is
+    * one row per (frame_no, media pair) whose frame aHashes are within
+    * `maxHamming`. The banding engine is [[signatureDup]] with
+    * `frameNoCol` as a group key: every exchange, band bucket, and
+    * membership expansion is keyed by (frame_no, …), so frame 2 of one
+    * video is only ever compared to frame 2 of another — the standard
+    * aligned-frame video-dedup contract — and the whole pass stays ONE
+    * grouped signature exchange regardless of frames per media. */
+  def perceptualFrameDup(frames: DataFrame, idCol: String,
+      frameNoCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame =
+    signatureDup(frames, idCol, mediaCol, aHash61(col(mediaCol)),
+      maxHamming, groupCols = Seq(frameNoCol))
+
   /** The banded near-dup engine shared by [[simHashDup]] (61-bit text
-    * SimHash) and [[perceptualHashDup]] (61-bit media average-hash):
-    * everything below is signature-generic — the signature expression
-    * is the ONLY thing the modalities disagree on. */
+    * SimHash), [[perceptualHashDup]] (61-bit media average-hash) and
+    * [[perceptualFrameDup]] (per-frame media hash, grouped): everything
+    * below is signature-generic — the signature expression and the
+    * optional group key (pairs never cross a group boundary; every
+    * join/exchange key is prefixed with it) are the ONLY things the
+    * modalities disagree on. */
   private def signatureDup(docs: DataFrame, idCol: String, srcCol: String,
-      sigExpr: org.apache.spark.sql.Column, maxHamming: Int): DataFrame = {
+      sigExpr: org.apache.spark.sql.Column, maxHamming: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
     // NULL-source rows can never band-match (null keys don't equi-join);
     // drop them BEFORE the signature and mark the signature non-nullable
     // (coalesce with a non-null literal). Without this the optimizer
@@ -725,12 +746,15 @@ object Dedup {
     // Null-id docs are dropped (same contract as [[minHashLsh]]); the
     // id coalesce can then never fire and survives only as the
     // non-nullability marker described above, typed to the id column.
+    val gc = groupCols.map(col)
     val members = docs
       .filter(col(srcCol).isNotNull && col(idCol).isNotNull)
-      .select(coalesce(col(idCol), lit(-1L).cast(docs.schema(idCol).dataType)).as("id"),
-        coalesce(sigExpr, lit(0L)).as("sig"))
-      .repartition(col("sig")) // the ONE corpus-wide exchange, shared below
-    val sigs = members.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+      .select(gc ++ Seq(
+        coalesce(col(idCol), lit(-1L).cast(docs.schema(idCol).dataType)).as("id"),
+        coalesce(sigExpr, lit(0L)).as("sig")): _*)
+      // the ONE corpus-wide exchange, shared below
+      .repartition(gc :+ col("sig"): _*)
+    val sigs = members.groupBy(gc :+ col("sig"): _*).agg(count(lit(1)).as("n"))
     // (2) intra-signature pairs: docs sharing an exact signature are
     // hamming-0 near-dups — emitted from membership. The dup-sig filter
     // keeps the expansion proportional to dup mass, not corpus size, and
@@ -739,36 +763,45 @@ object Dedup {
     // semi join: PushDownLeftSemiAntiJoin would push a semi join below
     // the repartition, splitting the shared exchange into independently
     // recomputed signature scans.
+    val sigKey = groupCols :+ "sig"
     val dupMembers = members.join(
-      sigs.filter(col("n") >= 2).select(col("sig")), Seq("sig"))
-    val intra = dupMembers.select(col("sig"), col("id").as("doc_a"))
-      .join(dupMembers.select(col("sig"), col("id").as("doc_b")), Seq("sig"))
+      sigs.filter(col("n") >= 2).select(sigKey.map(col): _*), sigKey)
+    val intra = dupMembers.select(sigKey.map(col) :+ col("id").as("doc_a"): _*)
+      .join(dupMembers.select(sigKey.map(col) :+ col("id").as("doc_b"): _*),
+        sigKey)
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+      .select(gc ++ Seq(col("doc_a"), col("doc_b"),
+        lit(0L).as("hamming")): _*)
     // (3) inter-signature pairs: band one row per distinct signature.
-    val banded = sigs.select(col("sig"),
-      posexplode(simHashBandKeys(col("sig"), maxHamming)))
+    val banded = sigs.select(gc ++ Seq(col("sig"),
+      posexplode(simHashBandKeys(col("sig"), maxHamming))): _*)
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "band_key")
-    val sigPairs = banded.select(col("tbl"), col("band_key"), col("sig").as("sig_a"))
-      .join(banded.select(col("tbl"), col("band_key"), col("sig").as("sig_b")),
-        Seq("tbl", "band_key"))
+    val bandKey = groupCols ++ Seq("tbl", "band_key")
+    val sigPairs = banded
+      .select(bandKey.map(col) :+ col("sig").as("sig_a"): _*)
+      .join(banded.select(bandKey.map(col) :+ col("sig").as("sig_b"): _*),
+        bandKey)
       .filter(col("sig_a") < col("sig_b"))
-      .select(col("sig_a"), col("sig_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .select(gc ++ Seq(col("sig_a"), col("sig_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming")): _*)
       // hamming is two ALU ops — filter BEFORE the distinct so the
       // dedup shuffle carries only surviving signature pairs, not every
       // band-collision candidate
       .filter(col("hamming") <= maxHamming)
       .distinct()
     // expand signature pairs to document pairs; each document belongs to
-    // exactly one signature group, so the expansion emits every cross
-    // pair exactly once — no document-level distinct needed.
+    // exactly one signature group (per group key), so the expansion
+    // emits every cross pair exactly once — no document-level distinct
+    // needed.
     val inter = sigPairs
-      .join(members.select(col("sig").as("sig_a"), col("id").as("ma")), Seq("sig_a"))
-      .join(members.select(col("sig").as("sig_b"), col("id").as("mb")), Seq("sig_b"))
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+      .join(members.select(gc ++ Seq(col("sig").as("sig_a"),
+        col("id").as("ma")): _*), groupCols :+ "sig_a")
+      .join(members.select(gc ++ Seq(col("sig").as("sig_b"),
+        col("id").as("mb")): _*), groupCols :+ "sig_b")
+      .select(gc ++ Seq(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming")): _*)
     intra.union(inter)
   }
 
@@ -901,6 +934,24 @@ object Dedup {
       mediaCol: String, maxHamming: Int): BlockVolume =
     signatureBandVolume(docs, idCol, mediaCol, aHash61(col(mediaCol)),
       maxHamming)
+
+  /** [[perceptualBandVolume]] at FRAME granularity — the pl9 bench
+    * canary: the Manku band buckets of [[perceptualFrameDup]]'s grouped
+    * self-join, measured over DISTINCT (frame_no, signature) rows
+    * exactly as the operator bands them (the frame group key multiplies
+    * the bucket space, never the per-bucket population). */
+  def frameBandVolume(frames: DataFrame, idCol: String,
+      frameNoCol: String, mediaCol: String, maxHamming: Int): BlockVolume =
+    blockVolume(
+      frames.filter(col(mediaCol).isNotNull)
+        .select(col(frameNoCol), col(idCol).as("id"),
+          coalesce(aHash61(col(mediaCol)), lit(0L)).as("sig"))
+        .dropDuplicates(frameNoCol, "sig")
+        .select(col(frameNoCol), col("sig"),
+          posexplode(simHashBandKeys(col("sig"), maxHamming)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "band_key"),
+      Seq(frameNoCol, "tbl", "band_key"))
 
   private def signatureBandVolume(docs: DataFrame, idCol: String,
       srcCol: String, sigExpr: org.apache.spark.sql.Column,

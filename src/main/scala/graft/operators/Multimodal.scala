@@ -65,6 +65,17 @@ object Multimodal {
       .toDF(idCol, "n_bytes", "width", "height", "n_frames")
   }
 
+  /** STUB per-frame content extraction (the [[MediaDecoder.stub]]
+    * convention): frame k's bytes = the media bytes with the first k
+    * dropped — deterministic, length-varying per frame, and exactly
+    * replayable by the DuckDB oracle as a hex-string suffix. A real
+    * codec extracts the decoded k-th frame here; everything downstream
+    * (per-frame signatures, aligned-frame banding, the pair rollup) is
+    * contract-identical when one is swapped in. */
+  def stubFrameBytes(mediaCol: org.apache.spark.sql.Column,
+      frameNoCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mediaCol.substr(frameNoCol + 1, lit(Int.MaxValue))
+
   /** Frame sampling: one output row per sampled frame index
     * (0, stride, 2*stride, ... < n_frames, capped at maxFrames rows) —
     * the video-to-training-examples explode, as a generator. */

@@ -57,6 +57,30 @@ object TrainingDataQueries extends QueryModule {
           expr("substring(text, 2)")).as("text")))
   }
 
+  /** pl9's media corpus: a doc_id%4 quarter of [[phashDocs]] (the plant
+    * offset 2,000,000 is ≡ 0 mod 4 and plant bases are every 16th doc,
+    * so every planted perceptual pair survives the quarter intact) as
+    * opaque binary — sized so the oracle's per-frame brute-force n²
+    * verify stays tractable at sf0.1 while the pipeline still carries
+    * hundreds of planted pairs. */
+  private def pl9Media(df: DataFrame): DataFrame =
+    df.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
+
+  /** pl9's frame table: stub decode → every-2nd-frame sampling → stub
+    * per-frame bytes (suffix slice), one row per (doc, sampled frame) —
+    * the Multimodal plumbing composed exactly as mm2/mm3 run it, shared
+    * by the pl9 query and its bench canary so the canary measures the
+    * frames the rollup actually bands. */
+  private[graft] def pl9Frames(mediaDf: DataFrame): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeMeta(mediaDf, "doc_id", "media"),
+      "doc_id", stride = 2)
+      .join(mediaDf, Seq("doc_id"))
+      .select(col("doc_id"), col("frame_no"),
+        Multimodal.stubFrameBytes(col("media"), col("frame_no"))
+          .as("frame"))
+
   /** documents ∪ identical copies of every 10th doc (exact dups). */
   private def exactDupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -296,6 +320,13 @@ object TrainingDataQueries extends QueryModule {
       scaleDocs(phashDocs(s, d), copies)
         .select(col("doc_id"), encode(col("text"), "utf-8").as("media")),
       "doc_id", "media", maxHamming = 3),
+    // pl9's per-frame Manku buckets over the SAME frame table the
+    // rollup bands (pl9Frames single-sources it): frame_no multiplies
+    // the bucket space, distinct (frame_no, sig) rows band once each —
+    // the media-pipeline analog of dd15's sublinear curve.
+    "pl9_frame_phash" -> Dedup.frameBandVolume(
+      pl9Frames(pl9Media(scaleDocs(phashDocs(s, d), copies))),
+      "doc_id", "frame_no", "frame", maxHamming = 3),
     "dd9_semantic_dedup" -> {
       val emb = scaleEmb(nearDupEmb(s, d), copies)
       Dedup.semanticCellVolume(emb, "vec_id", "embedding",
@@ -1364,7 +1395,29 @@ object TrainingDataQueries extends QueryModule {
       fused.join(chunks, Seq("doc_id"))
         .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"),
           col("chunk_id"), col("chunk"), col("n_tokens"))
-    })
+    }),
+
+    // The multimodal dedup pipeline end-to-end — the frontier
+    // crawl-dedup shape for video/media: mm2's batched stub decode →
+    // mm3's frame sampling → dd15's aHash PER FRAME (banded by the
+    // signature-generic Manku engine, grouped on frame_no so only
+    // aligned frames compare) → media-level rollup: two media are
+    // near-dups when ≥ 2 of their sampled frames band-match within
+    // hamming 3. The planted same-length perturbation differs only in
+    // byte 0, so its frame-0 hash lands within a few bits and every
+    // later sampled frame (a suffix past the changed byte) at hamming
+    // 0 — exactly how a re-encoded video survives a frame-level match.
+    // The oracle replays decode arithmetic, frame grid, per-frame hash,
+    // and the UNFILTERED per-frame n² (dd15's lossless-banding
+    // discipline), then the same rollup.
+    "pl9_multimodal_dedup" -> ((s, d) =>
+      Dedup.perceptualFrameDup(
+        pl9Frames(pl9Media(phashDocs(s, d))),
+        "doc_id", "frame_no", "frame", maxHamming = 3)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_frames_matched"),
+          min(col("hamming")).as("min_hamming"))
+        .filter(col("n_frames_matched") >= 2))
   )
 
   // ---------------------------------------------------------------------
@@ -2801,6 +2854,59 @@ object TrainingDataQueries extends QueryModule {
          |  c.chunk_id, c.chunk, c.n_tokens
          |FROM fused f2 JOIN ck2chunks c USING (doc_id)""".stripMargin
     },
+
+    // pl9: the multimodal dedup pipeline replayed end-to-end — mm2's
+    // decode arithmetic, mm3's frame grid, dd15's aHash byte-for-byte
+    // over the hex suffix (frame k = media bytes minus the first k,
+    // i.e. the hex string minus the first 2k chars), the UNFILTERED
+    // per-frame n² verify (a hash match proves the grouped banding IS
+    // the brute force), then the same >= 2-frames rollup.
+    "pl9_multimodal_dedup" ->
+      """WITH cand AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(substr(text, 1, 1)) || substr(text, 2)
+        |  FROM documents WHERE doc_id % 16 = 0),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    octet_length(CAST(text AS BLOB)) % 7 + 1 AS n_frames
+        |  FROM cand WHERE text IS NOT NULL),
+        |fr AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_no
+        |  FROM m),
+        |hx0 AS (
+        |  SELECT doc_id AS id, frame_no,
+        |    substr(hex(CAST(text AS BLOB)), 2 * frame_no + 1) AS hx
+        |  FROM fr),
+        |bs0 AS (
+        |  SELECT id, frame_no, len(hx)//2 AS n,
+        |    list_transform(range(len(hx)//2), i ->
+        |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bs
+        |  FROM hx0),
+        |cl AS (
+        |  SELECT id, frame_no, list_transform(range(61), j ->
+        |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
+        |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
+        |             // (((j+1)*n)//61 - (j*n)//61)
+        |        ELSE 0 END) AS cells
+        |  FROM bs0),
+        |sig AS (
+        |  SELECT id, frame_no, CAST(list_sum(list_transform(range(61), j ->
+        |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
+        |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM cl),
+        |fp AS (
+        |  SELECT l.id AS doc_a, r.id AS doc_b,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        |  FROM sig l JOIN sig r
+        |    ON l.frame_no = r.frame_no AND l.id < r.id
+        |  WHERE bit_count(xor(l.sig, r.sig)) <= 3)
+        |SELECT doc_a, doc_b, count(*) AS n_frames_matched,
+        |  min(hamming) AS min_hamming
+        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "mm1_media_meta" ->
       """SELECT doc_id, source,

@@ -58,7 +58,7 @@ class BenchCanarySpec extends SparkTestBase {
     Seq("dd2_minhash_lsh_realistic", "dd11_jaccard_prefix_realistic",
       "dd13_substring_realistic", "dd14_incremental_fuzzy_realistic",
       "sim9_knn_graph_realistic", "dd3_simhash", "dd9_semantic_dedup",
-      "dd15_phash_neardup").foreach { n =>
+      "dd15_phash_neardup", "pl9_frame_phash").foreach { n =>
       assert(rules(n).isInstanceOf[LinearPairs], n)
     }
     Seq("dd2_minhash_lsh", "dd4_ngram_jaccard", "dd11_jaccard_prefix",

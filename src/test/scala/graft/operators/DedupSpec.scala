@@ -1051,6 +1051,31 @@ class DedupSpec extends SparkTestBase {
       s"unrelated/null media matched: $got")
   }
 
+  test("perceptualFrameDup: identical frame bytes pair ONLY at the same frame_no, grouped banding matches brute force") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 251).toByte)
+    val near = payload.clone(); near(7) = (near(7) + 1).toByte
+    val far = Array.tabulate[Byte](300)(i => ((i * 91 + 13) % 251).toByte)
+    val frames = Seq(
+      (1L, 0, payload), (1L, 2, far.clone()),
+      (2L, 0, payload.clone()),          // same bytes, same frame → pair
+      (3L, 2, payload.clone()),          // same bytes, DIFFERENT frame → no pair with 1/2
+      (4L, 0, near),                     // 1-byte-off at frame 0 → banded pair with 1,2
+      (5L, 2, far.clone()))              // far at frame 2 → pairs with doc 1 at hamming 0
+      .toDF("doc_id", "frame_no", "frame")
+    val got = Dedup.perceptualFrameDup(frames, "doc_id", "frame_no", "frame",
+      maxHamming = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.contains((0, 1L, 2L)) && got((0, 1L, 2L)) == 0L)
+    assert(got.contains((0, 1L, 4L)) && got((0, 1L, 4L)) <= 3L)
+    assert(got.contains((0, 2L, 4L)))
+    assert(got.contains((2, 1L, 5L)) && got((2, 1L, 5L)) == 0L)
+    // doc 3 carries the shared payload at frame 2 where docs 1/2 have
+    // it at frame 0 — alignment must prevent every such pair
+    assert(!got.keySet.exists { case (_, a, b) => a == 3L || b == 3L },
+      s"misaligned frames paired: $got")
+  }
+
   test("dd13 realistic canary: salted-corpus anchor buckets grow ~linearly, hottest bucket stays doc-local") {
     // the bench artifact's receipt, asserted here at sf0.01 so a
     // regression in the salting/volume machinery is caught before a
