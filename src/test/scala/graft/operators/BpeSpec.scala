@@ -193,6 +193,34 @@ class BpeSpec extends SparkTestBase {
       s"expected batched rounds < 12, got ${dist.distributedRounds}")
   }
 
+  test("distributed fallback receipt on the REAL corpus: localVocabLimit = 0 gives bit-identical merges and vocab, rounds measurably below one-per-merge") {
+    // the batched fallback's only other coverage is ScalaCheck corpora;
+    // this forces it over the actual documents table so the receipt is
+    // measured where the oracle rows (tk1-tk3) train
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val k = 12
+    val local = Bpe.learn(docs, "text", k)
+    assert(local.distributedRounds == 0 && local.merges.length == k)
+    val dist = Bpe.learn(docs, "text", k, localVocabLimit = 0L)
+    // bit-identical ranked merge list AND final vocab
+    assert(dist.merges == local.merges)
+    val lv = local.vocab.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dv = dist.vocab.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(dv == lv)
+    // jobs-per-merge receipt: the r15 sequential distributed loop ran
+    // one round (pair-count job + argmax collect + staged projection)
+    // PER merge = 12; the batched prefix-acceptance must beat that on
+    // real text (scaladoc claims ~2x — pin just under it)
+    assert(dist.distributedRounds >= 1 && dist.distributedRounds <= k - 4,
+      s"expected <= ${k - 4} batched rounds for $k merges, " +
+        s"got ${dist.distributedRounds}")
+    info(s"batched rounds = ${dist.distributedRounds} for $k merges " +
+      s"(sequential baseline = $k jobs-per-merge 1.0; measured " +
+      f"${dist.distributedRounds.toDouble / k}%.2f)")
+  }
+
   // pure-Scala rank-ordered merge replay — the applyMerges reference
   private def refReplay(word: String,
       merges: Seq[(String, String)]): String = {
