@@ -720,7 +720,15 @@ object Dedup {
       frameNoCol: String, mediaCol: String,
       maxHamming: Int = 3): DataFrame =
     signatureDup(frames, idCol, mediaCol, aHash61(col(mediaCol)),
-      maxHamming, groupCols = Seq(frameNoCol))
+      maxHamming, groupCols = Seq(frameNoCol),
+      // frame inputs are EXPENSIVE to recompute (a real codec's decode
+      // dominates): materialize the scalar signature table once so the
+      // engine's two consumer shapes (membership + column-pruned
+      // distinct) cannot re-run the decode — the pl8 stage-boundary
+      // discipline. The text/media paths keep the pure-plan shape
+      // (their input is a parquet scan; PlanAuditSpec pins exchange
+      // reuse there instead).
+      materializeMembers = true)
 
   /** The banded near-dup engine shared by [[simHashDup]] (61-bit text
     * SimHash), [[perceptualHashDup]] (61-bit media average-hash) and
@@ -731,7 +739,8 @@ object Dedup {
     * modalities disagree on. */
   private def signatureDup(docs: DataFrame, idCol: String, srcCol: String,
       sigExpr: org.apache.spark.sql.Column, maxHamming: Int,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil,
+      materializeMembers: Boolean = false): DataFrame = {
     // NULL-source rows can never band-match (null keys don't equi-join);
     // drop them BEFORE the signature and mark the signature non-nullable
     // (coalesce with a non-null literal). Without this the optimizer
@@ -747,13 +756,15 @@ object Dedup {
     // id coalesce can then never fire and survives only as the
     // non-nullability marker described above, typed to the id column.
     val gc = groupCols.map(col)
-    val members = docs
+    val members0 = docs
       .filter(col(srcCol).isNotNull && col(idCol).isNotNull)
       .select(gc ++ Seq(
         coalesce(col(idCol), lit(-1L).cast(docs.schema(idCol).dataType)).as("id"),
         coalesce(sigExpr, lit(0L)).as("sig")): _*)
       // the ONE corpus-wide exchange, shared below
       .repartition(gc :+ col("sig"): _*)
+    val members =
+      if (materializeMembers) members0.localCheckpoint() else members0
     val sigs = members.groupBy(gc :+ col("sig"): _*).agg(count(lit(1)).as("n"))
     // (2) intra-signature pairs: docs sharing an exact signature are
     // hamming-0 near-dups — emitted from membership. The dup-sig filter

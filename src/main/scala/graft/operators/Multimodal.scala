@@ -65,6 +65,32 @@ object Multimodal {
       .toDF(idCol, "n_bytes", "width", "height", "n_frames")
   }
 
+  /** [[decodeMeta]] RETAINING the media bytes alongside the decoded
+    * metadata — the shape a frame-extraction consumer needs: the bytes
+    * must reach the frame step anyway, and carrying them through the
+    * decode (one narrow partition-local pass) instead of re-joining
+    * metadata back to media on the id key saves an id-keyed exchange of
+    * the binary column — at scale, a shuffle of the raw media corpus
+    * (caught by PlanAuditSpec's no-binary-on-exchange audit). */
+  def decodeMetaWithMedia(df: DataFrame, idCol: String, mediaCol: String,
+      decoder: MediaDecoder = MediaDecoder.stub): DataFrame = {
+    val typed = df.filter(col(mediaCol).isNotNull)
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    typed.mapPartitions { it =>
+      decoder.open()
+      it.map { case (id, bytes) =>
+        val m = decoder.decode(bytes)
+        DecodedMedia(id, bytes, m.nBytes, m.width, m.height, m.nFrames)
+      }
+    }(Encoders.product[DecodedMedia])
+      .toDF(idCol, mediaCol, "n_bytes", "width", "height", "n_frames")
+  }
+
+  /** Row shape of [[decodeMetaWithMedia]] (Encoders.tuple caps at 5). */
+  private case class DecodedMedia(id: Long, media: Array[Byte],
+      nBytes: Long, width: Int, height: Int, nFrames: Int)
+
   /** STUB per-frame content extraction (the [[MediaDecoder.stub]]
     * convention): frame k's bytes = the media bytes with the first k
     * dropped — deterministic, length-varying per frame, and exactly
@@ -80,7 +106,7 @@ object Multimodal {
     * (0, stride, 2*stride, ... < n_frames, capped at maxFrames rows) —
     * the video-to-training-examples explode, as a generator. */
   def sampleFrames(meta: DataFrame, idCol: String, stride: Int,
-      maxFrames: Int = 1000): DataFrame = {
+      maxFrames: Int = 1000, keepCols: Seq[String] = Nil): DataFrame = {
     require(stride > 0, "stride must be positive")
     val lastFrame = col("n_frames") - 1
     val upper = lastFrame - pmod(lastFrame, lit(stride)) // floor to stride grid
@@ -94,7 +120,10 @@ object Multimodal {
       sequence(lit(0),
         least(upper, lit((maxFrames - 1) * stride)), lit(stride)))
       .otherwise(array().cast("array<int>"))
-    meta.select(col(idCol), col("n_frames"), posexplode_outer(frames))
+    // keepCols ride the generator projection (e.g. the media bytes for
+    // a downstream frame-content step) — pipelined, never re-joined
+    meta.select(Seq(col(idCol), col("n_frames")) ++ keepCols.map(col) :+
+        posexplode_outer(frames): _*)
       .filter(col("col").isNotNull)
       .withColumnRenamed("pos", "sample_no")
       .withColumnRenamed("col", "frame_no")

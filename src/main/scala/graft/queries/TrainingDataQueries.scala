@@ -67,19 +67,25 @@ object TrainingDataQueries extends QueryModule {
     df.filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
 
-  /** pl9's frame table: stub decode → every-2nd-frame sampling → stub
-    * per-frame bytes (suffix slice), one row per (doc, sampled frame) —
-    * the Multimodal plumbing composed exactly as mm2/mm3 run it, shared
-    * by the pl9 query and its bench canary so the canary measures the
-    * frames the rollup actually bands. */
+  /** pl9's frame table: stub decode RETAINING the bytes → every-2nd-
+    * frame sampling (media riding the generator projection — no
+    * id-keyed re-join of the binary column, so no exchange ever
+    * carries media; PlanAuditSpec pins it) → stub per-frame bytes
+    * (suffix slice), one row per (doc, sampled frame). Shared by the
+    * pl9 query and its bench canary so the canary measures the frames
+    * the rollup actually bands. The coalesce marks the frame bytes
+    * non-nullable (media is non-null by decode's contract, so the
+    * empty-bytes arm never fires) — without it the banding engine's
+    * isnotnull(frame) filter would evaluate the substring copy a second
+    * time per row. */
   private[graft] def pl9Frames(mediaDf: DataFrame): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.decodeMeta(mediaDf, "doc_id", "media"),
-      "doc_id", stride = 2)
-      .join(mediaDf, Seq("doc_id"))
+      Multimodal.decodeMetaWithMedia(mediaDf, "doc_id", "media"),
+      "doc_id", stride = 2, keepCols = Seq("media"))
       .select(col("doc_id"), col("frame_no"),
-        Multimodal.stubFrameBytes(col("media"), col("frame_no"))
-          .as("frame"))
+        coalesce(
+          Multimodal.stubFrameBytes(col("media"), col("frame_no")),
+          lit(Array.empty[Byte])).as("frame"))
 
   /** documents ∪ identical copies of every 10th doc (exact dups). */
   private def exactDupDocs(s: SparkSession, d: String): DataFrame = {

@@ -168,7 +168,7 @@ class PlanAuditSpec extends SparkTestBase {
     // non-nullable via coalesce. Here: no expensive expr in any Filter
     // line, and band keys reference a projected sig attribute.
     val expensive = Seq("simhashexpr", "minhashbandkeysexpr",
-      "shinglehashesexpr", "lshsignatureexpr")
+      "shinglehashesexpr", "lshsignatureexpr", "ahash61expr")
     // (x7/pl1: InferFiltersFromGenerate + predicate pushdown used to
     // clone the shingle scan into size>0 / isnotnull filters — fixed by
     // explode_outer + non-nullable signature keys; swept over EVERY
@@ -188,6 +188,46 @@ class PlanAuditSpec extends SparkTestBase {
     assert(generateLines.nonEmpty)
     assert(generateLines.forall(l => !l.toLowerCase.contains("simhashexpr")),
       s"band keys recompute the signature:\n${generateLines.mkString("\n")}")
+  }
+
+  test("pl9_multimodal_dedup: decode runs once behind the members stage boundary; no exchange ships frame or media bytes") {
+    val p = staticScalePlan("pl9_multimodal_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the decode + per-frame hash materialize ONCE into the scalar
+    // (frame_no, id, sig) members table (perceptualFrameDup's
+    // localCheckpoint): the final plan reads ExistingRDD scans and the
+    // expensive MapPartitions decode appears in NO consumer branch —
+    // without the boundary the engine's membership and column-pruned
+    // distinct shapes each re-ran the decode (observed: 2 full decode
+    // subtrees)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("MapPartitions graft.operators.Multimodal"), p)
+    // every shuffle carries (frame_no, id, sig) scalars — the binary
+    // frame/media columns are consumed scan-side by the hash and must
+    // never ride an exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("frame#") && !l.contains("media#")), p)
+    // the band-key Generates (the shiftright bit-arithmetic of
+    // simHashBandKeys over a Long sig — the frame-sampling sequence
+    // explode legitimately sits pre-boundary) consume the
+    // distinct-signature aggregate, never per-frame member rows
+    val opt = SparkEntry.queries("pl9_multimodal_dedup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val lines = opt.linesIterator.toSeq
+    val genIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("posexplode") &&
+        l.contains("shiftright(sig#") => i
+    }
+    assert(genIdx.nonEmpty, opt)
+    genIdx.foreach { i =>
+      val below = lines.drop(i + 1).take(3)
+      assert(below.exists(l => l.contains("Aggregate [frame_no#") ||
+        l.contains("Aggregate [sig#")),
+        s"band-key Generate not fed by the distinct (frame_no, sig) " +
+          s"aggregate:\n${lines.slice(i, i + 4).mkString("\n")}")
+    }
   }
 
   test("sim3_topk_ivf: centroid assignment is a partial-agg max_by, not a corpus-wide window sort") {
