@@ -557,7 +557,7 @@ object StreamingRun {
     * watermark row, so an empty file (a micro-batch that advances the
     * batch counter but not the watermark) would silently desynchronize
     * the replay from the exec by one batch. */
-  private def stageEventsOrdered(s: SparkSession, dir: String,
+  private[streaming] def stageEventsOrdered(s: SparkSession, dir: String,
       nFiles: Int, bumpMod: Int, dropMod: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(nFiles > 4, "need nFiles > 4 so the +3 straggler set exists")
@@ -624,7 +624,7 @@ object StreamingRun {
     * the sorted (relative name, size, mtime-ms) of every parquet file
     * under `dir` — filesystem metadata only, no Spark job. Any in-place
     * regeneration of the table changes at least one component. */
-  private def sourceFingerprint(dir: String): String = {
+  private[streaming] def sourceFingerprint(dir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dir)

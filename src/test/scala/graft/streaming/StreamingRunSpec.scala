@@ -406,6 +406,34 @@ class StreamingRunSpec extends SparkTestBase {
     assert(heldBack > 0L, "geometry should hold back some trailing views")
   }
 
+  test("stageEventsOrdered: in-place regeneration of the source table invalidates the staged cache") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a private copy of the events table we can mutate
+    val dir = Files.createTempDirectory("graft-fp-test")
+    val ev = dir.resolve("events.parquet")
+    Files.copy(Paths.get(sfDir, "events.parquet"), ev,
+      StandardCopyOption.REPLACE_EXISTING)
+    val fp1 = StreamingRun.sourceFingerprint(dir.toString)
+    val staged1 = StreamingRun.stageEventsOrdered(spark, dir.toString,
+      nFiles = 5, bumpMod = 97, dropMod = 89)
+    // same content -> same fingerprint, same staged dir (cache hit)
+    assert(StreamingRun.sourceFingerprint(dir.toString) == fp1)
+    assert(StreamingRun.stageEventsOrdered(spark, dir.toString,
+      5, 97, 89) == staged1)
+    // "regenerate" the table in place (mtime moves, as any writer's
+    // would) -> fingerprint changes -> a DIFFERENT staged dir is built,
+    // so a stream can never replay stale files against a fresh oracle
+    Files.setLastModifiedTime(ev,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(ev).toMillis + 60000L))
+    val fp2 = StreamingRun.sourceFingerprint(dir.toString)
+    assert(fp2 != fp1)
+    val staged2 = StreamingRun.stageEventsOrdered(spark, dir.toString,
+      5, 97, 89)
+    assert(staged2 != staged1,
+      s"stale staged dir adopted after source regeneration: $staged1")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
