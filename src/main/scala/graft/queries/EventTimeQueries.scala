@@ -135,6 +135,15 @@ object EventTimeQueries extends QueryModule {
     "w17_streaming_interval_join_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.intervalJoinWatermarked(s, d)),
 
+    // K9: QUERYABLE STATE — the tumbling aggregation's state store read
+    // back as a table through Spark's statestore data source (the
+    // reference's TSS / #[table] mid-run queryability, reading the
+    // checkpoint's state files directly instead of exporting). Oracle =
+    // the plain batch aggregate: state ≡ recompute IS the state store's
+    // correctness contract.
+    "k9_queryable_state" -> ((s, d) =>
+      graft.streaming.StreamingRun.queryableState(s, d)),
+
     "w9_streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingRun.drainComplete(s,
         graft.streaming.StreamingRun.eventsStream(s, d)
@@ -384,6 +393,17 @@ object EventTimeQueries extends QueryModule {
 
     "w11_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // k9: the state store's aggregation buffers must equal the batch
+    // recompute, buffer-for-buffer (integer micro-unit sums, exact)
+    "k9_queryable_state" ->
+      """SELECT make_timestamp(
+        |    ((epoch_us(ts) // 1000) // 86400000) * 86400000 * 1000)
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // w15: replay of the staged watermark run, constants single-sourced
     // with StreamingRun.tumblingDailyWatermarked's defaults (5 files,

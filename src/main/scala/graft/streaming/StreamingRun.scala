@@ -163,6 +163,63 @@ object StreamingRun {
     s.table(name)
   }
 
+  /** QUERYABLE STATE: run the tumbling daily aggregation through the
+    * streaming path, keep its checkpoint, and read the operator's STATE
+    * STORE back as a DataFrame through Spark's state-store reader data
+    * source (`format("statestore")`, SPARK-45511) — the direct analog
+    * of the reference's queryable table-state snapshots
+    * (`/root/reference/arcon/src/table/mod.rs` / the TSS path that
+    * materializes `#[table]` state as Arrow tables mid-run). The
+    * snapshot-export pattern ([[Snapshots]]) copies state OUT through
+    * `foreachBatch`; this reads the checkpoint's state files THEMSELVES
+    * — no export job, any batch version, the tool a 100 TB deployment
+    * uses to debug a stateful query without touching its run. The
+    * result is one row per live state entry (here: per (window,
+    * event_type) aggregation buffer), so the driver oracle is the plain
+    * batch aggregate — state-vs-recompute equality is exactly the
+    * correctness contract of the state store.
+    *
+    * Sums are integer micro-units (the w12 discipline) so the state
+    * buffer's Long survives the cross-engine compare bit-exactly. */
+  def queryableState(s: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val plan = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+    val name = "graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.getOption(spKey)
+    s.conf.set(spKey, drainStatePartitions.toString)
+    var q: StreamingQuery = null
+    try {
+      q = plan.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      inspect(q)
+    } finally {
+      if (q != null) q.stop()
+      prevSp match {
+        case Some(p) => s.conf.set(spKey, p)
+        case None => s.conf.unset(spKey)
+      }
+      // checkpoint deliberately KEPT: it is the table being read
+    }
+    s.read.format("statestore").option("path", ckpt.toString).load()
+      .select(col("key.window.start").as("window_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").as("sum_value_micros"))
+  }
+
   /** w1's tumbling daily aggregation through the streaming path —
     * the driver-visible streaming-execution oracle row. Identical
     * output contract to the batch `w1_tumbling`, identical oracle. */

@@ -406,6 +406,27 @@ class StreamingRunSpec extends SparkTestBase {
     assert(heldBack > 0L, "geometry should hold back some trailing views")
   }
 
+  test("k9 queryable state: the statestore reader returns the live aggregation buffers, equal to the batch recompute") {
+    var plan = ""
+    val got = StreamingRun.queryableState(spark, sfDir,
+        inspect = q => plan = planOf(q))
+      .collect().map(_.toSeq).toSet
+    // the state being read came from the real stateful exec
+    assert(plan.contains("StateStoreSave"), plan)
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"state != recompute; only-got: ${(got -- want).take(3)}, " +
+        s"only-want: ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("stageEventsOrdered: in-place regeneration of the source table invalidates the staged cache") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // a private copy of the events table we can mutate
