@@ -334,14 +334,22 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64,
       multiProbe: Boolean = true,
-      maxCandidatePairs: Long = 10000000L): DataFrame = {
+      maxCandidatePairs: Long = 10000000L,
+      reliable: Boolean = false): DataFrame = {
+    // the [[Dedup.clusters]] staging trade: localCheckpoint truncates
+    // lineage into executor-local blocks (fast, but a lost executor
+    // loses an unrecomputable partition — acceptable for bounded
+    // re-runnable jobs); `reliable = true` stages the two
+    // materializations here through the reliable checkpoint directory
+    // for long multi-TB runs
+    def stage(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val (exact, _) = bucketExprs(vecCol, nPlanes, dim, multiProbe)
     // ONE corpus scan + signature eval, shared by the guard's volume
     // aggregate and both roles of the self-join below
-    val signed = corpus.filter(col(vecCol).isNotNull)
+    val signed = stage(corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        exact.as("__sig"))
-      .localCheckpoint()
+        exact.as("__sig")))
     def probedSig = probedBuckets(col("__sig"), nPlanes, multiProbe)
     if (maxCandidatePairs < Long.MaxValue) {
       val v = Dedup.crossBlockVolume(
@@ -366,14 +374,13 @@ object Similarity {
       probedSig.as("bucket"))
     val c = signed.select(col("__id").as("neighbor_id"),
       col("__v").as("cv"), col("__sig").as("bucket"))
-    val edges = rankTopK(
+    val edges = stage(rankTopK(
       q.join(c, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("qv"), col("cv")).as("cosine")), k)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
-        col("cosine"), col("rank"))
-      .localCheckpoint()
+        col("cosine"), col("rank")))
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(true).as("mutual"))
     edges.join(rev, Seq("src_id", "dst_id"), "left")
