@@ -477,6 +477,15 @@ object StreamingRun {
       nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
       dropMod: Int = 89, gapMinutes: Int = 30,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    // the flat-oracle exactness proof needs gap ≪ delay (an accepted
+    // straggler's distance to any evicted session's end is ≥ the delay;
+    // it must exceed the merge gap by a wide margin) — fail loud if a
+    // caller erodes that geometry rather than silently desynchronizing
+    // the oracle
+    require(gapMinutes.toLong * 60000L * 8L <= delayDays.toLong * 86400000L,
+      s"sessionWatermarked's flat oracle requires gap << delay " +
+        s"(got gap ${gapMinutes}m vs delay ${delayDays}d); see the " +
+        "scaladoc's exactness argument")
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     val schema = s.read.parquet(staged).schema // metadata-only
     val stream = s.readStream.schema(schema)
