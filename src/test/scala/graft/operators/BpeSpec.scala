@@ -156,9 +156,15 @@ class BpeSpec extends SparkTestBase {
       val gotVocab = model.vocab.collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val wantVocab = wantHist.map { case (w, syms) => w -> syms.mkString(" ") }
-      val ok = gotMerges == wantMerges && gotVocab == wantVocab &&
-        model.distributedRounds >= 1 &&
-        model.distributedRounds <= gotMerges.length.max(1)
+      // a corpus whose every word is a single symbol has NO pairs: the
+      // first pair-count job comes back empty and the loop exhausts at
+      // zero rounds (merges empty on both trainers) — otherwise at
+      // least one round ran and batching can only SHRINK the count
+      val roundsOk =
+        if (gotMerges.isEmpty) model.distributedRounds == 0
+        else model.distributedRounds >= 1 &&
+          model.distributedRounds <= gotMerges.length
+      val ok = gotMerges == wantMerges && gotVocab == wantVocab && roundsOk
       if (!ok) println(s"texts=$texts k=$k m=$m rounds=${model.distributedRounds}\n" +
         s"got  $gotMerges / $gotVocab\nwant $wantMerges / $wantVocab")
       ok
