@@ -1076,6 +1076,47 @@ class DedupSpec extends SparkTestBase {
       s"misaligned frames paired: $got")
   }
 
+  test("perceptualFrameDup equals the per-frame brute force on random corpora (banding lossless, groups independent)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genBytes = for {
+      n <- Gen.choose(0, 40)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bs.map(_.toByte).toArray
+    val genFrame = for {
+      id <- Gen.choose(1L, 8L)
+      fno <- Gen.choose(0, 3)
+      base <- genBytes
+      // bias toward collisions: sometimes reuse a tiny shared payload
+      shared <- Gen.oneOf(true, false)
+    } yield (id, fno, if (shared) Array[Byte](1, 2, 3, 4, 5) else base)
+    val genCorpus = Gen.nonEmptyListOf(genFrame).map(_.distinctBy(r => (r._1, r._2)))
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val got = Dedup.perceptualFrameDup(
+        rows.toDF("doc_id", "frame_no", "frame"),
+        "doc_id", "frame_no", "frame", maxHamming = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // brute force: per frame_no, all id pairs within hamming 3 of the
+      // same pure-Scala hash the native expression computes
+      val sig = rows.map { case (id, fno, bs) =>
+        (id, fno) -> graft.functions.NativeText.aHash61(bs) }.toMap
+      val want = (for {
+        ((a, fa), sa) <- sig.toSeq
+        ((b, fb), sb) <- sig.toSeq
+        if fa == fb && a < b
+        h = java.lang.Long.bitCount(sa ^ sb).toLong
+        if h <= 3
+      } yield (fa, a, b, h)).toSet
+      val ok = got == want
+      if (!ok) println(s"rows=${rows.map(r => (r._1, r._2, r._3.toSeq))}\n" +
+        s"got $got\nwant $want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dd13 realistic canary: salted-corpus anchor buckets grow ~linearly, hottest bucket stays doc-local") {
     // the bench artifact's receipt, asserted here at sf0.01 so a
     // regression in the salting/volume machinery is caught before a
