@@ -135,6 +135,15 @@ object EventTimeQueries extends QueryModule {
     "w17_streaming_interval_join_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.intervalJoinWatermarked(s, d)),
 
+    // K10: the HOLDBACK half of the allowed-lateness contract, read
+    // from state: after w15's staged watermarked append run, the
+    // operator's final state holds exactly the windows whose end the
+    // final eviction watermark never passed (w15's output is the
+    // emitted complement). Oracle = w15's accepted-row replay with the
+    // final-horizon filter flipped.
+    "k10_watermark_held_state" -> ((s, d) =>
+      graft.streaming.StreamingRun.watermarkHeldState(s, d)),
+
     // K9: QUERYABLE STATE — the tumbling aggregation's state store read
     // back as a table through Spark's statestore data source (the
     // reference's TSS / #[table] mid-run queryability, reading the
@@ -393,6 +402,35 @@ object EventTimeQueries extends QueryModule {
 
     "w11_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // k10: w15's oracle with the final-horizon filter FLIPPED — the
+    // state after the final batch holds the accepted rows of windows
+    // the final eviction watermark never passed (w15 emits the others)
+    "k10_watermark_held_state" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    max(mx) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000 AS late_wm_ms
+        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
+        |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
+        |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
+        |FROM ev JOIN wm USING (b), fin
+        |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+        |  AND ev.wend_ms > fin.wm_ms
+        |GROUP BY 1, 2""".stripMargin,
 
     // k9: the state store's aggregation buffers must equal the batch
     // recompute, buffer-for-buffer (integer micro-unit sums, exact)

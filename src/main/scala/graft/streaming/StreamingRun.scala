@@ -220,6 +220,63 @@ object StreamingRun {
         col("value.sum").as("sum_value_micros"))
   }
 
+  /** [[queryableState]] composed with the w15 watermark protocol: run
+    * the staged APPEND-mode watermarked aggregation
+    * ([[tumblingDailyWatermarked]]'s exact plan), keep its checkpoint,
+    * and read back the operator's FINAL state — the HELD-BACK windows,
+    * i.e. the ones whose end the final eviction watermark never passed
+    * and which w15 therefore never emits. Until now the holdback half
+    * of the allowed-lateness contract was only reasoned about (w15's
+    * oracle checks the EMITTED half); this row makes it driver-checked:
+    * held state ∪ w15's emitted output = every accepted row's window,
+    * disjointly. Oracle = the same accepted-row replay as w15 with the
+    * final-horizon filter FLIPPED (`end > final wm`). State buffers are
+    * integer micro-units, exact cross-engine. */
+  def watermarkHeldState(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val plan = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", s"$delayDays days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val name = "graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.getOption(spKey)
+    s.conf.set(spKey, drainStatePartitions.toString)
+    var q: StreamingQuery = null
+    try {
+      q = plan.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      inspect(q)
+    } finally {
+      if (q != null) q.stop()
+      prevSp match {
+        case Some(p) => s.conf.set(spKey, p)
+        case None => s.conf.unset(spKey)
+      }
+      // checkpoint deliberately KEPT: it is the table being read
+    }
+    s.read.format("statestore").option("path", ckpt.toString).load()
+      .select(col("key.window.start").as("window_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").as("sum_value_micros"))
+  }
+
   /** w1's tumbling daily aggregation through the streaming path —
     * the driver-visible streaming-execution oracle row. Identical
     * output contract to the batch `w1_tumbling`, identical oracle. */

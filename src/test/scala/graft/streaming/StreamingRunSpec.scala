@@ -427,6 +427,46 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("k10: held state and w15's emitted output partition the accepted windows exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val emitted = graft.queries.EventTimeQueries
+      .defs("w15_streaming_watermark")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val held = StreamingRun.watermarkHeldState(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // same output shape -> direct set algebra; the two must be disjoint
+    assert(emitted.nonEmpty && held.nonEmpty)
+    assert((emitted & held).isEmpty,
+      s"a window appears both emitted and held: ${(emitted & held).take(3)}")
+    // their union = the aggregate over ALL accepted rows (the w15
+    // replay with no final-horizon filter): nothing accepted is lost,
+    // nothing dropped sneaks into state
+    val n = 5; val delayMs = 2L * 86400000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("b", StreamingRun.watermarkBatchIndex(n, 97, 89))
+      .withColumn("ts_ms", floor(unix_micros(col("ts")) / 1000))
+      .withColumn("wend_ms",
+        (floor(col("ts_ms") / 86400000L) + 1) * 86400000L)
+    val wm = ev.groupBy(col("b")).agg(max(col("ts_ms")).as("mx"))
+      .withColumn("late_wm_ms",
+        max(col("mx")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -2)) - delayMs)
+      .select(col("b"), col("late_wm_ms"))
+    val accepted = ev.join(wm, Seq("b"))
+      .filter(col("late_wm_ms").isNull || col("wend_ms") > col("late_wm_ms"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert((emitted | held) == accepted,
+      s"missing: ${(accepted -- emitted -- held).take(3)}; " +
+        s"extra: ${((emitted | held) -- accepted).take(3)}")
+  }
+
   test("stageEventsOrdered: in-place regeneration of the source table invalidates the staged cache") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // a private copy of the events table we can mutate
