@@ -954,7 +954,7 @@ object Dedup {
   def frameBandVolume(frames: DataFrame, idCol: String,
       frameNoCol: String, mediaCol: String, maxHamming: Int): BlockVolume =
     blockVolume(
-      frames.filter(col(mediaCol).isNotNull)
+      frames.filter(col(mediaCol).isNotNull && col(idCol).isNotNull)
         .select(col(frameNoCol), col(idCol).as("id"),
           coalesce(aHash61(col(mediaCol)), lit(0L)).as("sig"))
         .dropDuplicates(frameNoCol, "sig")
@@ -968,7 +968,7 @@ object Dedup {
       srcCol: String, sigExpr: org.apache.spark.sql.Column,
       maxHamming: Int): BlockVolume =
     blockVolume(
-      docs.filter(col(srcCol).isNotNull)
+      docs.filter(col(srcCol).isNotNull && col(idCol).isNotNull)
         .select(col(idCol).as("id"), coalesce(sigExpr, lit(0L)).as("sig"))
         .dropDuplicates("sig")
         .select(col("sig"), posexplode(simHashBandKeys(col("sig"), maxHamming)))

@@ -113,6 +113,27 @@ object EventTimeQueries extends QueryModule {
     "w15_streaming_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.tumblingDailyWatermarked(s, d)),
 
+    // W18: CHECKPOINT RESTORE under the driver oracle — w15's staged
+    // protocol killed after batch nFiles−2 and restarted from its own
+    // checkpoint (a NEW query on the same checkpoint dir, asserted to
+    // resume: first executed batch ≥ nFiles−1). The union of the two
+    // runs' emissions must equal w15's single-run output — the oracle
+    // IS w15's replay verbatim, so a restore that loses state, replays
+    // input, double-emits, or mis-recovers the watermark hash-fails.
+    // The reference's exactly-once epoch-snapshotting headline
+    // (arcon/src/lib.rs:16-19) as a driver-checked row.
+    "w18_streaming_restore" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDailyWatermarkedRestored(s, d)),
+
+    // K11: TIME-TRAVEL state read — the statestore reader pinned to
+    // mid-protocol batch 2 of w15's staged run (k9/k10 read the LAST
+    // version; this reads an interior epoch, the reference's per-epoch
+    // SnapshotManager catalog semantics). Oracle = the accepted rows of
+    // batches ≤ 2 whose windows batch 2's eviction horizon had not yet
+    // passed (derivation in StreamingRun.stateTimeTravel's scaladoc).
+    "k11_state_time_travel" -> ((s, d) =>
+      graft.streaming.StreamingRun.stateTimeTravel(s, d)),
+
     // W16: SESSION windows in APPEND mode under the same staged
     // advancing watermark — MergingSessions eviction under the driver
     // oracle. Within-lateness stragglers merge into their still-open
@@ -349,6 +370,37 @@ object EventTimeQueries extends QueryModule {
       |  count(*) AS n, sum(value) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** w15's replay: the staged batch index (same ntile + straggler mods
+    * as StreamingRun.watermarkBatchIndex), the per-batch two-value
+    * watermark (late filter lags eviction by one batch, SPARK-40925),
+    * emission iff the final eviction watermark passed the window end.
+    * Shared VERBATIM by w18 (restore must be output-invisible). */
+  private val w15Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    epoch_us(ts) // 1000 AS ts_ms,
+      |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+      |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+      |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+      |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+      |  FROM events),
+      |wm AS (
+      |  SELECT b,
+      |    max(mx) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |      - 172800000 AS late_wm_ms
+      |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
+      |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
+      |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micros
+      |FROM ev JOIN wm USING (b), fin
+      |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+      |  AND ev.wend_ms <= fin.wm_ms
+      |GROUP BY 1, 2""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "w1_tumbling" -> tumblingDailySql,
 
@@ -451,7 +503,21 @@ object EventTimeQueries extends QueryModule {
     // window end exceeds the LAGGED watermark (data through batch b-2,
     // ms floor, minus delay — SPARK-40925's two-value contract); a
     // window appears iff its end <= the final eviction watermark.
-    "w15_streaming_watermark" ->
+    "w15_streaming_watermark" -> w15Sql,
+
+    // w18: the oracle is w15's replay VERBATIM — restore must be
+    // output-invisible (the protocol restarts before the last file,
+    // the one point where the restart's event-time-stats loss cannot
+    // shift any late-filter decision; derivation in
+    // StreamingRun.tumblingDailyWatermarkedRestored's scaladoc).
+    "w18_streaming_restore" -> w15Sql,
+
+    // k11: the state as committed by batch 2 — accepted rows of
+    // batches ≤ 2 (per-batch two-value late filter, same wm CTE as
+    // w15) whose window end exceeds batch 2's eviction horizon
+    // wm(data ≤ 1). "Accepted ⇒ still open" (the one-batch filter lag)
+    // guarantees held state = accepted minus emitted with no overlap.
+    "k11_state_time_travel" ->
       """WITH ev AS (
         |  SELECT event_type, value,
         |    epoch_us(ts) // 1000 AS ts_ms,
@@ -467,14 +533,16 @@ object EventTimeQueries extends QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
         |      - 172800000 AS late_wm_ms
         |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-        |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
+        |hor AS (SELECT max(ts_ms) - 172800000 AS evict_ms
+        |        FROM ev WHERE b <= 1)
         |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
         |    AS sum_value_micros
-        |FROM ev JOIN wm USING (b), fin
-        |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
-        |  AND ev.wend_ms <= fin.wm_ms
+        |FROM ev JOIN wm USING (b), hor
+        |WHERE ev.b <= 2
+        |  AND (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+        |  AND ev.wend_ms > hor.evict_ms
         |GROUP BY 1, 2""".stripMargin,
 
     // w16: the session analog of w15's replay, same staged batches and

@@ -123,24 +123,42 @@ object StreamingRun {
       inspect: StreamingQuery => Unit): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    // size state partitions to the drain's keyed-state volume (see
-    // drainStatePartitions); the conf is read at stream START and only
-    // affects THIS query's state layout — the batch readout of the
-    // memory sink runs under the restored session setting
+    // the checkpoint is single-use (unique sink name per call): remove
+    // it so repeated bench/verify invocations don't accumulate temp dirs
+    try runToMemorySink(s, plan, mode, name, ckpt.toString, inspect)
+    finally deleteTree(ckpt)
+    s.table(name)
+  }
+
+  /** The one streaming-drive primitive every oracle drain shares: start
+    * `plan` into a named memory sink on `ckpt` under
+    * `Trigger.AvailableNow`, block until drained, always stop the query
+    * and restore the session's shuffle-partition setting (state
+    * partitions are sized to the drain's keyed-state volume — see
+    * [[drainStatePartitions]]; the conf is read at stream START and only
+    * affects THIS query's state layout). `noDataBatches` optionally pins
+    * `spark.sql.streaming.noDataMicroBatches.enabled` for this run only
+    * (the restore protocol stops run 1 WITHOUT the trailing no-data
+    * batch so the recovered watermark is the one a crash would leave).
+    * start() sits INSIDE the try: a streaming-plan analysis error at
+    * start must still restore the session confs, or every later batch
+    * query in the session runs at the drain's 8 partitions. */
+  private def runToMemorySink(s: SparkSession, plan: DataFrame, mode: String,
+      name: String, ckpt: String, inspect: StreamingQuery => Unit,
+      noDataBatches: Option[Boolean] = None): Unit = {
     val spKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevSp = s.conf.getOption(spKey)
+    val prevNd = s.conf.getOption(ndKey)
     s.conf.set(spKey, drainStatePartitions.toString)
-    // start() sits INSIDE the try: a streaming-plan analysis error at
-    // start must still restore the session's shuffle-partition setting
-    // and remove the checkpoint temp dir, or every later batch query
-    // in the session runs at the drain's 8 partitions
+    noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
     var q: StreamingQuery = null
     try {
       q = plan.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -151,16 +169,11 @@ object StreamingRun {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)
       }
-      // the checkpoint is single-use (unique sink name per call): remove
-      // it so repeated bench/verify invocations don't accumulate temp dirs
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+      if (noDataBatches.isDefined) prevNd match {
+        case Some(p) => s.conf.set(ndKey, p)
+        case None => s.conf.unset(ndKey)
       }
-      ()
     }
-    s.table(name)
   }
 
   /** QUERYABLE STATE: run the tumbling daily aggregation through the
@@ -182,42 +195,66 @@ object StreamingRun {
     * Sums are integer micro-units (the w12 discipline) so the state
     * buffer's Long survives the cross-engine compare bit-exactly. */
   def queryableState(s: SparkSession, dir: String,
-      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    drainToState(s,
+      eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(1e6)).cast("long"))
+            .as("sum_value_micros")),
+      mode = "complete", batchId = None, inspect = inspect)
+
+  /** Drain a streaming-aggregation `plan` into a throwaway memory sink,
+    * then read the operator's state store back as a DataFrame through
+    * Spark's statestore data source (SPARK-45511) — optionally at a
+    * specific committed `batchId` (time travel; None = last committed).
+    * The ONE drive/read/cleanup path shared by k9 (last state), k10
+    * (held watermark state) and k11 (mid-protocol state) — advisor r17:
+    * the drain block was previously duplicated per method, and the kept
+    * checkpoints leaked. The checkpoint IS the table being read, so it
+    * must outlive the streaming query — but not the call: the projected
+    * state read is eagerly `localCheckpoint`ed (state rows are
+    * #windows × #keys, bounded by the window calendar — driver-safe by
+    * construction) and the checkpoint dir deleted immediately after, so
+    * bench/verify repeats leave /tmp flat. */
+  private def drainToState(s: SparkSession, plan: DataFrame, mode: String,
+      batchId: Option[Long],
+      inspect: StreamingQuery => Unit): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
-    val plan = eventsStream(s, dir)
+    val name = "graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      runToMemorySink(s, plan, mode, name, ckpt.toString, inspect)
+      val reader = s.read.format("statestore").option("path", ckpt.toString)
+      batchId.fold(reader)(b => reader.option("batchId", b)).load()
+        .select(col("key.window.start").as("window_start"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          col("value.sum").as("sum_value_micros"))
+        .localCheckpoint()
+    } finally {
+      deleteTree(ckpt)
+      scala.util.Try(s.catalog.dropTempView(name))
+      ()
+    }
+  }
+
+  /** The staged watermarked tumbling-daily aggregation — ONE plan
+    * definition shared by w15 (emitted output), k10 (held final state),
+    * k11 (time-travel state) and w18 (restore): any plan edit lands in
+    * every consumer, so the k10 "held ∪ emitted = accepted" and k11/w18
+    * prefix contracts break loudly in their specs instead of silently
+    * desynchronizing (advisor r17). */
+  private def watermarkedTumblingPlan(s: SparkSession, stagedDir: String,
+      delayDays: Int): DataFrame = {
+    val schema = s.read.parquet(stagedDir).schema // metadata-only
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .withWatermark("ts", s"$delayDays days")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * lit(1e6)).cast("long"))
           .as("sum_value_micros"))
-    val name = "graft_state_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = s.conf.getOption(spKey)
-    s.conf.set(spKey, drainStatePartitions.toString)
-    var q: StreamingQuery = null
-    try {
-      q = plan.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      inspect(q)
-    } finally {
-      if (q != null) q.stop()
-      prevSp match {
-        case Some(p) => s.conf.set(spKey, p)
-        case None => s.conf.unset(spKey)
-      }
-      // checkpoint deliberately KEPT: it is the table being read
-    }
-    s.read.format("statestore").option("path", ckpt.toString).load()
-      .select(col("key.window.start").as("window_start"),
-        col("key.event_type").as("event_type"),
-        col("value.count").as("n"),
-        col("value.sum").as("sum_value_micros"))
   }
 
   /** [[queryableState]] composed with the w15 watermark protocol: run
@@ -237,44 +274,38 @@ object StreamingRun {
       dropMod: Int = 89,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val schema = s.read.parquet(staged).schema // metadata-only
-    val plan = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-      .withWatermark("ts", s"$delayDays days")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * lit(1e6)).cast("long"))
-          .as("sum_value_micros"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
-    val name = "graft_state_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = s.conf.getOption(spKey)
-    s.conf.set(spKey, drainStatePartitions.toString)
-    var q: StreamingQuery = null
-    try {
-      q = plan.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      inspect(q)
-    } finally {
-      if (q != null) q.stop()
-      prevSp match {
-        case Some(p) => s.conf.set(spKey, p)
-        case None => s.conf.unset(spKey)
-      }
-      // checkpoint deliberately KEPT: it is the table being read
-    }
-    s.read.format("statestore").option("path", ckpt.toString).load()
-      .select(col("key.window.start").as("window_start"),
-        col("key.event_type").as("event_type"),
-        col("value.count").as("n"),
-        col("value.sum").as("sum_value_micros"))
+    drainToState(s, watermarkedTumblingPlan(s, staged, delayDays),
+      mode = "append", batchId = None, inspect = inspect)
+  }
+
+  /** TIME-TRAVEL state read — [[watermarkHeldState]] at a MID-PROTOCOL
+    * batch: the same staged watermarked run, but the statestore reader's
+    * `batchId` option pins the read to the state AS COMMITTED BY batch
+    * `batchId` instead of the final version. This is the per-epoch half
+    * of the reference's TSS/SnapshotManager contract
+    * (`/root/reference/arcon/src/manager/snapshot.rs:39-135` keeps a
+    * catalog of every epoch's snapshot and serves reads at any of them);
+    * k9/k10 proved the LAST version queryable, this row proves the
+    * HISTORY is.
+    *
+    * What the state provably holds after batch k (derivation, pinned by
+    * the driver oracle): every row of batches ≤ k that survived its
+    * arrival batch's late filter (two-value contract: batch j filters
+    * against wm(data ≤ j−2)) and whose window the eviction horizon at
+    * batch k — wm(data ≤ k−1) — has not yet passed. The two halves
+    * cannot overlap-or-gap: a row surviving batch j's late filter has
+    * window end > wm(data ≤ j−2) = the eviction horizon of batch j−1,
+    * so its window can never have been emitted before it arrives —
+    * Spark lags the late filter one batch behind eviction precisely to
+    * make "accepted ⇒ still open" airtight, and this query is that
+    * invariant made driver-visible at an interior epoch. */
+  def stateTimeTravel(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89, batchId: Long = 2L,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    drainToState(s, watermarkedTumblingPlan(s, staged, delayDays),
+      mode = "append", batchId = Some(batchId), inspect = inspect)
   }
 
   /** w1's tumbling daily aggregation through the streaming path —
@@ -478,19 +509,140 @@ object StreamingRun {
       dropMod: Int = 89,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val schema = s.read.parquet(staged).schema // metadata-only
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-    drainAppend(s,
-      stream
-        .withWatermark("ts", s"$delayDays days")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * lit(1e6)).cast("long"))
-            .as("sum_value_micros")),
-      inspect)
+    drainAppend(s, watermarkedTumblingPlan(s, staged, delayDays), inspect)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_micros"))
+  }
+
+  /** CHECKPOINT RESTORE under the driver oracle — the reference's
+    * headline exactly-once epoch-snapshotting claim
+    * (`/root/reference/arcon/src/lib.rs:16-19`; the barrier/replay
+    * protocol `/root/reference/arcon/src/stream/node/mod.rs:406-453`)
+    * driven through a real kill-and-restart: [[tumblingDailyWatermarked]]'s
+    * exact plan is run over the staged files with only the first
+    * `nFiles − 1` visible, stopped after they drain (run 1 commits
+    * batches 0..nFiles−2), the last file is then revealed and a NEW
+    * query started on the SAME checkpoint (run 2 — its first executed
+    * batch is asserted ≥ nFiles−1, so it provably resumed rather than
+    * reprocessed). The emitted union of the two runs must equal w15's
+    * single-run output row for row — the oracle is w15's replay
+    * VERBATIM, which makes the restore itself the thing under test:
+    * every window emitted after the restart is aggregated from
+    * RECOVERED state (+ the last file), the recovered watermark gates
+    * the last file's late drops, and nothing double-emits (run 1's
+    * emissions evicted their state; a lossy or duplicating restore
+    * shows up as a count/sum/row mismatch).
+    *
+    * Why the oracle can be verbatim (the protocol's one geometric
+    * choice): run 1 is driven with no-data micro-batches DISABLED, so
+    * it stops exactly where a crash after batch nFiles−2's commit would
+    * — the checkpoint's last offset entry carries watermark
+    * wm(data ≤ nFiles−3). Spark cannot recover the in-memory event-time
+    * stats of the last pre-stop batch, so the restarted batch runs with
+    * late filter = that recovered value — which, for batch nFiles−1, is
+    * exactly the two-value contract's wm(data ≤ (nFiles−1)−2) from the
+    * uninterrupted run. Restarting anywhere EARLIER would leave some
+    * later file filtered against a one-batch-stale watermark (the
+    * stats-loss shifts that file's late decisions); restarting before
+    * the LAST file is the one point where stats loss is output-
+    * invisible. Eviction timing differs (the restarted batch evicts
+    * with the recovered watermark, one batch stale) but the trailing
+    * no-data batch of run 2 evicts with wm(all data), so the emitted
+    * SET is identical — emission timing is not part of the output
+    * contract. */
+  def tumblingDailyWatermarkedRestored(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    // a query-private reveal dir (symlinks into the shared staged cache,
+    // which is never mutated) + a persistent-for-the-call checkpoint
+    val reveal = Files.createTempDirectory("graft-stream-restore")
+    val ckpt = Files.createTempDirectory("graft-stream-restore-ckpt")
+    // a DURABLE sink, not the memory sink of the other drains: recovery
+    // from a checkpoint requires a fault-tolerant sink (the memory sink
+    // refuses — its contents died with run 1, exactly what the
+    // exactly-once contract must survive). The parquet sink's
+    // _spark_metadata commit log is checkpoint-coupled, so run 2
+    // APPENDS to the same directory and the final read sees exactly the
+    // committed union of both runs — the production deployment shape.
+    val out = Files.createTempDirectory("graft-stream-restore-out")
+    def reveal1(k: Int): Unit = {
+      val fn = f"b$k%03d.parquet"
+      Files.createSymbolicLink(reveal.resolve(fn), Paths.get(staged, fn))
+    }
+    try {
+      (0 until nFiles - 1).foreach(reveal1)
+      // run 1: drain the visible prefix; no-data batches OFF so the run
+      // stops at the post-commit point a crash would leave (see scaladoc)
+      runToParquetSink(s,
+        watermarkedTumblingPlan(s, reveal.toString, delayDays),
+        out.toString, ckpt.toString, _ => (),
+        noDataBatches = Some(false))
+      reveal1(nFiles - 1)
+      // run 2: a NEW query on the SAME checkpoint — prove it resumed
+      runToParquetSink(s,
+        watermarkedTumblingPlan(s, reveal.toString, delayDays),
+        out.toString, ckpt.toString,
+        q => {
+          val progresses = q.recentProgress
+          require(progresses.nonEmpty && progresses.map(_.batchId).min >= nFiles - 1,
+            s"restore run re-executed early batches (ids " +
+              s"${progresses.map(_.batchId).sorted.mkString(",")}) — the " +
+              "checkpoint was not resumed")
+          require(progresses.map(_.numInputRows).sum > 0,
+            "restore run processed no input — the revealed last file " +
+              "was not picked up")
+          inspectRestored(q)
+        })
+      s.read.parquet(out.toString)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value_micros"))
+        .localCheckpoint()
+    } finally {
+      deleteTree(ckpt)
+      deleteTree(reveal)
+      deleteTree(out)
+    }
+  }
+
+  /** [[runToMemorySink]]'s durable twin: drive `plan` into a parquet
+    * file sink (append mode — the only mode file sinks support) under
+    * `Trigger.AvailableNow` on `ckpt`, which may be a PREVIOUS run's
+    * checkpoint — the file sink participates in recovery, the memory
+    * sink does not. */
+  private def runToParquetSink(s: SparkSession, plan: DataFrame,
+      outDir: String, ckpt: String, inspect: StreamingQuery => Unit,
+      noDataBatches: Option[Boolean] = None): Unit = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevSp = s.conf.getOption(spKey)
+    val prevNd = s.conf.getOption(ndKey)
+    s.conf.set(spKey, drainStatePartitions.toString)
+    noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
+    var q: StreamingQuery = null
+    try {
+      q = plan.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      inspect(q)
+    } finally {
+      if (q != null) q.stop()
+      prevSp match {
+        case Some(p) => s.conf.set(spKey, p)
+        case None => s.conf.unset(spKey)
+      }
+      if (noDataBatches.isDefined) prevNd match {
+        case Some(p) => s.conf.set(ndKey, p)
+        case None => s.conf.unset(ndKey)
+      }
+    }
   }
 
   /** w9's SESSION windows in APPEND mode under a REAL advancing
@@ -722,25 +874,40 @@ object StreamingRun {
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
     }
+    deleteTree(tmp)
+    Files.createFile(build.resolve("_STAGED"))
+    // publish: the build dir either becomes the root (success), or a
+    // racing winner's complete dir is adopted, or a STALE partial root
+    // (a crashed pre-publish builder — no _STAGED marker) is cleared and
+    // the publish retried once; the private build dir is best-effort
+    // removed in every losing path (a no-op when the move succeeded)
+    try {
+      try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if Files.exists(root.resolve("_STAGED")) =>
+          () // lost the publish race: adopt the winner's complete dir
+        case _: java.nio.file.FileSystemException =>
+          deleteTree(root)
+          try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+                if Files.exists(root.resolve("_STAGED")) => ()
+          }
+      }
+    } finally deleteTree(build)
+    root.toString
+  }
+
+  /** Best-effort recursive delete (reverse walk order: children first);
+    * silently tolerates a missing or concurrently-removed path. */
+  private[streaming] def deleteTree(p: java.nio.file.Path): Unit = {
     scala.util.Try {
       import scala.jdk.CollectionConverters._
-      Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    Files.createFile(build.resolve("_STAGED"))
-    try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
-    catch { // lost the publish race: adopt the winner's complete dir
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.FileSystemException
-        if Files.exists(root.resolve("_STAGED")) =>
-        scala.util.Try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(build).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
-        }
-    }
-    root.toString
+    ()
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over
