@@ -180,11 +180,29 @@ object TrainingDataQueries extends QueryModule {
   /** [[incrBatchDocs]] over an arbitrary (doc_id, text) frame — the
     * derivation w14's streaming gate applies to the `readStream` read
     * of the same table (one rule, both execution paths). */
-  private[graft] def incrBatchOf(docs: DataFrame): DataFrame = {
-    newCrawlOf(docs).union(
-      docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+  private[graft] def incrBatchOf(docs: DataFrame): DataFrame =
+    incrBatchKeeping(docs, Nil)
+
+  /** [[incrBatchOf]] KEEPING per-doc metadata columns — pl10's
+    * streaming curation derivation: the same three branches (exact
+    * re-crawls of every 10th doc, 4/5-prefix changed pages, token-
+    * reversed novel pages of every 13th), each derived row carrying
+    * `extraCols` (source, arrival_ts) through unchanged. ONE definition
+    * for both execution paths and both oracles. */
+  private[graft] def incrBatchKeeping(docs: DataFrame,
+      extraCols: Seq[String]): DataFrame = {
+    val extras = extraCols.map(col)
+    val ts = split(col("text"), " ")
+    val nKeep = greatest(floor(size(ts) * 4 / 5), lit(1)).cast("int")
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id") +: col("text") +: extras: _*)
+    val changed = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id") +:
+        array_join(slice(ts, lit(1), nKeep), " ").as("text") +: extras: _*)
+    val novel = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id") +:
+        array_join(reverse(split(col("text"), " ")), " ").as("text") +: extras: _*)
+    exact.union(changed).union(novel)
   }
 
   /** `copies`-fold self-union of a (doc_id, text, …) corpus with id
@@ -1423,8 +1441,32 @@ object TrainingDataQueries extends QueryModule {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_frames_matched"),
           min(col("hamming")).as("min_hamming"))
-        .filter(col("n_frames_matched") >= 2))
+        .filter(col("n_frames_matched") >= 2)),
+
+    // The STREAMING curation pipeline end-to-end: staged crawl drops
+    // (one file per micro-batch, day-stamped) → the dd14 fuzzy ingest
+    // gate against the frozen prior (two stream-static joins) → x15's
+    // stateless Gopher battery → TWO chained streaming window
+    // aggregations producing per-(day, source, fate) counts in append
+    // mode under a real advancing watermark. The derivation is
+    // incrBatchKeeping — incrBatchOf's three branches carrying
+    // (source, arrival_ts) through — so the oracle's batch CTE and the
+    // stream gate one ingest rule. Plan story and at-scale shape in
+    // StreamingRun.curationPipeline's scaladoc.
+    "pl10_streaming_curation" -> ((s, d) => {
+      val staged =
+        graft.streaming.StreamingRun.stageDocsOrdered(s, d, pl10Files)
+      graft.streaming.StreamingRun.curationPipeline(s, staged,
+        prior = Tables.documents(s, d).select(col("doc_id"), col("text")),
+        deriveBatch = docs =>
+          incrBatchKeeping(docs, Seq("source", "arrival_ts")),
+        gopherKeep = GopherRules.keep(col("text")))
+    })
   )
+
+  /** pl10's staged crawl-drop count — interpolated into the oracle's
+    * ntile and passed to the stager (one source of truth). */
+  private val pl10Files = 4
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Shared fragments below; every hash/fold matches the
@@ -3082,7 +3124,51 @@ object TrainingDataQueries extends QueryModule {
          |FROM batch b
          |LEFT JOIN exact_kept e ON e.doc_id = b.doc_id
          |LEFT JOIN best ON best.bid = b.doc_id
-         |LEFT JOIN gop g ON g.doc_id = b.doc_id""".stripMargin
+         |LEFT JOIN gop g ON g.doc_id = b.doc_id""".stripMargin,
+
+    // pl10: the streaming curation pipeline's per-(day, source, fate)
+    // counts — the batch composition of the dd14 gate CTEs + x15's
+    // battery over the SAME derived ingest batch, grouped by the staged
+    // drop index (ntile(4) by doc_id, the stageDocsOrdered assignment)
+    // and its day window (day k of 2020-01-01 UTC). near_dup = any gate
+    // candidate verified at jaccard ≥ 0.5 (EXISTS ≡ best non-null).
+    "pl10_streaming_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, source,
+         |    ntile($pl10Files) OVER (ORDER BY doc_id) - 1 AS b
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text, source, b
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest((len(string_split(text, ' ')) * 4) // 5, 1)), ' ')
+         |      AS text,
+         |    source, b
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |      AS text,
+         |    source, b
+         |  FROM base WHERE doc_id % 13 = 0),
+         |${gateCtes("batch")},
+         |gop AS (
+         |${x15SqlFor("batch")}
+         |)
+         |SELECT make_timestamp(
+         |    (CAST(1577836800 AS BIGINT) + 86400 * b.b) * 1000000)
+         |    AS window_start,
+         |  b.source,
+         |  CASE WHEN best.bid IS NOT NULL THEN 'near_dup'
+         |       WHEN NOT g.keep THEN 'low_quality'
+         |       ELSE 'kept' END AS fate,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM batch b
+         |LEFT JOIN best ON best.bid = b.doc_id
+         |JOIN gop g ON g.doc_id = b.doc_id
+         |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the

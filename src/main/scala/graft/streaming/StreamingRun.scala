@@ -861,26 +861,43 @@ object StreamingRun {
       require(!batch.isEmpty, s"staged watermark batch $k is empty — " +
         "an empty micro-batch advances the batch counter without a " +
         "watermark row and desynchronizes the oracle's filter-lag replay")
-      batch.write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator()
-      var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
-      val dst = build.resolve(f"b$k%03d.parquet")
-      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      // strictly increasing mtimes: the file source's delivery order
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      writeStagedFile(batch, tmp, build, k)
     }
     deleteTree(tmp)
+    publishStaged(build, root)
+    root.toString
+  }
+
+  /** Write one already-coalesced staged batch as `build/bKKK.parquet`
+    * with a strictly increasing mtime (the file source's delivery
+    * order), via a scratch write under `tmp`. */
+  private def writeStagedFile(batch: DataFrame, tmp: java.nio.file.Path,
+      build: java.nio.file.Path, k: Int): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    val dst = build.resolve(f"b$k%03d.parquet")
+    Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+  }
+
+  /** Publish a fully-built staging dir: mark `build` complete
+    * (_STAGED), then ONE atomic rename into `root`. The build dir
+    * either becomes the root (success), or a racing winner's complete
+    * dir is adopted, or a STALE partial root (a crashed pre-publish
+    * builder — no _STAGED marker) is cleared and the publish retried
+    * once; the private build dir is best-effort removed in every losing
+    * path (a no-op when the move succeeded). */
+  private def publishStaged(build: java.nio.file.Path,
+      root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     Files.createFile(build.resolve("_STAGED"))
-    // publish: the build dir either becomes the root (success), or a
-    // racing winner's complete dir is adopted, or a STALE partial root
-    // (a crashed pre-publish builder — no _STAGED marker) is cleared and
-    // the publish retried once; the private build dir is best-effort
-    // removed in every losing path (a no-op when the move succeeded)
     try {
       try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -896,7 +913,6 @@ object StreamingRun {
           }
       }
     } finally deleteTree(build)
-    root.toString
   }
 
   /** Best-effort recursive delete (reverse walk order: children first);
@@ -908,6 +924,157 @@ object StreamingRun {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
     ()
+  }
+
+  /** The pl10 sentinel document id: divisible by BOTH ingest-derivation
+    * mods (10 and 13), so every derived branch of the curation stream
+    * carries a sentinel row and no branch's event-time tracker can hold
+    * the global watermark back; far above any real or derived doc id. */
+  private[streaming] val CurationSentinelId = 130000000L
+
+  /** Epoch seconds of the staged crawl-drop arrival times: file k
+    * arrives at noon UTC of day k from 2020-01-01 (the noon offset
+    * keeps every arrival strictly inside its day window). */
+  private[streaming] def curationArrivalSec(k: Int): Long =
+    1577880000L + 86400L * k
+
+  /** Stage the documents table as `nFiles` single-parquet crawl drops
+    * by doc_id ntile — file k carrying `arrival_ts` = day k noon — plus
+    * ONE far-future sentinel row (day 1000) in a final file. The
+    * sentinel's only job is to advance the watermark past every real
+    * day so the append-mode curation windows flush (a bounded stream's
+    * watermark otherwise never passes the last day); its own windows
+    * are held in state forever and never emitted, so it is invisible in
+    * the output — the day-close punctuation a production feed gets from
+    * the next day's first arrival. Same fingerprint-keyed cache +
+    * atomic-publish discipline as [[stageEventsOrdered]]. */
+  private[graft] def stageDocsOrdered(s: SparkSession, dir: String,
+      nFiles: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    val fp = sourceFingerprint(dir)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"docs|$dir|$fp|$nFiles|doc_id,text,source,arrival_ts"))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-docs-$tag")
+    if (Files.exists(root.resolve("_STAGED"))) return root.toString
+    val build = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-docs-$tag.build-${java.lang.ProcessHandle.current().pid()}")
+    Files.createDirectories(build)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .withColumn("__b", ntile(nFiles).over(Window.orderBy(col("doc_id"))) - 1)
+      .localCheckpoint() // one sort, nFiles filtered writes below
+    val tmp = build.resolve("tmp")
+    (0 until nFiles).foreach { k =>
+      val batch = docs.filter(col("__b") === k).drop("__b")
+        .withColumn("arrival_ts",
+          timestamp_seconds(lit(curationArrivalSec(k))))
+        .coalesce(1).localCheckpoint()
+      require(!batch.isEmpty, s"staged curation drop $k is empty — an " +
+        "empty micro-batch desynchronizes the oracle's ntile replay")
+      writeStagedFile(batch, tmp, build, k)
+    }
+    val sentinel = docs.limit(1)
+      .select(lit(CurationSentinelId).as("doc_id"),
+        lit("sentinel close of feed").as("text"),
+        lit("sentinel").as("source"),
+        timestamp_seconds(lit(curationArrivalSec(1000))).as("arrival_ts"))
+      .coalesce(1).localCheckpoint()
+    writeStagedFile(sentinel, tmp, build, nFiles)
+    deleteTree(tmp)
+    publishStaged(build, root)
+    root.toString
+  }
+
+  /** The STREAMING curation pipeline (pl10) — the LLM-data operators
+    * composed on the streaming path, the reference's actual deployment
+    * shape (`/root/reference/arcon/examples/stateful.rs` lineage:
+    * source → stateless transforms → keyed windowed state): staged
+    * crawl drops arrive one file per micro-batch, each derived ingest
+    * doc is gated against the frozen prior corpus by the dd14 MinHash
+    * band gate (two stream-static left joins — the prior never rides a
+    * stream shuffle) and scored by the stateless x15 Gopher battery,
+    * then TWO CHAINED streaming window aggregations
+    * (`StateStoreSaveExec` × 2, Spark's multiple-stateful-operator
+    * path) produce per-(day, source, fate) accept/reject counts in
+    * APPEND mode under a real advancing watermark:
+    *
+    *  - agg 1 groups (day window, doc) and reduces the band-join rows
+    *    to one verdict per doc: `is_dup` = any candidate at
+    *    jaccard ≥ threshold (the gate's keep test needs EXISTS, not the
+    *    argmax — so the verdict is mergeable across micro-batches),
+    *    plus the doc's constant source and Gopher flag;
+    *  - agg 2 re-windows agg 1's emitted verdicts (`window(window)`,
+    *    the chained-aggregation contract) into the fate counts.
+    *
+    * A day's counts therefore emit only after the watermark passes the
+    * day — the sentinel drop ([[stageDocsOrdered]]) closes the feed —
+    * and each emission is final-on-arrival: the daily curation report a
+    * production ingest publishes. The oracle replays the whole
+    * composition in SQL (same ntile drop assignment, dd14's band CTEs,
+    * x15's battery) grouped by (day, source, fate).
+    *
+    * Derivation and gates arrive as ARGUMENTS (the ingest-batch rule
+    * lives with its oracle CTE in TrainingDataQueries; the Gopher gate
+    * is [[graft.operators.GopherRules.keep]]) so each stays
+    * single-sourced. At 100 TB: the stream side shuffles band keys and
+    * day×doc verdicts (day-sized, never corpus-sized); the prior's two
+    * static tables are the materialized index a production gate keeps
+    * between days; state is one row per open (day, doc) + one per open
+    * (day, source, fate). */
+  def curationPipeline(s: SparkSession, stagedDir: String, prior: DataFrame,
+      deriveBatch: DataFrame => DataFrame,
+      gopherKeep: org.apache.spark.sql.Column,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import graft.functions.TextFunctions.{jaccardShingles, minHashBandKeys, shingleHashes}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val schema = s.read.parquet(stagedDir).schema // metadata-only
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    // watermark ABOVE the derivation union: one tracker fed by every
+    // derived row (declaring it on the source would let Catalyst push
+    // the derivation filters below the watermark node and split the
+    // tracker per branch — the w17 per-side behavior, unwanted here)
+    val batch = deriveBatch(stream).withWatermark("arrival_ts", "1 hour")
+    val bandRows = batch.filter(col("doc_id").isNotNull)
+      .select(col("arrival_ts"), col("source"), gopherKeep.as("gq"),
+        col("doc_id").as("bid"),
+        shingleHashes(col("text"), shingleK).as("bsh"),
+        posexplode_outer(
+          minHashBandKeys(col("text"), shingleK, numHashes, bands))
+          .as(Seq("band", "band_key")))
+    val cleanPrior = prior.filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val priorIndex = cleanPrior.select(col("doc_id").as("pid"), posexplode(
+        minHashBandKeys(col("text"), shingleK, numHashes, bands))
+        .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col("pid"))
+    val priorSh = cleanPrior.select(col("doc_id").as("pid"),
+      shingleHashes(col("text"), shingleK).as("psh"))
+    val verdicts = bandRows
+      .join(priorIndex, Seq("band", "band_key"), "left_outer")
+      .join(priorSh, Seq("pid"), "left_outer")
+      .select(col("arrival_ts"), col("source"), col("gq"), col("bid"),
+        when(col("pid").isNotNull,
+          jaccardShingles(col("bsh"), col("psh"))).as("jaccard"))
+    val perDoc = verdicts
+      .groupBy(window(col("arrival_ts"), "1 day"), col("bid"))
+      .agg(any_value(col("source")).as("source"),
+        any_value(col("gq")).as("gq"),
+        max(coalesce(col("jaccard") >= threshold, lit(false))).as("is_dup"))
+    val counts = perDoc
+      .select(col("window"), col("source"),
+        when(col("is_dup"), lit("near_dup"))
+          .when(!col("gq"), lit("low_quality"))
+          .otherwise(lit("kept")).as("fate"))
+      .groupBy(window(col("window"), "1 day"), col("source"), col("fate"))
+      .agg(count(lit(1)).as("n_docs"))
+    drainAppend(s, counts, inspect)
+      .select(col("window.start").as("window_start"), col("source"),
+        col("fate"), col("n_docs"))
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over
