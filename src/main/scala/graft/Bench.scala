@@ -132,6 +132,77 @@ object CanaryHealth {
   */
 object Bench {
 
+  /** Per-(query, failure-class) task-failure ledger. The driver's r17
+    * bench stdout carried an anonymous retried-task stack with
+    * `errors_n = 0` — Spark retried it silently, and nothing recorded
+    * WHICH query retried or why, even though a silently-retried lost
+    * `localCheckpoint` block is the exact failure mode the `reliable`
+    * staging knob exists for. This listener counts every non-successful
+    * task end, keyed to the query/section running at the time; the
+    * artifact ships the ledger as `task_failures` and the clean-record
+    * protocol asserts it EMPTY (a retry both contaminates the affected
+    * cell's timing and names a recompute-safety hazard to chase). */
+  private[graft] final class TaskFailureTracker
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var current: String = "startup"
+    private val counts = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.util.concurrent.atomic.AtomicLong]()
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      e.reason match {
+        case org.apache.spark.Success => ()
+        case ef: org.apache.spark.ExceptionFailure => record(ef.className)
+        case r => record(r.getClass.getSimpleName.stripSuffix("$"))
+      }
+    private def record(reason: String): Unit = {
+      counts.computeIfAbsent((current, reason),
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+      ()
+    }
+    /** `{"<query>":{"<failure class>":n,…},…}` — empty on a clean run. */
+    def json: String = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.map { case ((q, r), n) => (q, r, n.get) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (q, rs) =>
+          "\"" + q + "\":" + rs.sortBy(_._2)
+            .map { case (_, r, n) => "\"" + r + "\":" + n }
+            .mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+    }
+  }
+
+  /** The carried-cell regression rule (r17 verdict: round-over-round
+    * perf regressions were adjudicated by prose; x11's r16 flag took a
+    * judge to spot). A cell regresses vs the previous committed record
+    * iff its median grew BOTH >1.5× and >0.3 s absolute — the ratio
+    * bound alone would flag scheduler noise on sub-0.3 s cells, the
+    * absolute bound alone would miss a big cell doubling. Clean-run
+    * medians vary ~±10% cell-to-cell run-to-run; 1.5× is far outside
+    * that band. */
+  private[graft] def isRegression(prev: Double, now: Double): Boolean =
+    prev > 0 && now / prev > 1.5 && now - prev > 0.3
+
+  /** Extract the per-query medians (the `"queries":{...}` object) from
+    * a previous `bench_result.json`, plus its contention flag. Returns
+    * None when the file is missing, unparsable, or a `"filtered"` spot
+    * run (a SPARK_GRAFT_ONLY smoke is not a baseline). Hand-rolled
+    * extraction — the artifact is this object's own single-line JSON. */
+  private[graft] def parsePrevRecord(txt: String): Option[(Map[String, Double], Boolean)] = {
+    if (txt.contains("\"filtered\":true")) return None
+    val start = txt.indexOf("\"queries\":{")
+    if (start < 0) return None
+    val end = txt.indexOf("}", start)
+    if (end < 0) return None
+    val body = txt.substring(start + "\"queries\":{".length, end)
+    val medians = "\"([A-Za-z0-9_]+)\":([-+0-9.eE]+)".r
+      .findAllMatchIn(body)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+    if (medians.isEmpty) None
+    else Some((medians, txt.contains("\"contention_warning\":true")))
+  }
+
   /** One streaming-leg run: engine-time throughput plus the
     * engine-reported phase breakdown ("where does the time go") and the
     * per-batch trigger-duration percentiles (the record end-to-end
@@ -438,6 +509,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the previous committed record is the working-tree artifact — read
+    // it BEFORE this run overwrites the file (regression baseline)
+    val prevRecord = scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_result.json")))
+      .toOption.flatMap(parsePrevRecord)
+    val taskFailures = new TaskFailureTracker
+    spark.sparkContext.addSparkListener(taskFailures)
+
     val loadStart = loadavg()
     // Broad JVM warm-up BEFORE the start calibration: calibrate()'s own
     // plateau only warms its narrow range-sum loop, while the END
@@ -481,6 +560,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) => DataFrame)
         : Option[(Double, Double, Double)] =
       try {
+        taskFailures.current = name
         checksum(fn(spark, sfDir)) // warm-up: JVM/codegen/file-cache
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -564,6 +644,7 @@ object Bench {
     val streaming =
       if (only.isEmpty)
         try {
+          taskFailures.current = "streaming_legs"
           // leg 1 (historical comparability): 5-wave feed-and-wait
           val w = streamingLeg(spark, total = 500000, waves = Some(5))
           // leg 2 (PRIMARY): pre-staged AvailableNow — engine-only.
@@ -596,6 +677,7 @@ object Bench {
     val stateCurve =
       if (only.isEmpty)
         try {
+          taskFailures.current = "state_size_curve"
           val clKey = "spark.sql.streaming.stateStore.rocksdb." +
             "changelogCheckpointing.enabled"
           val prior = spark.conf.getOption(clKey)
@@ -634,6 +716,7 @@ object Bench {
     val blockVol =
       if (only.isEmpty)
         try {
+          taskFailures.current = "block_volume"
           def volJson(v: graft.operators.Dedup.BlockVolume): String =
             s"""{"n_blocks":${v.nBlocks},"max_block":${v.maxBlock},"total_pairs":${v.totalPairs}}"""
           val v1 = graft.queries.TrainingDataQueries
@@ -672,6 +755,7 @@ object Bench {
       else ""
 
     val calibEndStart = offNow()
+    taskFailures.current = "calibration_end"
     val calibEnd = calibrate(spark)
     val loadEnd = loadavg()
     val drift = if (calibStart > 0) calibEnd / calibStart else -1.0
@@ -711,7 +795,27 @@ object Bench {
         s""""section_start_sec":{"batch":0.0,"streaming":$streamingStart,""" +
         s""""state_size_curve":$stateCurveStart,""" +
         s""""block_volume":$blockVolStart,"calib_end":$calibEndStart},""" +
-        s""""contention_warning":$contended}"""
+        s""""contention_warning":$contended}""" +
+        s""","task_failures":${taskFailures.json}"""
+
+    // round-over-round carried-cell tripwire (isRegression): each cell's
+    // median vs the previous artifact in the working tree. Emitted only
+    // on full runs with a usable (unfiltered) baseline; baseline_warn
+    // marks a contended baseline, whose ratios are advisory at best.
+    val perfRegs = prevRecord match {
+      case Some((prevMedians, prevWarn)) if only.isEmpty =>
+        val regressed = results.collect {
+          case (k, v) if prevMedians.get(k).exists(isRegression(_, v._2)) =>
+            val p = prevMedians(k)
+            f""""$k":{"prev":$p%.3f,"now":${v._2}%.3f,"ratio":${v._2 / p}%.2f}"""
+        }
+        if (regressed.nonEmpty)
+          System.err.println(s"[bench] PERF REGRESSION vs previous " +
+            s"record: ${regressed.mkString("; ")}")
+        s""","perf_regressions":{"baseline_warn":$prevWarn,""" +
+          s""""regressed":${regressed.mkString("{", ",", "}")}}"""
+      case _ => ""
+    }
 
     // standing notes the artifact should carry (cost trades + env
     // limits). The streaming / block-volume narratives are emitted ONLY
@@ -729,7 +833,11 @@ object Bench {
       "hit by a transient stall are re-measured once post-run " +
       "(remeasured_queries, original triples kept in first_pass_times); " +
       "dispersed_queries lists cells whose FINAL measurement still " +
-      "exceeds 2x. "
+      "exceeds 2x. task_failures ledgers every retried/failed task by " +
+      "(query, failure class) - the clean-record bar is EMPTY (a retry " +
+      "contaminates its cell's timing and may name a lost-block " +
+      "recompute hazard); perf_regressions machine-checks carried cells " +
+      "vs the previous committed record (>1.5x AND >0.3s). "
     val streamingNote = if (only.isEmpty)
       "streaming_availablenow (median of 5 in-process runs, untimed " +
       "warm-ups, tmpfs checkpoints, providers unloaded between runs) is " +
@@ -791,7 +899,7 @@ object Bench {
       "connector unchanged on a real cluster."
     val filtered = if (only.isEmpty) "" else ""","filtered":true"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$stateCurve$blockVol$sentinel$filtered,"sf":"$sfDir","notes":"$notes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$streaming$stateCurve$blockVol$sentinel$perfRegs$filtered,"sf":"$sfDir","notes":"$notes"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), fullJson)
     // Compact stdout line (see class doc for why ≤ 1600 chars): total,

@@ -51,6 +51,54 @@ class BenchCanarySpec extends SparkTestBase {
     assert(health("not_a_canary", a, a, 1.0) == "unknown")
   }
 
+  test("isRegression: needs BOTH >1.5x ratio and >0.3s absolute growth") {
+    assert(Bench.isRegression(prev = 1.0, now = 1.9))
+    assert(!Bench.isRegression(prev = 1.0, now = 1.4)) // ratio too small
+    assert(!Bench.isRegression(prev = 0.1, now = 0.3)) // 3x but tiny cell
+    assert(!Bench.isRegression(prev = 0.0, now = 5.0)) // no baseline
+    assert(Bench.isRegression(prev = 0.3, now = 0.7))
+    assert(!Bench.isRegression(prev = 2.0, now = 2.9)) // +0.9s but 1.45x
+  }
+
+  test("parsePrevRecord: extracts medians + warn flag, rejects filtered smokes") {
+    val rec = """{"metric":"total","value":3.2,"unit":"sec",""" +
+      """"queries":{"q1_agg":1.25,"t1_filter":0.05},"errors":{},""" +
+      """"sentinel":{"contention_warning":false},"sf":"x","notes":""}"""
+    assert(Bench.parsePrevRecord(rec) ==
+      Some((Map("q1_agg" -> 1.25, "t1_filter" -> 0.05), false)))
+    val warned = rec.replace("\"contention_warning\":false",
+      "\"contention_warning\":true")
+    assert(Bench.parsePrevRecord(warned).exists(_._2))
+    assert(Bench.parsePrevRecord(
+      rec.replace(""""errors":{}""", """"errors":{},"filtered":true""")).isEmpty)
+    assert(Bench.parsePrevRecord("{}").isEmpty)
+    assert(Bench.parsePrevRecord("""{"queries":{}}""").isEmpty)
+  }
+
+  test("TaskFailureTracker: empty ledger on a clean run, keyed counts otherwise") {
+    val t = new Bench.TaskFailureTracker
+    assert(t.json == "{}")
+    // a real failed task end, driven through the listener surface: run a
+    // job whose single task throws once then succeeds on retry
+    t.current = "probe_query"
+    spark.sparkContext.addSparkListener(t)
+    try {
+      // local mode runs with task maxFailures = 1, so the job aborts —
+      // the SparkListenerTaskEnd(ExceptionFailure) event fires either way
+      intercept[org.apache.spark.SparkException] {
+        spark.sparkContext.parallelize(Seq(1), 1)
+          .map { _: Int => throw new IllegalStateException("planted"); 0 }
+          .collect()
+      }
+      // listener bus is async: poll until the failure event lands
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (t.json == "{}" && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(t.json.contains("\"probe_query\""))
+      assert(t.json.contains("IllegalStateException"))
+    } finally spark.sparkContext.removeSparkListener(t)
+  }
+
   test("declared rule kinds match each canary family's documented shape") {
     // realistic (sparse-dup) rows and distinct-signature banding are
     // linear; perturbed self-unions saturate by the planted-copy
