@@ -127,6 +127,49 @@ class Stream[T](val ds: Dataset[T], val conf: SourceConf[T],
   def withWatermark(tsCol: String, delay: String): Stream[T] =
     new Stream(ds.withWatermark(tsCol, delay), conf, watermarked = true)
 
+  /** Per-SIDE watermark: [[withWatermark]] composed with a
+    * side-selecting predicate — the production shape for carving
+    * independent logical streams (a views side and a purchases side)
+    * out of one physical source before a stream-stream join, when the
+    * sides' event times advance at different paces.
+    *
+    * The executed semantics are an optimizer interaction this method
+    * turns into a documented contract (empirically pinned by the w17
+    * driver oracle and the StreamingRunSpec progress-trace assertion):
+    * `sidePredicate` must not reference the event-time column, so
+    * Catalyst pushes it BELOW the `EventTimeWatermark` node — THIS
+    * side's tracker therefore advances only on rows matching the
+    * predicate, and a query joining two such sides runs under global
+    * watermark = min(side trackers), exactly as two separate source
+    * topics would. (Writing `.where(pred).withWatermark(...)` produces
+    * the identical executed plan — the pushdown normalizes both; the
+    * point of the method is that the per-side behavior is guaranteed,
+    * not rediscovered.) A predicate that DOES reference the event-time
+    * column would pin the filter above the watermark node and change
+    * the tracker's population — rejected loudly. */
+  def withPerSideWatermark(tsCol: String, delay: String,
+      sidePredicate: org.apache.spark.sql.Column): Stream[T] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    val composed = ds.withWatermark(tsCol, delay).where(sidePredicate)
+    // resolved-plan check (Column trees are lazy in Spark 4, so the
+    // predicate's references are only knowable after analysis): the
+    // topmost Filter is the side predicate; it must not reference the
+    // watermark node's event-time attribute
+    val analyzed = composed.queryExecution.analyzed
+    val etAttr = analyzed.collectFirst {
+      case w: EventTimeWatermark => w.eventTime }
+    val refsEventTime = (for {
+      et <- etAttr
+      f <- analyzed.collectFirst { case f: Filter => f }
+    } yield f.condition.references.exists(_.exprId == et.exprId))
+      .getOrElse(false)
+    require(!refsEventTime,
+      s"withPerSideWatermark's side predicate must not reference the " +
+        s"event-time column '$tsCol' — such a filter stays ABOVE the " +
+        "watermark node and the side's tracker would see pre-filter rows")
+    new Stream(composed, conf, watermarked = true)
+  }
+
   // ---- sinks (SURVEY §2.5) ----
 
   /** K1 `print()` sink (ChannelKind::Console). Streaming returns the

@@ -771,17 +771,20 @@ object StreamingRun {
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     val schema = s.read.parquet(staged).schema // metadata-only
-    // withWatermark before the event-type filter in the DSL, but the
-    // EXECUTED tracker is per-side: the optimizer pushes the filter
-    // below the watermark node, so each side advances on its own rows
-    // (see the scaladoc — the global watermark is the min of the two)
-    def side() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-      .withWatermark("ts", s"$delayDays days")
-    val views = side().filter(col("event_type") === "view")
+    // each side through the DSL's withPerSideWatermark — the API
+    // contract for the executed per-side tracker (the event-type filter
+    // lands below the watermark node, so each side advances on its own
+    // rows and the global watermark is the min of the two)
+    def side(pred: org.apache.spark.sql.Column) =
+      new graft.api.Stream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged),
+        graft.api.SourceConf[org.apache.spark.sql.Row]())
+        .withPerSideWatermark("ts", s"$delayDays days", pred).ds
+    val views = side(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
-    val purchases = side().filter(col("event_type") === "purchase")
+    val purchases = side(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
     val joined = views.join(purchases,

@@ -131,4 +131,23 @@ class StreamDslSpec extends SparkTestBase {
       .keyBy(_ % 2).aggregate(avg).debug().toMap
     assert(out == Map(0L -> 4.0, 1L -> 5.0))
   }
+
+  test("withPerSideWatermark rejects a predicate referencing the event-time column") {
+    import org.apache.spark.sql.functions.col
+    // must be a STREAMING frame: on batch input the analyzer eliminates
+    // the EventTimeWatermark node and there is no tracker to protect
+    val df = spark.readStream.format("rate").load() // (timestamp, value)
+    val s = new Stream(df, SourceConf[org.apache.spark.sql.Row]())
+    // the legal shape composes (executed per-side semantics are pinned
+    // by StreamingRunSpec's w17 progress-trace assertion)
+    assert(s.withPerSideWatermark("timestamp", "1 hour",
+      col("value") % 2 === 0).watermarked)
+    // an event-time-referencing predicate would sit ABOVE the watermark
+    // node and change the tracker's population: fail loud
+    val e = intercept[IllegalArgumentException] {
+      s.withPerSideWatermark("timestamp", "1 hour",
+        col("timestamp") > "2020-01-01" && col("value") % 2 === 0)
+    }
+    assert(e.getMessage.contains("event-time"))
+  }
 }

@@ -327,6 +327,7 @@ class StreamingRunSpec extends SparkTestBase {
     var plan = ""
     var dropped = 0L
     var removed = 0L
+    var traceWms = Seq.empty[String]
     val got = StreamingRun.intervalJoinWatermarked(spark, sfDir,
         nFiles = 5, delayDays = 2, bumpMod = 97, dropMod = 89,
         windowHours = 12,
@@ -335,6 +336,8 @@ class StreamingRunSpec extends SparkTestBase {
           val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
           dropped = ops.map(_.numRowsDroppedByWatermark).sum
           removed = ops.map(_.numRowsRemoved).sum
+          traceWms = q.recentProgress.toSeq
+            .flatMap(p => Option(p.eventTime.get("watermark")))
         })
       .collect().map(_.toSeq).toSet
     assert(plan.contains("StreamingSymmetricHashJoin"), plan)
@@ -404,6 +407,20 @@ class StreamingRunSpec extends SparkTestBase {
       .filter(col("purchase_id").isNull && col("v_us") + winUs >= finWmUs)
       .count()
     assert(heldBack > 0L, "geometry should hold back some trailing views")
+    // the PROGRESS-TRACE pin of withPerSideWatermark's contract: the
+    // executed global watermark is min(side trackers) — its final value
+    // must be min(view max, purchase max) − delay, NOT the all-rows max
+    // − delay a single shared tracker would produce
+    val lastWmMs = traceWms.map(w =>
+      java.time.Instant.parse(w).toEpochMilli).max
+    assert(lastWmMs == finWmUs / 1000,
+      s"executed final watermark ${lastWmMs}ms != per-side min " +
+        s"${finWmUs / 1000}ms — the per-side tracker contract broke")
+    val sharedTrackerWmMs = math.max(mm.getLong(0), mm.getLong(1)) - delayMs
+    assert(lastWmMs != sharedTrackerWmMs,
+      "final watermark equals the shared-tracker value — the sides' " +
+        "maxes coincide and this geometry cannot distinguish per-side " +
+        "from shared; pick different straggler mods")
   }
 
   test("k9 queryable state: the statestore reader returns the live aggregation buffers, equal to the batch recompute") {
