@@ -102,6 +102,61 @@ object Multimodal {
       frameNoCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     mediaCol.substr(frameNoCol + 1, lit(Int.MaxValue))
 
+  /** REAL image decode — javax.imageio, the one codec this container
+    * does ship (it is the JDK's): media bytes → decoded image →
+    * (width, height, row-major 8-bit grayscale grid). This is the
+    * decoder front the aHash contract documents ("production swaps a
+    * real decoder's grayscale grid in front of the hash and nothing
+    * else changes" — [[graft.operators.Dedup.perceptualHashDup]]):
+    * `aHash61(grid)` downstream is average-hash over REAL decoded
+    * pixels, not byte pooling. Non-gray inputs are luma-converted
+    * through an offscreen TYPE_BYTE_GRAY draw (headless-safe);
+    * grayscale PNG round-trips bit-exactly (lossless format, no color
+    * conversion), which is what lets a codec-less oracle replay the
+    * hash from a known pixel pattern. Partition-local `mapPartitions`,
+    * the [[decodeMeta]] batch shape; an undecodable blob fails loudly
+    * naming the id — a silent skip would desynchronize any
+    * count-carrying oracle. */
+  def decodeLumaGrid(df: DataFrame, idCol: String,
+      mediaCol: String): DataFrame = {
+    val typed = df.filter(col(mediaCol).isNotNull)
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    typed.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable media for id $id")
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(img.getWidth,
+              img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gfx = g.createGraphics()
+            gfx.drawImage(img, 0, 0, null)
+            gfx.dispose()
+            g
+          }
+        val w = gray.getWidth
+        val h = gray.getHeight
+        val raster = gray.getRaster
+        val grid = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            grid(y * w + x) = raster.getSample(x, y, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, grid)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.BINARY))
+      .toDF(idCol, "width", "height", "grid")
+  }
+
   /** Frame sampling: one output row per sampled frame index
     * (0, stride, 2*stride, ... < n_frames, capped at maxFrames rows) —
     * the video-to-training-examples explode, as a generator. */

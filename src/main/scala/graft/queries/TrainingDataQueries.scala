@@ -1248,6 +1248,20 @@ object TrainingDataQueries extends QueryModule {
           "doc_id", "media"),
         "doc_id", stride = 2)),
 
+    // REAL codec round-trip: per document a tiny grayscale PNG (pixel
+    // pattern a pure function of doc_id — see imagePngDocs) is ENCODED
+    // through javax.imageio on the executors, then DECODED back by
+    // Multimodal.decodeLumaGrid (the real-decoder front of the aHash
+    // contract) and average-hashed over the decoded pixels. PNG gray is
+    // lossless, so the oracle replays the hash from the pattern
+    // arithmetic with no codec of its own — a pixel lost or shifted
+    // anywhere in the encode→decode→grid path breaks the hash.
+    "mm4_imageio_roundtrip" -> ((s, d) =>
+      Multimodal.decodeLumaGrid(imagePngDocs(s, d), "doc_id", "media")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
+
     // ---- BPE (learned tokenizer; graft.operators.Bpe) ----
     // Vocabulary induction over the corpus word histogram: one corpus
     // scan, then bpeMerges rounds of pair-count → argmax → merge, all on
@@ -1467,6 +1481,43 @@ object TrainingDataQueries extends QueryModule {
   /** pl10's staged crawl-drop count — interpolated into the oracle's
     * ntile and passed to the stager (one source of truth). */
   private val pl10Files = 4
+
+  /** mm4's real-PNG fixture corpus: per document one tiny 8-bit
+    * grayscale PNG, ENCODED through the real codec (javax.imageio) on
+    * the executors — pixel (x, y) = (doc_id·31 + x·7 + y·13) mod 256,
+    * width doc_id%5+4, height doc_id%3+4. The pattern is a pure
+    * function of doc_id so the DuckDB oracle can recompute the decoded
+    * pixels arithmetically: PNG gray is lossless, hence
+    * decode(encode(pattern)) = pattern and only the Spark side needs a
+    * codec. */
+  private def imagePngDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    Tables.documents(s, d).select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5 + 4).toInt
+          val h = (id % 3 + 4).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "media")
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Shared fragments below; every hash/fold matches the
@@ -2979,6 +3030,37 @@ object TrainingDataQueries extends QueryModule {
         |SELECT doc_id, n_frames,
         |  CAST(f // 2 AS INTEGER) AS sample_no, CAST(f AS INTEGER) AS frame_no
         |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM m)""".stripMargin,
+
+    // mm4: the known pixel pattern recomputed arithmetically (PNG gray
+    // is lossless: decode∘encode = identity), then the aHash61 cell
+    // chain — the pl9/dd15 replay over an int list instead of hex. The
+    // 16-48-pixel grids sit BELOW the 61-cell count, so the empty-cell
+    // (ELSE 0) branch is exercised on every row.
+    "mm4_imageio_roundtrip" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, w * h AS n,
+        |    list_transform(range(w * h), i ->
+        |      (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS bs
+        |  FROM m),
+        |cl AS (
+        |  SELECT doc_id, list_transform(range(61), j ->
+        |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
+        |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
+        |             // (((j+1)*n)//61 - (j*n)//61)
+        |        ELSE 0 END) AS cells
+        |  FROM px),
+        |sig AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(61), j ->
+        |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
+        |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+        |  FROM cl)
+        |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width,
+        |  CAST(m.h AS BIGINT) AS height, sig.ahash
+        |FROM m JOIN sig USING (doc_id)""".stripMargin,
 
     "tk1_bpe_vocab" -> {
       val union = (1 to bpeMerges).map(k =>

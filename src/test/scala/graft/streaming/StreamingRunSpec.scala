@@ -512,6 +512,75 @@ class StreamingRunSpec extends SparkTestBase {
       s"stale staged dir adopted after source regeneration: $staged1")
   }
 
+  test("w18 restore: a query killed mid-protocol and restarted from its checkpoint reproduces w15's single-run output") {
+    var run2Batches = Seq.empty[Long]
+    var run2Evicted = 0L
+    val restored = StreamingRun.tumblingDailyWatermarkedRestored(spark, sfDir,
+        inspectRestored = q => {
+          run2Batches = q.recentProgress.toSeq.map(_.batchId)
+          // in append mode an emitted window IS an evicted state row, and
+          // the file sink does not report numOutputRows — count evictions
+          run2Evicted = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+        })
+      .collect().map(_.toSeq).toSet
+    val single = StreamingRun.tumblingDailyWatermarked(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(restored == single,
+      s"restore is output-visible; only-restored: ${(restored -- single).take(3)}, " +
+        s"only-single: ${(single -- restored).take(3)}")
+    assert(restored.nonEmpty)
+    // the second query provably RESUMED (no batch re-ran)...
+    assert(run2Batches.nonEmpty && run2Batches.min >= 4, s"$run2Batches")
+    // ...and emission is split across the runs: run 2 evicted (emitted)
+    // from RECOVERED state, but not everything (run 1 emitted its prefix)
+    assert(run2Evicted > 0 && run2Evicted < restored.size,
+      s"run 2 evicted $run2Evicted of ${restored.size} — the restart " +
+        "point did not split emissions (protocol degenerated)")
+  }
+
+  test("k11 time travel: the state at batch 2 equals the prefix replay (accepted rows, eviction horizon of batch 2)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = StreamingRun.stateTimeTravel(spark, sfDir, batchId = 2L)
+      .collect().map(_.toSeq).toSet
+    val n = 5; val delayMs = 2L * 86400000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("b", StreamingRun.watermarkBatchIndex(n, 97, 89))
+      .withColumn("ts_ms", floor(unix_micros(col("ts")) / 1000))
+      .withColumn("wend_ms",
+        (floor(col("ts_ms") / 86400000L) + 1) * 86400000L)
+    val wm = ev.groupBy(col("b")).agg(max(col("ts_ms")).as("mx"))
+      .withColumn("late_wm_ms",
+        max(col("mx")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -2)) - delayMs)
+      .select(col("b"), col("late_wm_ms"))
+    val evictMs = ev.filter(col("b") <= 1)
+      .agg(max(col("ts_ms"))).collect()(0).getLong(0) - delayMs
+    val want = ev.join(wm, Seq("b"))
+      .filter(col("b") <= 2)
+      .filter(col("late_wm_ms").isNull || col("wend_ms") > col("late_wm_ms"))
+      .filter(col("wend_ms") > evictMs)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"state@2 != prefix replay; only-got: ${(got -- want).take(3)}, " +
+        s"only-want: ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+    // a mid-protocol version is a STRICT subset of neither k10's final
+    // held state nor the full accepted set — it must differ from the
+    // final version (time travel reads history, not the head)
+    val finalHeld = StreamingRun.watermarkHeldState(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got != finalHeld,
+      "state@2 equals the final state — time travel read the head")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
