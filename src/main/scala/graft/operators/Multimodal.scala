@@ -87,8 +87,14 @@ object Multimodal {
       .toDF(idCol, mediaCol, "n_bytes", "width", "height", "n_frames")
   }
 
-  /** Row shape of [[decodeMetaWithMedia]] (Encoders.tuple caps at 5). */
-  private case class DecodedMedia(id: Long, media: Array[Byte],
+  /** Row shape of [[decodeMetaWithMedia]] (Encoders.tuple caps at 5).
+    * Qualified-private, NOT `private`: a plain-private case class
+    * compiles to JVM-private accessors, which Janino-generated encoder
+    * code cannot call — Spark then silently falls back to an
+    * INTERPRETED projection for every decoded row ("Expr codegen error
+    * and falling back to interpreter mode" in the r18 verify log).
+    * `private[operators]` is public in bytecode, Scala-hidden. */
+  private[operators] case class DecodedMedia(id: Long, media: Array[Byte],
       nBytes: Long, width: Int, height: Int, nFrames: Int)
 
   /** STUB per-frame content extraction (the [[MediaDecoder.stub]]
