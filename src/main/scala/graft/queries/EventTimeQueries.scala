@@ -156,6 +156,15 @@ object EventTimeQueries extends QueryModule {
     "w17_streaming_interval_join_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.intervalJoinWatermarked(s, d)),
 
+    // W19: streaming dedup with BOUNDED state
+    // (dropDuplicatesWithinWatermark) — planted retransmissions inside
+    // the dedup horizon must be suppressed, ones past it re-emit
+    // exactly when the original's state expired behind the eviction
+    // watermark; the oracle replays both decisions per row (see
+    // StreamingRun.dedupWithinWatermark).
+    "w19_streaming_dedup_within_watermark" -> ((s, d) =>
+      graft.streaming.StreamingRun.dedupWithinWatermark(s, d)),
+
     // K10: the HOLDBACK half of the allowed-lateness contract, read
     // from state: after w15's staged watermarked append run, the
     // operator's final state holds exactly the windows whose end the
@@ -454,6 +463,50 @@ object EventTimeQueries extends QueryModule {
 
     "w11_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // w19: the within-watermark dedup replay. Staged rows = originals
+    // (event_id ntile, file b0) + near retransmissions (+1 day, file
+    // b0+1, b0 ≤ 3) + far ones (+5 days, file b0+3, b0 ≤ 1, not also
+    // near). Per batch: late filter at µs vs the LAGGED watermark
+    // (data ≤ b−2, SPARK-40925); per key: the first accepted occurrence
+    // emits and arms expiry = its event time + delay; a second accepted
+    // occurrence emits iff that expiry fell strictly behind ITS batch's
+    // eviction watermark (data ≤ b−1) — otherwise the state entry is
+    // live and the exec suppresses it.
+    "w19_streaming_dedup_within_watermark" ->
+      """WITH base AS (
+        |  SELECT event_id, ts,
+        |    ntile(5) OVER (ORDER BY event_id) - 1 AS b0
+        |  FROM events),
+        |rows0 AS (
+        |  SELECT event_id, ts, b0 AS b FROM base
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 DAY, b0 + 1 FROM base
+        |  WHERE event_id % 7 = 0 AND b0 <= 3
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 5 DAY, b0 + 3 FROM base
+        |  WHERE event_id % 11 = 0 AND event_id % 7 <> 0 AND b0 <= 1),
+        |r AS (SELECT event_id, ts, b, epoch_us(ts) AS ts_us FROM rows0),
+        |wm AS (
+        |  SELECT b,
+        |    (max(mx_ms) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000) * 1000 AS late_wm_us,
+        |    (max(mx_ms) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000) * 1000 AS evict_wm_us
+        |  FROM (SELECT b, max(ts_us // 1000) AS mx_ms FROM r GROUP BY b)),
+        |acc AS (
+        |  SELECT r.*, wm.evict_wm_us FROM r JOIN wm USING (b)
+        |  WHERE wm.late_wm_us IS NULL OR r.ts_us > wm.late_wm_us),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY b) AS rk,
+        |    lag(ts_us) OVER (PARTITION BY event_id ORDER BY b) AS prev_ts_us
+        |  FROM acc)
+        |SELECT event_id, ts FROM ranked
+        |WHERE rk = 1
+        |   OR prev_ts_us + 172800000000 < evict_wm_us""".stripMargin,
 
     // k10: w15's oracle with the final-horizon filter FLIPPED — the
     // state after the final batch holds the accepted rows of windows

@@ -929,6 +929,114 @@ object StreamingRun {
     ()
   }
 
+  /** Stage the WITHIN-WATERMARK dedup protocol (w19): original events
+    * in event_id-ntile order (file k = k-th ntile, every row "on time"
+    * in its own file), plus planted RETRANSMISSIONS of the dedup key:
+    *
+    *  - every `nearMod`-th event re-sent ONE file later at ts + 1 day —
+    *    inside the 2-day dedup horizon, so its key is still in state
+    *    and the exec must DROP it;
+    *  - every `farMod`-th event (not also `nearMod`-divisible) re-sent
+    *    THREE files later at ts + 5 days — far enough that the
+    *    original's state entry (expiry = ts + delay) may have been
+    *    evicted by that batch's watermark, in which case the key
+    *    legitimately RE-EMITS (the documented within-watermark
+    *    guarantee: dedup is promised only within the delay).
+    *
+    * Retransmissions are planted only where their file index stays
+    * strictly past the original's (b0 bounds below): a key never
+    * appears twice in one micro-batch, so which occurrence "wins" is
+    * never an intra-batch race and the per-row replay is exact. The
+    * oracle replays per key: first accepted occurrence emits; a second
+    * accepted occurrence emits iff the first's expiry fell behind its
+    * batch's eviction watermark. Same fingerprint-keyed cache + atomic
+    * publish as [[stageEventsOrdered]]. */
+  private[graft] def stageDedupOrdered(s: SparkSession, dir: String,
+      nFiles: Int, nearMod: Int, farMod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    require(nFiles > 4, "need nFiles > 4 so the far retransmissions exist")
+    val fp = sourceFingerprint(dir)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"dedup|$dir|$fp|$nFiles|$nearMod|$farMod|event_id,ts"))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-dd-$tag")
+    if (Files.exists(root.resolve("_STAGED"))) return root.toString
+    val build = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-dd-$tag.build-${java.lang.ProcessHandle.current().pid()}")
+    Files.createDirectories(build)
+    val base = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"))
+      .withColumn("b0", ntile(nFiles).over(Window.orderBy(col("event_id"))) - 1)
+    val near = base
+      .filter(col("event_id") % nearMod === 0 && col("b0") <= nFiles - 2)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("ts"),
+        (col("b0") + 1).as("__b"))
+    val far = base
+      .filter(col("event_id") % farMod === 0 &&
+        col("event_id") % nearMod =!= 0 && col("b0") <= nFiles - 4)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 5 DAY")).as("ts"),
+        (col("b0") + 3).as("__b"))
+    val rows = base.select(col("event_id"), col("ts"), col("b0").as("__b"))
+      .union(near).union(far)
+      .localCheckpoint() // one sort, nFiles filtered writes below
+    val tmp = build.resolve("tmp")
+    (0 until nFiles).foreach { k =>
+      val batch = rows.filter(col("__b") === k).drop("__b")
+        .coalesce(1).localCheckpoint()
+      require(!batch.isEmpty, s"staged dedup batch $k is empty — an " +
+        "empty micro-batch desynchronizes the oracle's watermark replay")
+      writeStagedFile(batch, tmp, build, k)
+    }
+    deleteTree(tmp)
+    publishStaged(build, root)
+    root.toString
+  }
+
+  /** W19: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` / the
+    * `StreamingDeduplicateWithinWatermark` exec, the state-evicting
+    * dedup [[graft.api.Stream.distinct]] already routes watermarked
+    * streams through (w11 drives the unbounded-state
+    * `StreamingDeduplicate`; this drives the 100 TB/day variant whose
+    * per-key fingerprint EXPIRES once the watermark passes its event
+    * time + delay). The staged retransmission protocol
+    * ([[stageDedupOrdered]]) makes every drop/expire/re-emit decision
+    * deterministic, and the oracle replays them row for row: a near
+    * retransmission (+1 day, within the delay) must be suppressed, a
+    * far one (+5 days) must re-emit exactly when the original's state
+    * expired behind the eviction watermark — BOTH halves of the
+    * within-watermark contract (suppression while covered, honest
+    * re-emission after) under the driver oracle. Output is the emitted
+    * row itself (event_id, ts): a re-emission is visible as the same
+    * key with the retransmission timestamp.
+    *
+    * Empirically pinned eviction lag (the round's one new watermark
+    * fact, determined against this drain): the probe of batch b sees
+    * state as last evicted at the END of batch b−1 — i.e. with
+    * wm(data ≤ b−2) — so a retransmission re-emits iff
+    * `first ts + delay < wm(data ≤ b−2)`, ONE batch more lag than the
+    * aggregates' emission rule (which uses wm(data ≤ b−1): eviction
+    * there happens at the end of the SAME batch, after input). The
+    * first replay attempt with the aggregate rule admitted 37 phantom
+    * re-emissions at sf0.001; the lagged rule matches hash-exactly. */
+  def dedupWithinWatermark(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, nearMod: Int = 7,
+      farMod: Int = 11,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageDedupOrdered(s, dir, nFiles, nearMod, farMod)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val plan = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", s"$delayDays days")
+      .dropDuplicatesWithinWatermark("event_id")
+    drainAppend(s, plan, inspect)
+      .select(col("event_id"), col("ts"))
+  }
+
   /** The pl10 sentinel document id: divisible by BOTH ingest-derivation
     * mods (10 and 13), so every derived branch of the curation stream
     * carries a sentinel row and no branch's event-time tracker can hold
@@ -979,7 +1087,7 @@ object StreamingRun {
         "empty micro-batch desynchronizes the oracle's ntile replay")
       writeStagedFile(batch, tmp, build, k)
     }
-    val sentinel = docs.limit(1)
+    val sentinel = s.range(1)
       .select(lit(CurationSentinelId).as("doc_id"),
         lit("sentinel close of feed").as("text"),
         lit("sentinel").as("source"),
