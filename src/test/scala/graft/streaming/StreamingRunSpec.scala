@@ -581,6 +581,60 @@ class StreamingRunSpec extends SparkTestBase {
       "state@2 equals the final state — time travel read the head")
   }
 
+  test("w19 within-watermark dedup: the bounded-state exec suppresses covered retransmissions and re-emits expired ones") {
+    var plan = ""
+    var removed = 0L
+    val got = StreamingRun.dedupWithinWatermark(spark, sfDir,
+        inspect = q => {
+          plan = planOf(q)
+          removed = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+        })
+      .collect().map(_.toSeq).toSet
+    // the BOUNDED-state exec, not w11's unbounded StreamingDeduplicate
+    assert(plan.contains("StreamingDeduplicateWithinWatermark"), plan)
+    // state eviction actually happened (the whole point of the variant)
+    assert(removed > 0L, "expected dedup state eviction (numRowsRemoved > 0)")
+    val base = graft.Tables.events(spark, sfDir).count()
+    // every original emits exactly once, and SOME far retransmissions
+    // re-emitted (the honest half of the within-watermark guarantee) —
+    // while near retransmissions were all suppressed (emitted keys with
+    // two rows must carry the +5d timestamp, never the +1d one)
+    assert(got.size > base.toInt,
+      s"no re-emissions: ${got.size} vs $base originals")
+    val perKey = got.toSeq.groupBy(_.head)
+    val reEmitted = perKey.filter(_._2.size > 1)
+    assert(reEmitted.nonEmpty)
+    assert(perKey.values.forall(_.size <= 2))
+    reEmitted.foreach { case (k, rows) =>
+      val tss = rows.map(_(1).asInstanceOf[java.sql.Timestamp].getTime).sorted
+      assert(tss(1) - tss(0) == 5L * 86400000L,
+        s"key $k re-emitted at ${tss(1) - tss(0)}ms gap — a +1d (covered) " +
+          "retransmission leaked through the dedup horizon")
+    }
+  }
+
+  test("pl10 executed plan: two chained stateful aggregations, prior index read from the materialized checkpoint") {
+    var plan = ""
+    val staged = StreamingRun.stageDocsOrdered(spark, sfDir, 4)
+    StreamingRun.curationPipeline(spark, staged,
+      prior = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")),
+      deriveBatch = docs => graft.queries.TrainingDataQueries
+        .incrBatchKeeping(docs, Seq("source", "arrival_ts")),
+      gopherKeep = graft.operators.GopherRules.keep(col("text")),
+      inspect = q => plan = planOf(q))
+      .collect()
+    // two StateStoreSave levels = the chained window aggregations
+    assert("StateStoreSave".r.findAllIn(plan).size == 2, plan)
+    // the prior's band index reaches the stream-static joins as a
+    // materialized RDD scan, not a re-derivation per micro-batch: no
+    // parquet scan of the documents table may appear inside the
+    // executed streaming plan
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
