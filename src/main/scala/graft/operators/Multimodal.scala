@@ -189,4 +189,52 @@ object Multimodal {
       .withColumnRenamed("pos", "sample_no")
       .withColumnRenamed("col", "frame_no")
   }
+
+  /** Nearest-neighbor RESIZE of decoded luma grids to a fixed
+    * targetW × targetH — the canonical perceptual-hash front (resize to
+    * a small fixed grid, then average-hash) and the normalization step
+    * every image training pipeline runs before batching. Pure pixel
+    * INDEXING, no interpolation arithmetic: resized(y', x') =
+    * grid(⌊y'·h/targetH⌋·w + ⌊x'·w/targetW⌋), so bytes are copied
+    * verbatim and the output is bit-reproducible on any engine —
+    * integer source indices are exactly replayable by the oracle's
+    * pattern arithmetic. Up- and down-sampling both land on this one
+    * formula (sf docs are 4–8 px a side; the 8×8 target exercises
+    * both).
+    *
+    * Input is [[decodeLumaGrid]]'s shape (id, width, height, grid);
+    * output replaces (width, height, grid) with the resized triple.
+    * Narrow typed map, no shuffle, output size fixed at
+    * targetW·targetH bytes per row regardless of source resolution —
+    * the property that makes downstream banding/batching volume
+    * independent of the corpus's native image sizes at 100 TB. */
+  def resizeNearest(decoded: DataFrame, idCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    import org.apache.spark.sql.Dataset
+    val typed: Dataset[(Long, Int, Int, Array[Byte])] =
+      decoded.select(col(idCol).cast("long"), col("width"),
+        col("height"), col("grid"))
+        .as[(Long, Int, Int, Array[Byte])](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
+          Encoders.BINARY))
+    typed.map { case (id, w, h, grid) =>
+      require(w > 0 && h > 0 && grid.length == w * h,
+        s"malformed grid for id $id: ${grid.length} bytes for ${w}x$h")
+      val out = new Array[Byte](targetW * targetH)
+      var y = 0
+      while (y < targetH) {
+        val sy = y * h / targetH
+        var x = 0
+        while (x < targetW) {
+          out(y * targetW + x) = grid(sy * w + x * w / targetW)
+          x += 1
+        }
+        y += 1
+      }
+      (id, targetW, targetH, out)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.BINARY))
+      .toDF(idCol, "width", "height", "grid")
+  }
 }

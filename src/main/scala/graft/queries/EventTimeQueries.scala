@@ -134,6 +134,16 @@ object EventTimeQueries extends QueryModule {
     "k11_state_time_travel" -> ((s, d) =>
       graft.streaming.StreamingRun.stateTimeTravel(s, d)),
 
+    // K12: the SNAPSHOT CATALOG — every committed state version of
+    // w15's staged run (5 data epochs + the trailing no-data eviction
+    // epoch) enumerated from one checkpoint and summarized per epoch.
+    // k9/k10/k11 proved individual versions queryable; this row proves
+    // the registry itself (the reference's SnapshotManager epoch →
+    // snapshot catalog). Oracle = the k11 derivation replayed at ALL
+    // six epochs from one ev/wm CTE pair.
+    "k12_snapshot_catalog" -> ((s, d) =>
+      graft.streaming.StreamingRun.snapshotCatalog(s, d)),
+
     // W16: SESSION windows in APPEND mode under the same staged
     // advancing watermark — MergingSessions eviction under the driver
     // oracle. Within-lateness stragglers merge into their still-open
@@ -597,6 +607,49 @@ object EventTimeQueries extends QueryModule {
         |  AND (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
         |  AND ev.wend_ms > hor.evict_ms
         |GROUP BY 1, 2""".stripMargin,
+
+    // k12: the catalog replay — state version k holds the accepted
+    // rows of batches ≤ k (per-batch two-value late filter, w15's wm
+    // CTE) in windows the epoch-k eviction horizon wm(data ≤ k−1) has
+    // not passed (NULL horizon at k=0 evicts nothing); epoch 5 is the
+    // trailing no-data batch (no new rows, final horizon = k10's).
+    // Summarized per epoch: buffer count, row count, micro-unit total.
+    "k12_snapshot_catalog" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    max(mx) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000 AS late_wm_ms
+        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
+        |ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS batch_id),
+        |acc AS (
+        |  SELECT ev.* FROM ev JOIN wm USING (b)
+        |  WHERE wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms),
+        |hor AS (
+        |  SELECT batch_id,
+        |    (SELECT max(ts_ms) FROM ev WHERE ev.b <= ks.batch_id - 1)
+        |      - 172800000 AS evict_ms
+        |  FROM ks),
+        |buf AS (
+        |  SELECT hor.batch_id, acc.wend_ms, acc.event_type,
+        |    count(*) AS n,
+        |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
+        |  FROM hor JOIN acc ON acc.b <= hor.batch_id
+        |    AND (hor.evict_ms IS NULL OR acc.wend_ms > hor.evict_ms)
+        |  GROUP BY 1, 2, 3)
+        |SELECT batch_id, count(*) AS n_buffers,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(sm), 0) AS BIGINT) AS sum_value_micros
+        |FROM buf GROUP BY 1""".stripMargin,
 
     // w16: the session analog of w15's replay, same staged batches and
     // per-batch two-value watermarks but µs-precision timestamps (the

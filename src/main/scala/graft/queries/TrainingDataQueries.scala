@@ -1262,6 +1262,22 @@ object TrainingDataQueries extends QueryModule {
           col("height").cast("long").as("height"),
           graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
 
+    // RESIZE — the missing multimodal verb: mm4's real-codec decode
+    // fed through nearest-neighbor resize to the canonical 8x8
+    // perceptual-hash grid, then average-hashed. Resize is pure pixel
+    // indexing (resized(y',x') = source(⌊y'h/8⌋, ⌊x'w/8⌋)), so the
+    // oracle replays decode∘resize∘hash entirely as arithmetic on the
+    // known pattern — a pixel mis-indexed by the resampler anywhere
+    // (row-major mixup, off-by-one in the floor map, up- vs
+    // down-sampling) lands in a different hash cell and breaks the row.
+    "mm5_resize_nearest" -> ((s, d) =>
+      Multimodal.resizeNearest(
+        Multimodal.decodeLumaGrid(imagePngDocs(s, d), "doc_id", "media"),
+        "doc_id", targetW = 8, targetH = 8)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
+
     // ---- BPE (learned tokenizer; graft.operators.Bpe) ----
     // Vocabulary induction over the corpus word histogram: one corpus
     // scan, then bpeMerges rounds of pair-count → argmax → merge, all on
@@ -1475,8 +1491,46 @@ object TrainingDataQueries extends QueryModule {
         deriveBatch = docs =>
           incrBatchKeeping(docs, Seq("source", "arrival_ts")),
         gopherKeep = GopherRules.keep(col("text")))
-    })
+    }),
+
+    // pl11: STREAMING TOKEN-BUDGET ADMISSION — per-source training
+    // quotas enforced on the ingest path through a cross-micro-batch
+    // GroupState[Long] running total (FlatMapGroupsWithStateExec over
+    // the same staged crawl drops as pl10). A source's budget typically
+    // exhausts in a LATER drop than it started, so every admission
+    // decision past the first drop depends on recovered state, and the
+    // emitted cum_tokens pins the state trajectory itself. Order
+    // contract + at-scale shape in StreamingRun.tokenBudgetAdmission's
+    // scaladoc; oracle = one window cumsum per source.
+    "pl11_streaming_token_budget" -> ((s, d) =>
+      graft.streaming.StreamingRun.tokenBudgetAdmission(s, d,
+        nFiles = pl10Files, budget = pl11Budget))
   )
+
+  /** pl11's per-source token budget — interpolated into the oracle's
+    * cumsum filter and passed to the operator (one source of truth).
+    * ~60% of a source's sf0.01 total, so every source exhausts
+    * mid-protocol and the cross-batch state is load-bearing. */
+  private val pl11Budget = 800L
+
+  /** The aHash61 cell chain as DuckDB CTEs, shared verbatim by the mm4
+    * and mm5 oracles (the pl9/dd15 replay over an int list): expects an
+    * upstream `px(doc_id, n, bs)` where `bs` is the n-pixel luma list,
+    * and yields `sig(doc_id, ahash)`. */
+  private val aHash61ChainSql: String =
+    """cl AS (
+      |  SELECT doc_id, list_transform(range(61), j ->
+      |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
+      |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
+      |             // (((j+1)*n)//61 - (j*n)//61)
+      |        ELSE 0 END) AS cells
+      |  FROM px),
+      |sig AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(61), j ->
+      |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
+      |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+      |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+      |  FROM cl)""".stripMargin
 
   /** pl10's staged crawl-drop count — interpolated into the oracle's
     * ntile and passed to the stager (one source of truth). */
@@ -3037,30 +3091,37 @@ object TrainingDataQueries extends QueryModule {
     // 16-48-pixel grids sit BELOW the 61-cell count, so the empty-cell
     // (ELSE 0) branch is exercised on every row.
     "mm4_imageio_roundtrip" ->
-      """WITH m AS (
-        |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, w, h, w * h AS n,
-        |    list_transform(range(w * h), i ->
-        |      (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS bs
-        |  FROM m),
-        |cl AS (
-        |  SELECT doc_id, list_transform(range(61), j ->
-        |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
-        |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
-        |             // (((j+1)*n)//61 - (j*n)//61)
-        |        ELSE 0 END) AS cells
-        |  FROM px),
-        |sig AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(range(61), j ->
-        |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
-        |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
-        |  FROM cl)
-        |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width,
-        |  CAST(m.h AS BIGINT) AS height, sig.ahash
-        |FROM m JOIN sig USING (doc_id)""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, w * h AS n,
+         |    list_transform(range(w * h), i ->
+         |      (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS bs
+         |  FROM m),
+         |$aHash61ChainSql
+         |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width,
+         |  CAST(m.h AS BIGINT) AS height, sig.ahash
+         |FROM m JOIN sig USING (doc_id)""".stripMargin,
+
+    // mm5: decode∘resize∘hash replayed as pattern arithmetic — the
+    // resized pixel at flat index i reads source (x, y) =
+    // ((i%8)·w // 8, (i//8)·h // 8), then the same aHash61 cell chain
+    // as mm4 over the fixed 64-pixel list.
+    "mm5_resize_nearest" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, 64 AS n,
+         |    list_transform(range(64), i ->
+         |      (doc_id * 31 + (((i % 8) * w) // 8) * 7
+         |        + (((i // 8) * h) // 8) * 13) % 256) AS bs
+         |  FROM m),
+         |$aHash61ChainSql
+         |SELECT m.doc_id, CAST(8 AS BIGINT) AS width,
+         |  CAST(8 AS BIGINT) AS height, sig.ahash
+         |FROM m JOIN sig USING (doc_id)""".stripMargin,
 
     "tk1_bpe_vocab" -> {
       val union = (1 to bpeMerges).map(k =>
@@ -3250,7 +3311,25 @@ object TrainingDataQueries extends QueryModule {
          |FROM batch b
          |LEFT JOIN best ON best.bid = b.doc_id
          |JOIN gop g ON g.doc_id = b.doc_id
-         |GROUP BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // pl11: admitted = the rows whose INCLUSIVE running token total per
+    // source (in doc_id order — the staged drops partition ascending
+    // doc_id ranges, so arrival order IS doc_id order) fits the budget;
+    // the first overflow closes the source, and a closed source's total
+    // never re-enters the budget, so the prefix rule and the
+    // cumsum-filter rule coincide. cum_tokens = the operator's
+    // GroupState value as of each admission.
+    "pl11_streaming_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(string_split(text, ' ')))
+         |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |WHERE cum_tokens <= $pl11Budget""".stripMargin
   )
 
   /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the

@@ -27,6 +27,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * deployment with a watermark would flip this to append + a durable
   * sink and nothing else in the plan changes.
   */
+/** pl11's streamed row: one document's token accounting. */
+case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)
+
+/** pl11's output row: an admitted document with the per-source running
+  * total AS OF its admission — the state trajectory made visible. */
+case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long,
+    cum_tokens: Long)
+
 object StreamingRun {
 
   /** The `events` table through `readStream` with the SAME timestamp
@@ -306,6 +314,69 @@ object StreamingRun {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     drainToState(s, watermarkedTumblingPlan(s, staged, delayDays),
       mode = "append", batchId = Some(batchId), inspect = inspect)
+  }
+
+  /** The SNAPSHOT CATALOG (k12) — every committed state version of the
+    * staged watermarked run enumerated and summarized in one table:
+    * (batch_id, n_buffers, n_rows, sum_value_micros) per epoch. k9/k10
+    * proved the LAST state version queryable and k11 ONE interior
+    * version; this row proves the whole HISTORY is — the reference's
+    * SnapshotManager keeps exactly this registry (epoch → snapshot) and
+    * serves reads at any entry
+    * (`/root/reference/arcon/src/manager/snapshot.rs:39-135`), so the
+    * catalog listing itself is reference surface, not just its lookups.
+    *
+    * Protocol: the nFiles staged drops commit state versions
+    * 0..nFiles−1, then the trailing no-data micro-batch (the final
+    * eviction pass append mode needs — its existence is load-bearing
+    * for k10's "held = accepted − emitted" and is asserted here, not
+    * assumed) commits version nFiles. Version k's contents are the
+    * k11 derivation at epoch k: accepted rows of batches ≤ k (per-batch
+    * two-value late filter) in windows the eviction horizon
+    * wm(data ≤ k−1) has not passed. The oracle replays all nFiles+1
+    * epochs from one ev/wm CTE pair.
+    *
+    * All catalog values are Longs over integer micro-unit state —
+    * exact cross-engine. The per-version reads share ONE drained
+    * checkpoint (no re-run per epoch); the result is calendar-sized
+    * (#epochs rows), localCheckpoint'd so the checkpoint dir can be
+    * reaped before returning (the k9/k10 leak discipline). */
+  def snapshotCatalog(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val name = "graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      runToMemorySink(s, watermarkedTumblingPlan(s, staged, delayDays),
+        "append", name, ckpt.toString, inspect)
+      val commits = java.nio.file.Files.list(ckpt.resolve("commits"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+      require(commits.nonEmpty && commits.max == nFiles.toLong,
+        s"expected versions 0..$nFiles ($nFiles data batches + the " +
+          s"trailing no-data eviction batch), found max " +
+          s"${if (commits.isEmpty) "none" else commits.max.toString} — " +
+          "the no-data batch the append-mode eviction contract relies " +
+          "on did not run")
+      (0L to commits.max).map { k =>
+        s.read.format("statestore").option("path", ckpt.toString)
+          .option("batchId", k).load()
+          .agg(count(lit(1)).as("n_buffers"),
+            coalesce(sum(col("value.count")), lit(0L)).as("n_rows"),
+            coalesce(sum(col("value.sum")), lit(0L))
+              .as("sum_value_micros"))
+          .select(lit(k).as("batch_id"), col("n_buffers"),
+            col("n_rows"), col("sum_value_micros"))
+      }.reduce(_ unionAll _).localCheckpoint()
+    } finally {
+      deleteTree(ckpt)
+      scala.util.Try(s.catalog.dropTempView(name))
+      ()
+    }
   }
 
   /** w1's tumbling daily aggregation through the streaming path —
@@ -1197,6 +1268,72 @@ object StreamingRun {
     drainAppend(s, counts, inspect)
       .select(col("window.start").as("window_start"), col("source"),
         col("fate"), col("n_docs"))
+  }
+
+  /** STREAMING TOKEN-BUDGET ADMISSION (pl11) — the per-source training
+    * quota enforced on the ingest path: each source admits documents in
+    * arrival order while its RUNNING token total fits the budget, and
+    * once a document overflows, that source is closed (the first-
+    * overflow-closes rule makes "admitted" = the rows whose inclusive
+    * running total ≤ budget, since the total never decreases). The
+    * running total is a per-source `GroupState[Long]` carried ACROSS
+    * micro-batches through `FlatMapGroupsWithStateExec` — most sources
+    * exhaust their budget in a LATER drop than they started in, so the
+    * admission decisions visibly depend on state recovered between
+    * batches, and each emitted row carries its `cum_tokens` so the
+    * state trajectory itself is oracle-checked, not just the admit set.
+    * This is the reference's per-key ValueState rolling-counter shape
+    * (`/root/reference/arcon/examples/stateful.rs`;
+    * `arcon/src/stream/operator/mod.rs:21-54`) doing the job a 100 TB
+    * curation feed actually needs it for: budget caps per source/
+    * domain (the mx4 batch recipe, moved onto the stream).
+    *
+    * Admission order contract: [[stageDocsOrdered]] splits by doc_id
+    * ntile, so drop k carries a contiguous ascending doc_id range and
+    * (arrival batch, doc_id) order IS global doc_id order — the oracle
+    * is one window cumsum per source over the raw table. Within a
+    * micro-batch the group's rows are sorted by doc_id before folding
+    * (the iterator order of a shuffled group is not deterministic);
+    * the sort is bounded by one source's volume in one drop, the same
+    * per-(key, batch) bound every FMGWS operator already carries. At
+    * 100 TB: ONE exchange on source; state is a single Long per
+    * source; output is the admitted prefix, never the corpus.
+    *
+    * Token counts are integer ([[graft.functions.TextFunctions
+    * .tokenCount]], replayed by the oracle as
+    * `len(string_split(text,' '))`), so every cum_tokens is exact
+    * cross-engine. The staged sentinel row (far-future feed-close
+    * punctuation, not a document) is excluded by id. */
+  def tokenBudgetAdmission(s: SparkSession, dir: String,
+      nFiles: Int = 4, budget: Long = 800L,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val staged = stageDocsOrdered(s, dir, nFiles)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("doc_id") < CurationSentinelId)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .as("n_tokens"))
+      .as[TokenDoc]
+    val admitted = docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[TokenDoc],
+            state: GroupState[Long]) => {
+          var total = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+            total += r.n_tokens
+            if (total <= budget)
+              Some(AdmittedDoc(r.doc_id, source, r.n_tokens, total))
+            else None
+          }
+          state.update(total)
+          out.iterator
+        })
+    drainAppend(s, admitted.toDF, inspect)
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over

@@ -27,4 +27,33 @@ class MultimodalSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L))
   }
+
+  test("resizeNearest: identity at same size, constant-fill upsample, known-corner downsample") {
+    def grid(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+    val rows = Seq(
+      // 1: already 2x2 — resize to 2x2 must be the identity copy
+      (1L, 2, 2, grid(2, 2)((x, y) => 10 * y + x)),
+      // 2: 1x1 upsampled to 2x2 — every target pixel reads source (0,0)
+      (2L, 1, 1, grid(1, 1)((_, _) => 99)),
+      // 3: 4x4 downsampled to 2x2 — targets read sources (0,0)(2,0)(0,2)(2,2)
+      (3L, 4, 4, grid(4, 4)((x, y) => 16 * y + x)))
+      .toDF("doc_id", "width", "height", "grid")
+    val out = Multimodal.resizeNearest(rows, "doc_id", 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]]("grid").toSeq)).toMap
+    assert(out(1L) == (2, 2, Seq[Byte](0, 1, 10, 11)))
+    assert(out(2L) == (2, 2, Seq[Byte](99, 99, 99, 99)))
+    assert(out(3L) == (2, 2, Seq[Byte](0, 2, 32, 34)))
+  }
+
+  test("resizeNearest: a malformed grid fails loud with the offending id, not a silent out-of-bounds read") {
+    val bad = Seq((7L, 3, 3, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "width", "height", "grid")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeNearest(bad, "doc_id", 2, 2).collect()
+    }
+    assert(e.getMessage.contains("7") || Option(e.getCause)
+      .exists(_.getMessage.contains("7")), e.getMessage.take(400))
+  }
 }

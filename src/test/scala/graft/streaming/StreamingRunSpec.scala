@@ -635,6 +635,73 @@ class StreamingRunSpec extends SparkTestBase {
     assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("k12 snapshot catalog: one row per committed epoch; the interior and final epochs tie to k11 and k10 exactly") {
+    val cat = StreamingRun.snapshotCatalog(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 5 data epochs + the trailing no-data eviction epoch, no gaps
+    assert(cat.keySet == (0L to 5L).toSet, cat.keySet.toString)
+    def summarize(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+      (rows.length.toLong,
+        rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    }
+    // epoch 2 = k11's time-travel read, epoch 5 = k10's final held state
+    assert(cat(2L) == summarize(
+      StreamingRun.stateTimeTravel(spark, sfDir, batchId = 2L)),
+      s"epoch 2 ${cat(2L)} != k11 aggregate")
+    assert(cat(5L) == summarize(
+      StreamingRun.watermarkHeldState(spark, sfDir)),
+      s"epoch 5 ${cat(5L)} != k10 aggregate")
+    // epoch 0 accepts everything in drop 0 and evicts nothing
+    val b0 = graft.Tables.events(spark, sfDir)
+      .withColumn("b", StreamingRun.watermarkBatchIndex(5, 97, 89))
+      .filter(col("b") === 0).count()
+    assert(cat(0L)._2 == b0, s"epoch 0 rows ${cat(0L)._2} != drop 0 $b0")
+    // history is not the head: at least one interior epoch differs
+    assert((0L to 4L).exists(k => cat(k) != cat(5L)))
+  }
+
+  test("pl11 token budget: FlatMapGroupsWithStateExec admits exactly the per-source cumsum prefix, with state crossing micro-batches") {
+    import org.apache.spark.sql.expressions.Window
+    var plan = ""
+    val got = StreamingRun.tokenBudgetAdmission(spark, sfDir,
+        inspect = q => plan = planOf(q))
+      .collect().map(_.toSeq).toSet
+    assert(plan.contains("FlatMapGroupsWithState"), plan)
+    val scored = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .as("n_tokens"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")))
+          .over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .as("cum_tokens"))
+    val want = scored.filter(col("cum_tokens") <= 800L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"only-got: ${(got -- want).take(3)}, only-want: ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+    // the budget BINDS: every source also has rejected documents
+    val perSource = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("all_docs"),
+        sum((col("cum_tokens") <= 800L).cast("long")).as("admitted"))
+      .collect()
+    assert(perSource.forall(r => r.getLong(2) < r.getLong(1)),
+      "some source admitted every document — the budget never bound")
+    // cross-batch state: some source's admissions span >= 2 staged
+    // drops (ntile(4) over doc_id = the stageDocsOrdered assignment)
+    val admittedDrops = scored
+      .withColumn("drop",
+        ntile(4).over(Window.orderBy(col("doc_id"))) - 1)
+      .filter(col("cum_tokens") <= 800L)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("drop")).as("n_drops"))
+      .collect().map(_.getLong(1))
+    assert(admittedDrops.exists(_ >= 2L),
+      "every source's admissions fit one drop — no state crossed batches")
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
