@@ -144,6 +144,16 @@ object EventTimeQueries extends QueryModule {
     "k12_snapshot_catalog" -> ((s, d) =>
       graft.streaming.StreamingRun.snapshotCatalog(s, d)),
 
+    // K13: the state CHANGELOG — the same staged run's state store read
+    // as a per-epoch change feed (readChangeFeed): batch k emits one
+    // `update` per buffer that absorbed an accepted row in k (value =
+    // the committed running aggregate) and one `delete` (null value)
+    // per buffer whose window the epoch-k eviction horizon newly
+    // passed. The deltas between k12's snapshots, driver-checked row
+    // for row.
+    "k13_state_change_feed" -> ((s, d) =>
+      graft.streaming.StreamingRun.stateChangeFeed(s, d)),
+
     // W16: SESSION windows in APPEND mode under the same staged
     // advancing watermark — MergingSessions eviction under the driver
     // oracle. Within-lateness stragglers merge into their still-open
@@ -650,6 +660,67 @@ object EventTimeQueries extends QueryModule {
         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
         |  CAST(coalesce(sum(sm), 0) AS BIGINT) AS sum_value_micros
         |FROM buf GROUP BY 1""".stripMargin,
+
+    // k13: the changelog replay. An `update` at batch k exists for each
+    // buffer with >= 1 accepted row ARRIVING in k, valued at the
+    // running aggregate over accepted rows of batches <= k ("accepted
+    // => still open" rules out evict-then-recreate, so the running
+    // total is the committed buffer). A `delete` at batch k exists for
+    // each buffer that ever existed (>= 1 accepted row, b <= k) whose
+    // window end the epoch-k horizon wm(data <= k-1) passed but the
+    // epoch-(k-1) horizon had not. Deletes carry null values (the
+    // reader does not resurrect the removed buffer).
+    "k13_state_change_feed" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    max(mx) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000 AS late_wm_ms
+        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
+        |ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS batch_id),
+        |acc AS (
+        |  SELECT ev.* FROM ev JOIN wm USING (b)
+        |  WHERE wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms),
+        |hor AS (
+        |  SELECT batch_id,
+        |    (SELECT max(ts_ms) FROM ev WHERE ev.b <= ks.batch_id - 1)
+        |      - 172800000 AS evict_ms
+        |  FROM ks),
+        |ups AS (
+        |  SELECT ks.batch_id, acc.wend_ms, acc.event_type,
+        |    count(*) AS n,
+        |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
+        |  FROM ks JOIN acc ON acc.b <= ks.batch_id
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) FILTER (acc.b = ks.batch_id) > 0),
+        |dels AS (
+        |  SELECT hc.batch_id, acc.wend_ms, acc.event_type
+        |  FROM acc
+        |  JOIN hor hc ON acc.b <= hc.batch_id
+        |    AND acc.wend_ms <= hc.evict_ms
+        |  LEFT JOIN hor hp ON hp.batch_id = hc.batch_id - 1
+        |  WHERE hp.evict_ms IS NULL OR acc.wend_ms > hp.evict_ms
+        |  GROUP BY 1, 2, 3)
+        |SELECT batch_id, 'update' AS change_type,
+        |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+        |  event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sm AS BIGINT) AS sum_value_micros
+        |FROM ups
+        |UNION ALL
+        |SELECT batch_id, 'delete' AS change_type,
+        |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+        |  event_type, CAST(NULL AS BIGINT) AS n,
+        |  CAST(NULL AS BIGINT) AS sum_value_micros
+        |FROM dels""".stripMargin,
 
     // w16: the session analog of w15's replay, same staged batches and
     // per-batch two-value watermarks but µs-precision timestamps (the

@@ -91,4 +91,59 @@ object Snapshots {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  // ---- the checkpoint-direct half of the TSS contract ----------------
+  // The export path above copies state OUT through foreachBatch; the
+  // three readers below query a stateful operator's CHECKPOINT ITSELF
+  // through Spark's statestore data source (SPARK-45511) — no export
+  // job attached to the query, any committed version readable after the
+  // fact. These are the library surface behind the driver rows
+  // k9/k10/k11 (stateAt), k12 (catalog) and k13 (changeFeed).
+
+  /** The raw state rows of `checkpoint` at a committed `batchId`
+    * (None = last committed) — the reference's `Snapshot` handle over an
+    * epoch (`arcon/src/manager/snapshot.rs:39-135`), served from the
+    * checkpoint's own state files. Columns: `key`/`value` structs as
+    * laid out by the stateful operator (`operatorId`/`storeName`
+    * select among multiple stateful operators in one query). */
+  def stateAt(spark: SparkSession, checkpoint: String,
+      batchId: Option[Long] = None, operatorId: Int = 0,
+      storeName: String = "default"): DataFrame = {
+    val r = spark.read.format("statestore").option("path", checkpoint)
+      .option("operatorId", operatorId.toString)
+      .option("storeName", storeName)
+    batchId.fold(r)(b => r.option("batchId", b.toString)).load()
+  }
+
+  /** Committed state versions of `checkpoint`, ascending — the
+    * SnapshotManager's epoch registry read from the commit log. */
+  def committedBatches(checkpoint: String): Seq[Long] = {
+    val p = Paths.get(checkpoint, "commits")
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .map(_.toLong).toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  /** The per-epoch state CHANGELOG of `checkpoint` from `fromBatchId`
+    * on: one row per change with `batch_id` and `change_type`
+    * (update/delete, deletes carrying null values) — the delta stream
+    * between [[stateAt]] snapshots; folding it (updates overwrite,
+    * deletes remove, updates-before-deletes within a batch)
+    * reconstructs any snapshot. */
+  def changeFeed(spark: SparkSession, checkpoint: String,
+      fromBatchId: Long = 0L, operatorId: Int = 0,
+      storeName: String = "default"): DataFrame =
+    spark.read.format("statestore").option("path", checkpoint)
+      .option("operatorId", operatorId.toString)
+      .option("storeName", storeName)
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", fromBatchId.toString)
+      .load()
 }

@@ -233,8 +233,7 @@ object StreamingRun {
       java.util.UUID.randomUUID.toString.replace("-", "")
     try {
       runToMemorySink(s, plan, mode, name, ckpt.toString, inspect)
-      val reader = s.read.format("statestore").option("path", ckpt.toString)
-      batchId.fold(reader)(b => reader.option("batchId", b)).load()
+      Snapshots.stateAt(s, ckpt.toString, batchId)
         .select(col("key.window.start").as("window_start"),
           col("key.event_type").as("event_type"),
           col("value.count").as("n"),
@@ -345,7 +344,6 @@ object StreamingRun {
       nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
       dropMod: Int = 89,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
     val name = "graft_state_" +
@@ -353,9 +351,7 @@ object StreamingRun {
     try {
       runToMemorySink(s, watermarkedTumblingPlan(s, staged, delayDays),
         "append", name, ckpt.toString, inspect)
-      val commits = java.nio.file.Files.list(ckpt.resolve("commits"))
-        .iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+      val commits = Snapshots.committedBatches(ckpt.toString)
       require(commits.nonEmpty && commits.max == nFiles.toLong,
         s"expected versions 0..$nFiles ($nFiles data batches + the " +
           s"trailing no-data eviction batch), found max " +
@@ -363,8 +359,7 @@ object StreamingRun {
           "the no-data batch the append-mode eviction contract relies " +
           "on did not run")
       (0L to commits.max).map { k =>
-        s.read.format("statestore").option("path", ckpt.toString)
-          .option("batchId", k).load()
+        Snapshots.stateAt(s, ckpt.toString, Some(k))
           .agg(count(lit(1)).as("n_buffers"),
             coalesce(sum(col("value.count")), lit(0L)).as("n_rows"),
             coalesce(sum(col("value.sum")), lit(0L))
@@ -372,6 +367,46 @@ object StreamingRun {
           .select(lit(k).as("batch_id"), col("n_buffers"),
             col("n_rows"), col("sum_value_micros"))
       }.reduce(_ unionAll _).localCheckpoint()
+    } finally {
+      deleteTree(ckpt)
+      scala.util.Try(s.catalog.dropTempView(name))
+      ()
+    }
+  }
+
+  /** The state CHANGE FEED (k13) — the staged watermarked run's state
+    * store read as a PER-EPOCH CHANGELOG (`readChangeFeed`,
+    * SPARK-45511): one row per (epoch, change) with the update type and
+    * the written buffer. k12 lists the epochs' snapshots; this reads
+    * the DELTAS between them — the reference's epoch-delta layer (the
+    * checkpoint stream sends per-epoch state changes, not full
+    * snapshots: `/root/reference/arcon/src/stream/node/mod.rs:406-453`
+    * epoch protocol over incremental backend state). Semantics to the
+    * oracle: batch k writes one `update` per buffer that absorbed an
+    * accepted row in k (the committed value = the running (n, sum) over
+    * accepted rows of batches ≤ k), and one `delete` per buffer the
+    * epoch-k eviction horizon newly passed. A buffer can legitimately
+    * produce BOTH in one epoch (a row accepted at k into a window the
+    * k-horizon immediately evicts — possible because the late filter
+    * lags eviction by one batch). */
+  def stateChangeFeed(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val name = "graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      runToMemorySink(s, watermarkedTumblingPlan(s, staged, delayDays),
+        "append", name, ckpt.toString, inspect)
+      Snapshots.changeFeed(s, ckpt.toString)
+        .select(col("batch_id"), col("change_type"),
+          col("key.window.start").as("window_start"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          col("value.sum").as("sum_value_micros"))
+        .localCheckpoint()
     } finally {
       deleteTree(ckpt)
       scala.util.Try(s.catalog.dropTempView(name))
@@ -1333,7 +1368,7 @@ object StreamingRun {
           state.update(total)
           out.iterator
         })
-    drainAppend(s, admitted.toDF, inspect)
+    drainAppend(s, admitted.toDF(), inspect)
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over

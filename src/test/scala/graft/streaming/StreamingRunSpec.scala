@@ -662,6 +662,43 @@ class StreamingRunSpec extends SparkTestBase {
     assert((0L to 4L).exists(k => cat(k) != cat(5L)))
   }
 
+  test("k13 change feed: folding the changelog reconstructs every snapshot (epochs 2 and 5 tie to k11 and k10 buffer-for-buffer)") {
+    val feed = StreamingRun.stateChangeFeed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        (r.getTimestamp(2), r.getString(3)),
+        if (r.isNullAt(4)) None else Some((r.getLong(4), r.getLong(5)))))
+    assert(feed.nonEmpty)
+    // deletes carry no value; updates always do
+    assert(feed.forall { case (_, t, _, v) =>
+      (t == "delete" && v.isEmpty) || (t == "update" && v.isDefined) })
+    // snapshot-at-k = the changelog folded through batch k: updates
+    // overwrite the buffer, deletes remove it — the store contract
+    def foldThrough(k: Long) = {
+      val m = scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Long)]()
+      // within a batch the exec puts during aggregation and removes at
+      // eviction, so an arrive-and-evict-same-batch key must fold
+      // update-then-delete
+      feed.filter(_._1 <= k)
+        .sortBy { case (b, t, _, _) => (b, if (t == "update") 0 else 1) }
+        .foreach {
+        case (_, "update", key, Some(v)) => m(key) = v
+        case (_, "delete", key, _) => m.remove(key)
+        case other => fail(s"unexpected change row: $other")
+      }
+      m.map { case ((w, e), (n, sm)) => Seq[Any](w, e, n, sm) }.toSet
+    }
+    val at2 = StreamingRun.stateTimeTravel(spark, sfDir, batchId = 2L)
+      .collect().map(_.toSeq.toSeq.asInstanceOf[Seq[Any]]).toSet
+    assert(foldThrough(2L) == at2,
+      s"fold(feed <= 2) != snapshot@2; diff: ${(foldThrough(2L) -- at2).take(3)}")
+    val at5 = StreamingRun.watermarkHeldState(spark, sfDir)
+      .collect().map(_.toSeq.toSeq.asInstanceOf[Seq[Any]]).toSet
+    assert(foldThrough(5L) == at5,
+      s"fold(feed) != final snapshot; diff: ${(foldThrough(5L) -- at5).take(3)}")
+    // eviction is visible in the feed itself, not just its folds
+    assert(feed.exists(_._2 == "delete"))
+  }
+
   test("pl11 token budget: FlatMapGroupsWithStateExec admits exactly the per-source cumsum prefix, with state crossing micro-batches") {
     import org.apache.spark.sql.expressions.Window
     var plan = ""
