@@ -1549,6 +1549,10 @@ object TrainingDataQueries extends QueryModule {
     Tables.documents(s, d).select(col("doc_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
+        // memory-cached ImageIO streams — same rationale as
+        // Multimodal.decodeLumaGrid (the default is a temp FILE per
+        // encode, pure I/O overhead for in-memory byte media)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val w = (id % 5 + 4).toInt
           val h = (id % 3 + 4).toInt
