@@ -83,6 +83,19 @@ object CanaryHealth {
   def health(name: String, x1: BlockVolume, x10: BlockVolume,
       exp: Double): String =
     rules.get(name).map(_.health(x1, x10, exp)).getOrElse("unknown")
+
+  /** Three-point verdict (1×/10×/100×, the headline realistic
+    * canaries): the SAME rule applied to each decade independently —
+    * linearity must hold decade over decade, not just on average (an
+    * average could hide a sub-linear first decade masking a
+    * super-linear second). `ok` only when both decades pass. */
+  def health3(name: String, x1: BlockVolume, x10: BlockVolume,
+      x100: BlockVolume, exp1: Double, exp2: Double): String = {
+    val h1 = health(name, x1, x10, exp1)
+    val h2 = health(name, x10, x100, exp2)
+    if (h1 == h2) h1 else if (Seq(h1, h2).contains("regressed")) "regressed"
+    else if (Seq(h1, h2).contains("degenerate")) "degenerate" else h2
+  }
 }
 
 /** Benchmark main — BASELINE.md §3 protocol: per query, one untimed
@@ -728,17 +741,37 @@ object Bench {
             try {
               val v10 = graft.queries.TrainingDataQueries
                 .blockedQueryVolumesAt(spark, sfDir, copies = 10)
+              // the THIRD curve point, headline realistic canaries only
+              // (the 100× corpus is 100× the documents table; the other
+              // canaries' shapes are pinned by their 1×/10× rules)
+              val v100 = graft.queries.TrainingDataQueries
+                .realisticBlockedVolumes100(spark, sfDir)
+              def expOf(a: graft.operators.Dedup.BlockVolume,
+                  b: graft.operators.Dedup.BlockVolume): Double =
+                if (a.totalPairs > 0 && b.totalPairs > 0)
+                  math.log(b.totalPairs.toDouble / a.totalPairs.toDouble) /
+                    math.log(10.0)
+                else -1.0
               val obj = v1.keys.toSeq.sorted.map { q =>
                 val a = v1(q); val b = v10(q)
-                val exp =
-                  if (a.totalPairs > 0 && b.totalPairs > 0)
-                    math.log(b.totalPairs.toDouble / a.totalPairs.toDouble) /
-                      math.log(10.0)
-                  else -1.0
-                val health = CanaryHealth.health(q, a, b, exp)
-                s""""$q":{"x1":${volJson(a)},"x10":${volJson(b)},""" +
-                  f""""pairs_growth_exponent":$exp%.3f,""" +
-                  s""""health":"$health"}"""
+                val exp = expOf(a, b)
+                v100.get(q) match {
+                  case Some(c) =>
+                    // decade-over-decade exponents + the 3-point health
+                    // (the rule must hold on BOTH decades)
+                    val exp2 = expOf(b, c)
+                    val health = CanaryHealth.health3(q, a, b, c, exp, exp2)
+                    s""""$q":{"x1":${volJson(a)},"x10":${volJson(b)},""" +
+                      s""""x100":${volJson(c)},""" +
+                      f""""pairs_growth_exponent":$exp%.3f,""" +
+                      f""""pairs_growth_exponent_10x_100x":$exp2%.3f,""" +
+                      s""""health":"$health"}"""
+                  case None =>
+                    val health = CanaryHealth.health(q, a, b, exp)
+                    s""""$q":{"x1":${volJson(a)},"x10":${volJson(b)},""" +
+                      f""""pairs_growth_exponent":$exp%.3f,""" +
+                      s""""health":"$health"}"""
+                }
               }.mkString("{", ",", "}")
               s""","block_volume_scaling":$obj"""
             } catch {

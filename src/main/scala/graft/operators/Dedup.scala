@@ -698,12 +698,21 @@ object Dedup {
     * sees distinct blobs). Identical scale machinery to the text path —
     * ONE signature exchange, hamming-0 mass emitted from membership,
     * Manku combinatorial banding over DISTINCT signatures only — via
-    * [[signatureDup]]; production swaps a real decoder's grayscale grid
-    * in front of the hash and nothing else changes. No reference analog
-    * (arcon has no media ops); Spark-first design. */
+    * [[signatureDup]]. The hash front is whatever byte grid `mediaCol`
+    * holds: raw media bytes (dd15's byte-pooling mode) or a REAL
+    * decoder's resized luma grid —
+    * [[graft.operators.Multimodal.decodeLumaGrid]] ∘
+    * [[graft.operators.Multimodal.resizeNearest]], the pl12 pipeline —
+    * with nothing else changing. No reference analog (arcon has no
+    * media ops); Spark-first design. */
   def perceptualHashDup(docs: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 3): DataFrame =
-    signatureDup(docs, idCol, mediaCol, aHash61(col(mediaCol)), maxHamming)
+      maxHamming: Int = 3, materializeSignatures: Boolean = false): DataFrame =
+    signatureDup(docs, idCol, mediaCol, aHash61(col(mediaCol)), maxHamming,
+      // pass true when mediaCol is EXPENSIVE to recompute (a real
+      // codec's decoded/resized grid, as in pl12): the signature table
+      // is then materialized once so the engine's two consumer shapes
+      // cannot re-run the decode — the perceptualFrameDup discipline.
+      materializeMembers = materializeSignatures)
 
   /** [[perceptualHashDup]] at FRAME granularity — the per-frame leg of
     * the video/media near-dup rollup (pl9): input is one row per

@@ -129,17 +129,20 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     typed.mapPartitions { it =>
-      // ImageIO defaults to a DISK-backed stream cache (a temp
-      // FileCacheImageInputStream per read) — for in-memory byte
-      // sources that is pure I/O overhead and made decode throughput
-      // track the host's page-cache state (observed: 0.7 s isolated vs
-      // 1.1–3.3 s mid-sweep for the same 5000 decodes). Memory cache is
-      // the right mode for byte-array media columns; the flag is a
-      // process-global idempotent set, safe per partition.
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { case (id, bytes) =>
+        // ImageIO's InputStream overload defaults to a DISK-backed
+        // stream cache (a temp FileCacheImageInputStream per read) —
+        // for in-memory byte sources that is pure I/O overhead and made
+        // decode throughput track the host's page-cache state
+        // (observed: 0.7 s isolated vs 1.1–3.3 s mid-sweep for the same
+        // 5000 decodes). Wrapping the bytes in a per-call
+        // MemoryCacheImageInputStream picks the memory cache for THIS
+        // read only — unlike ImageIO.setUseCache(false), which flips a
+        // process-global flag every other ImageIO user in the executor
+        // JVM would silently inherit.
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
         require(img != null, s"undecodable media for id $id")
         val gray =
           if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
@@ -244,5 +247,38 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
       Encoders.scalaInt, Encoders.BINARY))
       .toDF(idCol, "width", "height", "grid")
+  }
+
+  /** Per-image PIXEL MOMENTS of decoded luma grids — (n_pixels, sum,
+    * sum of squares) as exact Longs, the narrow per-row reduction
+    * behind corpus normalization statistics (the per-source pixel
+    * mean/std every image training pipeline publishes on its dataset
+    * card and bakes into its input-normalization transform). Folding
+    * pixels HERE, before any shuffle, is the at-scale point: the
+    * downstream per-source aggregate exchanges three Longs per image,
+    * never a pixel — and the moments are integers, so the corpus stats
+    * are bit-exact cross-engine (the x19 integer-quantization
+    * discipline; a double mean folded in shuffle order would only
+    * match to FP tolerance). Input is [[decodeLumaGrid]]'s shape;
+    * unsigned 8-bit pixels (the `& 0xff` mirrors the raster's sample
+    * range). */
+  def pixelMoments(decoded: DataFrame, idCol: String): DataFrame = {
+    val typed = decoded.select(col(idCol).cast("long"), col("grid"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+    typed.map { case (id, grid) =>
+      var sum = 0L
+      var sumSq = 0L
+      var i = 0
+      while (i < grid.length) {
+        val v = (grid(i) & 0xff).toLong
+        sum += v
+        sumSq += v * v
+        i += 1
+      }
+      (id, grid.length.toLong, sum, sumSq)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "n_pixels", "sum_px", "sum_sq_px")
   }
 }

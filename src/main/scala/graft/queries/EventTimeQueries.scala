@@ -111,7 +111,9 @@ object EventTimeQueries extends QueryModule {
     // driver-checked. Trailing windows the final watermark never
     // passes are held in state and never appear.
     "w15_streaming_watermark" -> ((s, d) =>
-      graft.streaming.StreamingRun.tumblingDailyWatermarked(s, d)),
+      graft.streaming.StreamingRun.tumblingDailyWatermarked(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
 
     // W18: CHECKPOINT RESTORE under the driver oracle — w15's staged
     // protocol killed after batch nFiles−2 and restarted from its own
@@ -123,7 +125,9 @@ object EventTimeQueries extends QueryModule {
     // The reference's exactly-once epoch-snapshotting headline
     // (arcon/src/lib.rs:16-19) as a driver-checked row.
     "w18_streaming_restore" -> ((s, d) =>
-      graft.streaming.StreamingRun.tumblingDailyWatermarkedRestored(s, d)),
+      graft.streaming.StreamingRun.tumblingDailyWatermarkedRestored(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
 
     // K11: TIME-TRAVEL state read — the statestore reader pinned to
     // mid-protocol batch 2 of w15's staged run (k9/k10 read the LAST
@@ -132,7 +136,9 @@ object EventTimeQueries extends QueryModule {
     // batches ≤ 2 whose windows batch 2's eviction horizon had not yet
     // passed (derivation in StreamingRun.stateTimeTravel's scaladoc).
     "k11_state_time_travel" -> ((s, d) =>
-      graft.streaming.StreamingRun.stateTimeTravel(s, d)),
+      graft.streaming.StreamingRun.stateTimeTravel(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod, batchId = k11BatchId.toLong)),
 
     // K12: the SNAPSHOT CATALOG — every committed state version of
     // w15's staged run (5 data epochs + the trailing no-data eviction
@@ -142,7 +148,9 @@ object EventTimeQueries extends QueryModule {
     // snapshot catalog). Oracle = the k11 derivation replayed at ALL
     // six epochs from one ev/wm CTE pair.
     "k12_snapshot_catalog" -> ((s, d) =>
-      graft.streaming.StreamingRun.snapshotCatalog(s, d)),
+      graft.streaming.StreamingRun.snapshotCatalog(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
 
     // K13: the state CHANGELOG — the same staged run's state store read
     // as a per-epoch change feed (readChangeFeed): batch k emits one
@@ -152,7 +160,46 @@ object EventTimeQueries extends QueryModule {
     // passed. The deltas between k12's snapshots, driver-checked row
     // for row.
     "k13_state_change_feed" -> ((s, d) =>
-      graft.streaming.StreamingRun.stateChangeFeed(s, d)),
+      graft.streaming.StreamingRun.stateChangeFeed(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
+
+    // K14/K15: the snapshot catalog and the change feed under the
+    // ROCKSDB provider (k12/k13 drain under the session default,
+    // HDFSBackedStateStoreProvider) — the provider a production
+    // streaming deployment actually runs, with changelog checkpointing
+    // on so the checkpoint carries the delta stream k15 reads. The
+    // oracles are k12's/k13's VERBATIM: the state contract is
+    // provider-independent, and these rows prove both engines' layouts
+    // serve identical epoch catalogs and changelogs — the reference
+    // makes the same claim across its sled/rocks backends
+    // (/root/reference/arcon/src/manager/snapshot.rs: one
+    // SnapshotManager protocol over any `Backend`).
+    // W21: w18's kill-and-restart under the ROCKSDB provider with
+    // changelog checkpointing — the production restore combination
+    // (recovery replays the changelog onto the last RocksDB snapshot
+    // instead of reloading an HDFS-format delta file). Oracle = w15's
+    // replay verbatim, the w18 contract: restore is output-invisible
+    // regardless of the state backend — the reference's claim that the
+    // epoch protocol is backend-agnostic
+    // (arcon/src/manager/snapshot.rs: one protocol over any Backend).
+    "w21_streaming_restore_rocksdb" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDailyWatermarkedRestored(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod,
+        provider = Some(graft.streaming.StreamingRun.RocksDbProvider))),
+
+    "k14_snapshot_catalog_rocksdb" -> ((s, d) =>
+      graft.streaming.StreamingRun.snapshotCatalog(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod,
+        provider = Some(graft.streaming.StreamingRun.RocksDbProvider))),
+
+    "k15_change_feed_rocksdb" -> ((s, d) =>
+      graft.streaming.StreamingRun.stateChangeFeed(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod,
+        provider = Some(graft.streaming.StreamingRun.RocksDbProvider))),
 
     // W16: SESSION windows in APPEND mode under the same staged
     // advancing watermark — MergingSessions eviction under the driver
@@ -192,7 +239,9 @@ object EventTimeQueries extends QueryModule {
     // emitted complement). Oracle = w15's accepted-row replay with the
     // final-horizon filter flipped.
     "k10_watermark_held_state" -> ((s, d) =>
-      graft.streaming.StreamingRun.watermarkHeldState(s, d)),
+      graft.streaming.StreamingRun.watermarkHeldState(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
 
     // K9: QUERYABLE STATE — the tumbling aggregation's state store read
     // back as a table through Spark's statestore data source (the
@@ -399,36 +448,143 @@ object EventTimeQueries extends QueryModule {
       |  count(*) AS n, sum(value) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Staged watermark-protocol constants — ONE source of truth for the
+    * StreamingRun call sites in `defs` AND every ms-precision oracle
+    * CTE below. wmFiles staged drops, a wmDelayDays allowed-lateness
+    * delay, %wmBumpMod one-file stragglers, %wmDropMod three-file
+    * stragglers from the first two files. */
+  private val wmFiles = 5
+  private val wmDelayDays = 2
+  private val wmBumpMod = 97
+  private val wmDropMod = 89
+  private val wmDelayMs: Long = wmDelayDays * 86400000L
+
+  /** k11's pinned mid-protocol epoch (an interior committed version). */
+  private val k11BatchId = 2
+
+  /** The staged-protocol replay prelude shared VERBATIM by every
+    * ms-precision watermark oracle below (w15/w18 emission, k10
+    * holdback, k11 time travel, k12 catalog, k13 changelog — previously
+    * ~6 hand-kept copies): `ev` assigns each event its staged batch
+    * index b (ntile + straggler bumps, the mirror of
+    * StreamingRun.watermarkBatchIndex) and its daily window end; `wm`
+    * is the per-batch LAGGED late-filter watermark (data ≤ b−2,
+    * SPARK-40925's two-value contract). The protocol constants
+    * interpolate from [[wmFiles]]/[[wmDelayMs]]/[[wmBumpMod]]/
+    * [[wmDropMod]] — the same vals `defs` passes to StreamingRun — so
+    * a constant change lands in the runner and every oracle at once.
+    * The µs-precision oracles (w16 sessions, w17 join, w19 dedup) keep
+    * their own preludes: they compare at microsecond precision over
+    * different staged protocols. */
+  private val stagedEvWmCtes: String =
+    s"""ev AS (
+       |  SELECT event_type, value,
+       |    epoch_us(ts) // 1000 AS ts_ms,
+       |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
+       |    least(${wmFiles - 1}, ntile($wmFiles) OVER (ORDER BY event_id) - 1
+       |      + CASE WHEN event_id % $wmBumpMod = 0 THEN 1 ELSE 0 END
+       |      + CASE WHEN ntile($wmFiles) OVER (ORDER BY event_id) - 1 <= 1
+       |             AND event_id % $wmDropMod = 0 THEN 3 ELSE 0 END) AS b
+       |  FROM events),
+       |wm AS (
+       |  SELECT b,
+       |    max(mx) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+       |      - $wmDelayMs AS late_wm_ms
+       |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b))""".stripMargin
+
   /** w15's replay: the staged batch index (same ntile + straggler mods
     * as StreamingRun.watermarkBatchIndex), the per-batch two-value
     * watermark (late filter lags eviction by one batch, SPARK-40925),
     * emission iff the final eviction watermark passed the window end.
     * Shared VERBATIM by w18 (restore must be output-invisible). */
   private val w15Sql: String =
-    """WITH ev AS (
-      |  SELECT event_type, value,
-      |    epoch_us(ts) // 1000 AS ts_ms,
-      |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
-      |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-      |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-      |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-      |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-      |  FROM events),
-      |wm AS (
-      |  SELECT b,
-      |    max(mx) OVER (ORDER BY b
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-      |      - 172800000 AS late_wm_ms
-      |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-      |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
-      |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
-      |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-      |    AS sum_value_micros
-      |FROM ev JOIN wm USING (b), fin
-      |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
-      |  AND ev.wend_ms <= fin.wm_ms
-      |GROUP BY 1, 2""".stripMargin
+    s"""WITH $stagedEvWmCtes,
+       |fin AS (SELECT max(ts_ms) - $wmDelayMs AS wm_ms FROM ev)
+       |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+       |  event_type, count(*) AS n,
+       |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS sum_value_micros
+       |FROM ev JOIN wm USING (b), fin
+       |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+       |  AND ev.wend_ms <= fin.wm_ms
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The per-epoch replay prelude shared by the k12 catalog and k13
+    * changelog oracles (on top of [[stagedEvWmCtes]]): `ks` enumerates
+    * the committed state versions 0..wmFiles (wmFiles data epochs + the
+    * trailing no-data eviction epoch), `acc` is the late-filter-
+    * accepted row set, `hor` the per-epoch eviction horizon
+    * wm(data ≤ k−1). */
+  private val stagedEpochCtes: String =
+    s"""ks AS (SELECT unnest(range(${wmFiles + 1})) AS batch_id),
+       |acc AS (
+       |  SELECT ev.* FROM ev JOIN wm USING (b)
+       |  WHERE wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms),
+       |hor AS (
+       |  SELECT batch_id,
+       |    (SELECT max(ts_ms) FROM ev WHERE ev.b <= ks.batch_id - 1)
+       |      - $wmDelayMs AS evict_ms
+       |  FROM ks)""".stripMargin
+
+  /** k12's catalog replay — state version k summarized per epoch. The
+    * final SELECT goes through `ks LEFT JOIN buf`, not `buf` alone, so
+    * an epoch whose surviving state is EMPTY still emits its
+    * (batch_id, 0, 0, 0) row — mirroring the Scala side, which always
+    * emits one row per committed version with coalesced zeros (under
+    * the default protocol no epoch is fully evicted, but the oracle
+    * must not silently depend on that). Shared by k12 (default
+    * provider) and k14 (the same drain under RocksDB — identical
+    * required catalog). */
+  private val k12Sql: String =
+    s"""WITH $stagedEvWmCtes,
+       |$stagedEpochCtes,
+       |buf AS (
+       |  SELECT hor.batch_id, acc.wend_ms, acc.event_type,
+       |    count(*) AS n,
+       |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
+       |  FROM hor JOIN acc ON acc.b <= hor.batch_id
+       |    AND (hor.evict_ms IS NULL OR acc.wend_ms > hor.evict_ms)
+       |  GROUP BY 1, 2, 3)
+       |SELECT batch_id, CAST(count(buf.wend_ms) AS BIGINT) AS n_buffers,
+       |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(sm), 0) AS BIGINT) AS sum_value_micros
+       |FROM ks LEFT JOIN buf USING (batch_id)
+       |GROUP BY 1""".stripMargin
+
+  /** k13's changelog replay (semantics derivation in the oracle-map
+    * comment at the call site). Shared by k13 (default provider) and
+    * k15 (the same drain under RocksDB WITH changelog checkpointing —
+    * identical required delta stream). */
+  private val k13Sql: String =
+    s"""WITH $stagedEvWmCtes,
+       |$stagedEpochCtes,
+       |ups AS (
+       |  SELECT ks.batch_id, acc.wend_ms, acc.event_type,
+       |    count(*) AS n,
+       |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
+       |  FROM ks JOIN acc ON acc.b <= ks.batch_id
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) FILTER (acc.b = ks.batch_id) > 0),
+       |dels AS (
+       |  SELECT hc.batch_id, acc.wend_ms, acc.event_type
+       |  FROM acc
+       |  JOIN hor hc ON acc.b <= hc.batch_id
+       |    AND acc.wend_ms <= hc.evict_ms
+       |  LEFT JOIN hor hp ON hp.batch_id = hc.batch_id - 1
+       |  WHERE hp.evict_ms IS NULL OR acc.wend_ms > hp.evict_ms
+       |  GROUP BY 1, 2, 3)
+       |SELECT batch_id, 'update' AS change_type,
+       |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+       |  event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(sm AS BIGINT) AS sum_value_micros
+       |FROM ups
+       |UNION ALL
+       |SELECT batch_id, 'delete' AS change_type,
+       |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+       |  event_type, CAST(NULL AS BIGINT) AS n,
+       |  CAST(NULL AS BIGINT) AS sum_value_micros
+       |FROM dels""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "w1_tumbling" -> tumblingDailySql,
@@ -532,30 +688,16 @@ object EventTimeQueries extends QueryModule {
     // state after the final batch holds the accepted rows of windows
     // the final eviction watermark never passed (w15 emits the others)
     "k10_watermark_held_state" ->
-      """WITH ev AS (
-        |  SELECT event_type, value,
-        |    epoch_us(ts) // 1000 AS ts_ms,
-        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-        |  FROM events),
-        |wm AS (
-        |  SELECT b,
-        |    max(mx) OVER (ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000 AS late_wm_ms
-        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-        |fin AS (SELECT max(ts_ms) - 172800000 AS wm_ms FROM ev)
-        |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS sum_value_micros
-        |FROM ev JOIN wm USING (b), fin
-        |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
-        |  AND ev.wend_ms > fin.wm_ms
-        |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $stagedEvWmCtes,
+         |fin AS (SELECT max(ts_ms) - $wmDelayMs AS wm_ms FROM ev)
+         |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_value_micros
+         |FROM ev JOIN wm USING (b), fin
+         |WHERE (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+         |  AND ev.wend_ms > fin.wm_ms
+         |GROUP BY 1, 2""".stripMargin,
 
     // k9: the state store's aggregation buffers must equal the batch
     // recompute, buffer-for-buffer (integer micro-unit sums, exact)
@@ -591,32 +733,18 @@ object EventTimeQueries extends QueryModule {
     // wm(data ≤ 1). "Accepted ⇒ still open" (the one-batch filter lag)
     // guarantees held state = accepted minus emitted with no overlap.
     "k11_state_time_travel" ->
-      """WITH ev AS (
-        |  SELECT event_type, value,
-        |    epoch_us(ts) // 1000 AS ts_ms,
-        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-        |  FROM events),
-        |wm AS (
-        |  SELECT b,
-        |    max(mx) OVER (ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000 AS late_wm_ms
-        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-        |hor AS (SELECT max(ts_ms) - 172800000 AS evict_ms
-        |        FROM ev WHERE b <= 1)
-        |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS sum_value_micros
-        |FROM ev JOIN wm USING (b), hor
-        |WHERE ev.b <= 2
-        |  AND (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
-        |  AND ev.wend_ms > hor.evict_ms
-        |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $stagedEvWmCtes,
+         |hor AS (SELECT max(ts_ms) - $wmDelayMs AS evict_ms
+         |        FROM ev WHERE b <= ${k11BatchId - 1})
+         |SELECT make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_value_micros
+         |FROM ev JOIN wm USING (b), hor
+         |WHERE ev.b <= $k11BatchId
+         |  AND (wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms)
+         |  AND ev.wend_ms > hor.evict_ms
+         |GROUP BY 1, 2""".stripMargin,
 
     // k12: the catalog replay — state version k holds the accepted
     // rows of batches ≤ k (per-batch two-value late filter, w15's wm
@@ -624,42 +752,7 @@ object EventTimeQueries extends QueryModule {
     // not passed (NULL horizon at k=0 evicts nothing); epoch 5 is the
     // trailing no-data batch (no new rows, final horizon = k10's).
     // Summarized per epoch: buffer count, row count, micro-unit total.
-    "k12_snapshot_catalog" ->
-      """WITH ev AS (
-        |  SELECT event_type, value,
-        |    epoch_us(ts) // 1000 AS ts_ms,
-        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-        |  FROM events),
-        |wm AS (
-        |  SELECT b,
-        |    max(mx) OVER (ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000 AS late_wm_ms
-        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-        |ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS batch_id),
-        |acc AS (
-        |  SELECT ev.* FROM ev JOIN wm USING (b)
-        |  WHERE wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms),
-        |hor AS (
-        |  SELECT batch_id,
-        |    (SELECT max(ts_ms) FROM ev WHERE ev.b <= ks.batch_id - 1)
-        |      - 172800000 AS evict_ms
-        |  FROM ks),
-        |buf AS (
-        |  SELECT hor.batch_id, acc.wend_ms, acc.event_type,
-        |    count(*) AS n,
-        |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
-        |  FROM hor JOIN acc ON acc.b <= hor.batch_id
-        |    AND (hor.evict_ms IS NULL OR acc.wend_ms > hor.evict_ms)
-        |  GROUP BY 1, 2, 3)
-        |SELECT batch_id, count(*) AS n_buffers,
-        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(sm), 0) AS BIGINT) AS sum_value_micros
-        |FROM buf GROUP BY 1""".stripMargin,
+    "k12_snapshot_catalog" -> k12Sql,
 
     // k13: the changelog replay. An `update` at batch k exists for each
     // buffer with >= 1 accepted row ARRIVING in k, valued at the
@@ -670,57 +763,17 @@ object EventTimeQueries extends QueryModule {
     // window end the epoch-k horizon wm(data <= k-1) passed but the
     // epoch-(k-1) horizon had not. Deletes carry null values (the
     // reader does not resurrect the removed buffer).
-    "k13_state_change_feed" ->
-      """WITH ev AS (
-        |  SELECT event_type, value,
-        |    epoch_us(ts) // 1000 AS ts_ms,
-        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-        |  FROM events),
-        |wm AS (
-        |  SELECT b,
-        |    max(mx) OVER (ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000 AS late_wm_ms
-        |  FROM (SELECT b, max(ts_ms) AS mx FROM ev GROUP BY b)),
-        |ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS batch_id),
-        |acc AS (
-        |  SELECT ev.* FROM ev JOIN wm USING (b)
-        |  WHERE wm.late_wm_ms IS NULL OR ev.wend_ms > wm.late_wm_ms),
-        |hor AS (
-        |  SELECT batch_id,
-        |    (SELECT max(ts_ms) FROM ev WHERE ev.b <= ks.batch_id - 1)
-        |      - 172800000 AS evict_ms
-        |  FROM ks),
-        |ups AS (
-        |  SELECT ks.batch_id, acc.wend_ms, acc.event_type,
-        |    count(*) AS n,
-        |    sum(CAST(floor(acc.value * 1000000) AS BIGINT)) AS sm
-        |  FROM ks JOIN acc ON acc.b <= ks.batch_id
-        |  GROUP BY 1, 2, 3
-        |  HAVING count(*) FILTER (acc.b = ks.batch_id) > 0),
-        |dels AS (
-        |  SELECT hc.batch_id, acc.wend_ms, acc.event_type
-        |  FROM acc
-        |  JOIN hor hc ON acc.b <= hc.batch_id
-        |    AND acc.wend_ms <= hc.evict_ms
-        |  LEFT JOIN hor hp ON hp.batch_id = hc.batch_id - 1
-        |  WHERE hp.evict_ms IS NULL OR acc.wend_ms > hp.evict_ms
-        |  GROUP BY 1, 2, 3)
-        |SELECT batch_id, 'update' AS change_type,
-        |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
-        |  event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(sm AS BIGINT) AS sum_value_micros
-        |FROM ups
-        |UNION ALL
-        |SELECT batch_id, 'delete' AS change_type,
-        |  make_timestamp((wend_ms - 86400000) * 1000) AS window_start,
-        |  event_type, CAST(NULL AS BIGINT) AS n,
-        |  CAST(NULL AS BIGINT) AS sum_value_micros
-        |FROM dels""".stripMargin,
+    "k13_state_change_feed" -> k13Sql,
+
+    // k14/k15: the k12/k13 oracles VERBATIM — the epoch catalog and
+    // delta stream are provider-independent contracts, so the RocksDB
+    // drains must serve byte-identical rows.
+    "k14_snapshot_catalog_rocksdb" -> k12Sql,
+    "k15_change_feed_rocksdb" -> k13Sql,
+
+    // w21: w15's replay verbatim — restore is output-invisible on ANY
+    // state backend (the w18 geometry argument is provider-free).
+    "w21_streaming_restore_rocksdb" -> w15Sql,
 
     // w16: the session analog of w15's replay, same staged batches and
     // per-batch two-value watermarks but µs-precision timestamps (the

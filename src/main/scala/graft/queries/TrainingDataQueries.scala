@@ -284,6 +284,40 @@ object TrainingDataQueries extends QueryModule {
   private def realisticPlantMod(tenth: Boolean): Int =
     if (tenth) 64 else 640
 
+  /** The realistic sparse-dup corpus at a 100× decade: TEN re-salted
+    * copies of the full table (copy c's tokens salt with a
+    * copy-disjoint offset, so vocabularies never overlap across copies
+    * and no cross-copy near-dup exists — growth stays honest), each
+    * with its own ~1.6% planted prefix-truncation re-crawls (the same
+    * plant modulus as 10×; the copy id offset is ≡ 0 mod 64, so the
+    * plant RATE is exactly preserved). The third point of the
+    * linearity claim's scale curve: 1× (tenth subsample) → 10× (full
+    * table) → 100× (this). */
+  private def realisticDocs100(s: SparkSession, d: String): DataFrame =
+    (0 until 10).map { c =>
+      val base = realisticBase(s, d, tenth = true,
+        saltOffset = c * 10000000L, idOffset = c * 10000000L)
+      base.union(prefixTruncated(base,
+        mod = realisticPlantMod(tenth = true), idOffset = 1000000L))
+    }.reduce(_ union _)
+
+  /** The 100× volumes of the two headline realistic canaries
+    * (dd2/dd11) — the bench's third scale-curve point: a 2-point curve
+    * shows a decade is linear, the 3-point curve shows the EXPONENT is
+    * stable decade over decade, which is the actual 100 TB claim
+    * (banding/prefix volume ∝ corpus when duplication is sparse). Only
+    * the headline pair runs at 100×: the corpus is 100× the table and
+    * the remaining canaries' curves are pinned by their own 1×/10×
+    * rules. */
+  def realisticBlockedVolumes100(s: SparkSession, d: String)
+      : Map[String, graft.operators.Dedup.BlockVolume] = Map(
+    "dd2_minhash_lsh_realistic" -> Dedup.minHashBandVolume(
+      realisticDocs100(s, d), "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8),
+    "dd11_jaccard_prefix_realistic" -> Dedup.prefixJaccardVolume(
+      realisticDocs100(s, d), "doc_id", "text",
+      n = 3, threshold = 0.7))
+
   /** dd14's realistic ingest batch against the [[realisticBase]] prior:
     * the planted 4/5-prefix re-crawls (~1.6% of prior, INHERITING their
     * source's salt so their minhash bands truly collide with the prior
@@ -1504,7 +1538,83 @@ object TrainingDataQueries extends QueryModule {
     // scaladoc; oracle = one window cumsum per source.
     "pl11_streaming_token_budget" -> ((s, d) =>
       graft.streaming.StreamingRun.tokenBudgetAdmission(s, d,
-        nFiles = pl10Files, budget = pl11Budget))
+        nFiles = pl10Files, budget = pl11Budget)),
+
+    // w20: CHECKPOINT RESTORE FOR OPERATOR STATE — pl11's token-budget
+    // admission killed after draining all but the last staged drop and
+    // restarted from its own checkpoint (a NEW query, asserted to
+    // resume: first executed batch ≥ nFiles−1). The union of the two
+    // runs' emissions must equal pl11's single-run output — the oracle
+    // IS pl11's cumsum replay verbatim, so a restore that loses or
+    // inflates a source's recovered GroupState[Long] visibly re-admits
+    // past the budget or truncates admissions, and every emitted
+    // cum_tokens pins the recovered trajectory itself. w18 proves the
+    // AGGREGATION layout recovers; this proves the custom OPERATOR
+    // state does (the reference snapshots both through the same epoch
+    // barrier — arcon/src/stream/node/mod.rs:461-507).
+    "w20_streaming_operator_restore" -> ((s, d) =>
+      graft.streaming.StreamingRun.tokenBudgetAdmissionRestored(s, d,
+        nFiles = pl10Files, budget = pl11Budget)),
+
+    // pl12: the perceptual dedup pipeline on the REAL codec — the
+    // flagship image near-dup path with no stub anywhere: javax.imageio
+    // PNG decode (mm4) → nearest-neighbor resize to the canonical 8×8
+    // hash grid (mm5) → aHash61 over decoded-and-resized pixels →
+    // dd15's Manku banding engine, signatures materialized ONCE so the
+    // engine's two consumer shapes cannot re-run the decode (the
+    // perceptualFrameDup discipline). Planted re-encode artifacts
+    // (one gray level on one pixel of every 16th doc's image) must
+    // surface as small-hamming pairs. The oracle replays
+    // decode∘resize∘hash as pattern arithmetic (PNG gray is lossless
+    // — mm4/mm5 pin both directions bit-exact) and then the UNFILTERED
+    // n² verify, so a hash match proves the banded pipeline result IS
+    // the brute force over real decoded pixels. At 100 TB: decode and
+    // resize are narrow (no exchange ever carries pixels — the
+    // signature exchange ships 16 bytes/row), banding is the dd15
+    // engine, pair volume tracks dup mass (hash-diverse corpus by
+    // construction, see imagePngPairDocs).
+    "pl12_perceptual_pipeline" -> ((s, d) =>
+      Dedup.perceptualHashDup(
+        Multimodal.resizeNearest(
+          Multimodal.decodeLumaGrid(imagePngPairDocs(s, d), "doc_id", "media"),
+          "doc_id", targetW = 8, targetH = 8),
+        "doc_id", "grid", maxHamming = 3, materializeSignatures = true)),
+
+    // pl13: STREAMING ANN-INDEX INGEST — the IVF coarse layer built on
+    // the ingest path: staged embedding drops → nearest-centroid
+    // assignment as a pure projection against the broadcast stub
+    // centroids (sim3's deterministic contract) → ONE cell-keyed
+    // streaming aggregation (StateStoreSaveExec, complete mode)
+    // maintaining the per-cell census with an integer membership pin
+    // (sum_vec_ids). The retrieval index's build job as a stream;
+    // oracle = the batch argmax assignment + census.
+    "pl13_streaming_ann_ingest" -> ((s, d) =>
+      graft.streaming.StreamingRun.ivfCellIngest(s, d,
+        nFiles = pl10Files, nCells = 8)),
+
+    // mm6: MEDIA NORMALIZATION STATS — per-source decoded-pixel
+    // moments over the real-codec corpus (mm4's PNGs): exact Long
+    // (count, Σpx, Σpx²) folded per image BEFORE any shuffle
+    // (Multimodal.pixelMoments), then one per-source aggregate over
+    // 4-Long rows — the dataset-card normalization row for the
+    // multimodal column, extending pl6's card discipline (x19 integer
+    // quantization: mean published as exact milli-units plus the raw
+    // moments; std is derivable without another corpus pass). The
+    // doc→source attach here is a scalar join at test scale; a
+    // production decode carries source through the generator
+    // projection (the mm3 keepCols pattern) and skips it.
+    "mm6_pixel_stats" -> ((s, d) =>
+      Multimodal.pixelMoments(
+        Multimodal.decodeLumaGrid(imagePngDocs(s, d), "doc_id", "media"),
+        "doc_id")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_pixels")).as("n_pixels"),
+          sum(col("sum_px")).as("sum_px"),
+          sum(col("sum_sq_px")).as("sum_sq_px"))
+        .withColumn("mean_millipx", expr("(sum_px * 1000) DIV n_pixels")))
   )
 
   /** pl11's per-source token budget — interpolated into the oracle's
@@ -1549,29 +1659,91 @@ object TrainingDataQueries extends QueryModule {
     Tables.documents(s, d).select(col("doc_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
-        // memory-cached ImageIO streams — same rationale as
-        // Multimodal.decodeLumaGrid (the default is a temp FILE per
-        // encode, pure I/O overhead for in-memory byte media)
-        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val w = (id % 5 + 4).toInt
           val h = (id % 3 + 4).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0,
-                ((id * 31 + x * 7 + y * 13) % 256).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
+          (id, encodeGrayPng(w, h,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "media")
+  }
+
+  /** Encode one 8-bit grayscale image through the REAL codec
+    * (javax.imageio PNG) from a per-pixel intensity function —
+    * executor-side helper behind [[imagePngDocs]] (mm4/mm5) and
+    * [[imagePngPairDocs]] (pl12). The per-call
+    * MemoryCacheImageOutputStream picks ImageIO's memory cache for
+    * THIS encode only (the OutputStream overload's default is a temp
+    * FILE per encode — pure I/O overhead for in-memory byte media —
+    * and the setUseCache(false) alternative flips a process-global
+    * flag every other ImageIO user in the executor JVM would silently
+    * inherit). */
+  private def encodeGrayPng(w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, px(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
+    bos.toByteArray
+  }
+
+  /** pl12's real-PNG NEAR-DUP corpus: every document gets a
+    * deterministic grayscale PNG, and every 16th document additionally
+    * a PLANTED near-dup copy (id + 2,000,000) — SAME dimensions, same
+    * pixel pattern computed from the BASE id, with pixel (0, 0)
+    * raised one gray level: the "same image, re-encoded with a tiny
+    * artifact" analog, which lands within a few aHash bits of its
+    * base after the 8×8 resize.
+    *
+    * The pixel pattern deliberately differs from mm4's: mm4's
+    * `base·31 + 7x + 13y` is LINEAR in (x, y), so two same-shape
+    * images differ by a constant offset wherever neither wraps mod
+    * 256 — and a constant offset is invisible to cells-vs-mean
+    * average hashing, which would weld whole (w, h) classes into one
+    * giant hamming-0 clique and make the pair output quadratic in the
+    * corpus. Here pixel i (flat, row-major) =
+    * `((base mod 251)·(i+3) + (base mod 241)·(i²+1)) mod 256` — the
+    * quadratic term wraps differently per document, and two documents
+    * collide only when BOTH residues match (mod 251·241 ≈ 60 k, above
+    * the sf0.1 corpus), so unplanted signatures are hash-diverse and
+    * the pair volume tracks the planted dup mass. The formula is pure
+    * integer arithmetic, replayed verbatim by the DuckDB oracle
+    * through the resize index map. */
+  private[queries] def imagePngPairDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("base"), lit(false).as("perturb"))
+    val plants = Tables.documents(s, d)
+      .filter(col("doc_id") % 16 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("doc_id").as("base"), lit(true).as("perturb"))
+    base.union(plants)
+      .as[(Long, Long, Boolean)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean))
+      .mapPartitions { it =>
+        it.map { case (id, b, perturb) =>
+          val w = (b % 5 + 4).toInt
+          val h = (b % 3 + 4).toInt
+          val c1 = b % 251
+          val c2 = b % 241
+          (id, encodeGrayPng(w, h, (x, y) => {
+            val i = y * w + x
+            val bump = if (perturb && i == 0) 1L else 0L
+            ((c1 * (i + 3) + c2 * (i.toLong * i + 1) + bump) % 256L).toInt
+          }))
         }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("doc_id", "media")
@@ -3324,17 +3496,97 @@ object TrainingDataQueries extends QueryModule {
     // never re-enters the budget, so the prefix rule and the
     // cumsum-filter rule coincide. cum_tokens = the operator's
     // GroupState value as of each admission.
-    "pl11_streaming_token_budget" ->
-      s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
-         |  SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(sum(len(string_split(text, ' ')))
-         |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
-         |      AS cum_tokens
-         |  FROM documents
-         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
-         |WHERE cum_tokens <= $pl11Budget""".stripMargin
+    "pl11_streaming_token_budget" -> pl11Sql,
+
+    // w20: the oracle is pl11's replay VERBATIM — operator-state
+    // restore must be output-invisible (FMGWS recovery is exact at any
+    // epoch boundary: no watermark, no event-time stats to lose).
+    "w20_streaming_operator_restore" -> pl11Sql,
+
+    // pl12: decode∘resize∘hash replayed as pattern arithmetic (the
+    // mm5 resize index map over the pl12 mixing pattern, perturbed
+    // plants included), then the UNFILTERED n² verify — the dd15
+    // lossless-banding discipline over REAL decoded pixels.
+    "pl12_perceptual_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id AS base, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, doc_id, TRUE FROM documents
+         |  WHERE doc_id % 16 = 0),
+         |d AS (
+         |  SELECT doc_id, base % 5 + 4 AS w, base % 3 + 4 AS h,
+         |    base % 251 AS c1, base % 241 AS c2, perturb
+         |  FROM m),
+         |px AS (
+         |  SELECT doc_id, 64 AS n,
+         |    list_transform(range(64), i ->
+         |      (c1 * ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8) + 3)
+         |       + c2 * (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8))
+         |               * ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) + 1)
+         |       + CASE WHEN perturb
+         |              AND (((i // 8) * h) // 8) * w + (((i % 8) * w) // 8) = 0
+         |              THEN 1 ELSE 0 END) % 256) AS bs
+         |  FROM d),
+         |$aHash61ChainSql
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
+         |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.ahash, r.ahash)) <= 3""".stripMargin,
+
+    // pl13: batch replay of the streaming cell census — stub centroids
+    // (first 8 corpus vectors, sim3's contract), argmax assignment by
+    // (cosine DESC, cell) — ties keep the smallest cell, the fold's
+    // strict-> rule — then the per-cell count + integer membership pin.
+    "pl13_streaming_ann_ingest" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT c.cell, e.vec_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+         |FROM asg GROUP BY 1""".stripMargin,
+
+    // mm6: the decoded-pixel moments recomputed arithmetically from
+    // mm4's pattern (PNG gray is lossless), summed per source — all
+    // integers, the mean in exact milli-units.
+    "mm6_pixel_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, source, w * h AS n,
+        |    list_transform(range(w * h), i ->
+        |      (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS bs
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(n) AS BIGINT) AS n_pixels,
+        |  CAST(sum(list_sum(bs)) AS BIGINT) AS sum_px,
+        |  CAST(sum(list_sum(list_transform(bs, v -> v * v))) AS BIGINT)
+        |    AS sum_sq_px,
+        |  CAST(sum(list_sum(bs)) * 1000 // sum(n) AS BIGINT) AS mean_millipx
+        |FROM px GROUP BY 1""".stripMargin
   )
+
+  /** pl11's cumsum replay — shared VERBATIM by w20 (operator-state
+    * restore must be output-invisible). */
+  private val pl11Sql: String =
+    s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(string_split(text, ' ')))
+       |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |WHERE cum_tokens <= $pl11Budget""".stripMargin
 
   /** The BPE learn loop replayed round-for-round in DuckDB: r0 is the
     * corpus word histogram with characters as symbols; each round k

@@ -116,19 +116,19 @@ object Snapshots {
   }
 
   /** Committed state versions of `checkpoint`, ascending — the
-    * SnapshotManager's epoch registry read from the commit log. */
-  def committedBatches(checkpoint: String): Seq[Long] = {
-    val p = Paths.get(checkpoint, "commits")
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit))
-          .map(_.toLong).toSeq.sorted
-      } finally s.close()
-    }
+    * SnapshotManager's epoch registry read from the commit log. Listed
+    * through Hadoop's FileSystem (resolved from the checkpoint URI +
+    * the session's Hadoop conf), not java.nio — a checkpoint on
+    * `hdfs://`/`s3a://` lists the same way a local one does, matching
+    * the "any checkpoint" contract of [[stateAt]]/[[changeFeed]]
+    * (which already go through Spark's statestore source). */
+  def committedBatches(spark: SparkSession, checkpoint: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
   }
 
   /** The per-epoch state CHANGELOG of `checkpoint` from `fromBatchId`

@@ -246,6 +246,47 @@ object StreamingRun {
     }
   }
 
+  /** The RocksDB state-store provider class — the provider a production
+    * streaming deployment actually runs (bounded executor heap: state
+    * lives off-heap/on-disk per partition, with changelog checkpointing
+    * shipping per-epoch deltas instead of full snapshots). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the streaming state-store provider overridden —
+    * and, when the override is RocksDB, with CHANGELOG CHECKPOINTING
+    * enabled, so the checkpoint carries the per-epoch delta stream
+    * `readChangeFeed` reads (the combination a production deployment
+    * would serve state queries from). Session confs are restored after,
+    * so surrounding Verify/Bench rows keep the default provider. The
+    * override must wrap BOTH the drain and the statestore reads: the
+    * reader resolves the provider from the session conf, and reading an
+    * HDFS-format checkpoint through the RocksDB provider (or vice
+    * versa) fails. */
+  private def withStateProvider[T](s: SparkSession,
+      provider: Option[String])(body: => T): T = provider match {
+    case None => body
+    case Some(p) =>
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val clogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevProv = s.conf.getOption(provKey)
+      val prevClog = s.conf.getOption(clogKey)
+      s.conf.set(provKey, p)
+      if (p == RocksDbProvider) s.conf.set(clogKey, "true")
+      try body
+      finally {
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+        if (p == RocksDbProvider) prevClog match {
+          case Some(v) => s.conf.set(clogKey, v)
+          case None => s.conf.unset(clogKey)
+        }
+      }
+  }
+
   /** The staged watermarked tumbling-daily aggregation — ONE plan
     * definition shared by w15 (emitted output), k10 (held final state),
     * k11 (time-travel state) and w18 (restore): any plan edit lands in
@@ -342,8 +383,9 @@ object StreamingRun {
     * reaped before returning (the k9/k10 leak discipline). */
   def snapshotCatalog(s: SparkSession, dir: String,
       nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
-      dropMod: Int = 89,
-      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+      dropMod: Int = 89, provider: Option[String] = None,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+      withStateProvider(s, provider) {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
     val name = "graft_state_" +
@@ -351,7 +393,7 @@ object StreamingRun {
     try {
       runToMemorySink(s, watermarkedTumblingPlan(s, staged, delayDays),
         "append", name, ckpt.toString, inspect)
-      val commits = Snapshots.committedBatches(ckpt.toString)
+      val commits = Snapshots.committedBatches(s, ckpt.toString)
       require(commits.nonEmpty && commits.max == nFiles.toLong,
         s"expected versions 0..$nFiles ($nFiles data batches + the " +
           s"trailing no-data eviction batch), found max " +
@@ -391,8 +433,9 @@ object StreamingRun {
     * lags eviction by one batch). */
   def stateChangeFeed(s: SparkSession, dir: String,
       nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
-      dropMod: Int = 89,
-      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+      dropMod: Int = 89, provider: Option[String] = None,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+      withStateProvider(s, provider) {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
     val name = "graft_state_" +
@@ -658,8 +701,9 @@ object StreamingRun {
     * contract. */
   def tumblingDailyWatermarkedRestored(s: SparkSession, dir: String,
       nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
-      dropMod: Int = 89,
-      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
+      dropMod: Int = 89, provider: Option[String] = None,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame =
+      withStateProvider(s, provider) {
     import java.nio.file.{Files, Paths}
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
     // a query-private reveal dir (symlinks into the shared staged cache,
@@ -1326,11 +1370,11 @@ object StreamingRun {
     * Admission order contract: [[stageDocsOrdered]] splits by doc_id
     * ntile, so drop k carries a contiguous ascending doc_id range and
     * (arrival batch, doc_id) order IS global doc_id order — the oracle
-    * is one window cumsum per source over the raw table. Within a
-    * micro-batch the group's rows are sorted by doc_id before folding
-    * (the iterator order of a shuffled group is not deterministic);
-    * the sort is bounded by one source's volume in one drop, the same
-    * per-(key, batch) bound every FMGWS operator already carries. At
+    * is one window cumsum per source over the raw table. The
+    * within-batch ordering sort and its BOUNDED-DROP assumption (one
+    * source's rows of one drop materialize on the executor; the
+    * firehose alternative is a pre-shuffle secondary sort) are
+    * documented on [[tokenBudgetPlan]], the shared plan. At
     * 100 TB: ONE exchange on source; state is a single Long per
     * source; output is the admitted prefix, never the corpus.
     *
@@ -1342,19 +1386,46 @@ object StreamingRun {
   def tokenBudgetAdmission(s: SparkSession, dir: String,
       nFiles: Int = 4, budget: Long = 800L,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageDocsOrdered(s, dir, nFiles)
+    drainAppend(s, tokenBudgetPlan(s, staged, budget), inspect)
+  }
+
+  /** The pl11 admission plan over an already-staged drop directory —
+    * ONE plan definition shared by [[tokenBudgetAdmission]] (single
+    * run) and [[tokenBudgetAdmissionRestored]] (kill-and-restart on
+    * the same checkpoint): any plan edit lands in both, so the w20
+    * "restore is output-invisible" contract breaks loudly instead of
+    * silently desynchronizing (the watermarkedTumblingPlan
+    * discipline).
+    *
+    * Within a micro-batch the group's rows are sorted by doc_id before
+    * folding (a shuffled group's iterator order is not deterministic).
+    * BOUNDED-DROP ASSUMPTION: that sort materializes ONE source's rows
+    * of ONE micro-batch (`rows.toSeq`) on the executor — fine when a
+    * drop is a bounded crawl-day slice (the staged protocol and the
+    * production shape it models: per-source daily volume ≪ executor
+    * memory), but a FIREHOSE feed whose single micro-batch carries an
+    * unbounded per-source row count would need the sort moved into the
+    * engine: pre-shuffle secondary sort on (source, doc_id) —
+    * `repartition($"source").sortWithinPartitions("source", "doc_id")`
+    * feeding a mapPartitions fold, or TransformWithState's list-state
+    * accumulation — so no per-group Seq ever materializes.
+    * TokenBudgetSpec pins the multi-drop single-source feed this
+    * bound is about. */
+  private[streaming] def tokenBudgetPlan(s: SparkSession, stagedDir: String,
+      budget: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    val staged = stageDocsOrdered(s, dir, nFiles)
-    val schema = s.read.parquet(staged).schema // metadata-only
+    val schema = s.read.parquet(stagedDir).schema // metadata-only
     val docs = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
       .filter(col("doc_id").isNotNull && col("text").isNotNull &&
         col("doc_id") < CurationSentinelId)
       .select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .as("n_tokens"))
       .as[TokenDoc]
-    val admitted = docs.groupByKey(_.source)
+    docs.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, rows: Iterator[TokenDoc],
             state: GroupState[Long]) => {
@@ -1368,7 +1439,174 @@ object StreamingRun {
           state.update(total)
           out.iterator
         })
-    drainAppend(s, admitted.toDF(), inspect)
+      .toDF()
+  }
+
+  /** W20: CHECKPOINT RESTORE FOR OPERATOR STATE — w18 proves the
+    * built-in aggregation layout recovers; this proves the CUSTOM
+    * operator's `GroupState` does, the other half of the reference's
+    * epoch-snapshotting claim (operator state is persisted by the same
+    * barrier protocol as window state:
+    * `/root/reference/arcon/src/stream/node/mod.rs:461-507` snapshots
+    * every registered state backend at the epoch marker). The pl11
+    * token-budget admission runs over the staged crawl drops with only
+    * the first `nFiles − 1` data files visible, stops (run 1 commits
+    * each source's mid-protocol running total as GroupState), then the
+    * remaining files are revealed and a NEW query starts on the SAME
+    * checkpoint through the durable parquet sink — asserted to resume
+    * (first executed batch ≥ nFiles − 1), so every post-restart
+    * admission is gated by a RECOVERED running total, not a recomputed
+    * one. The emitted union of both runs must equal pl11's single-run
+    * output row for row — the oracle is pl11's cumsum replay VERBATIM:
+    * a restore that loses a source's total re-admits past the budget
+    * (extra rows), one that inflates it truncates admissions early
+    * (missing rows), and every emitted `cum_tokens` pins the recovered
+    * trajectory itself, not just the admit set.
+    *
+    * Unlike w18 there is NO restart-point geometry to choose: the
+    * operator has no watermark, so no event-time stats can be lost —
+    * FMGWS state recovery is exact at ANY epoch boundary. The restart
+    * before the last data file is simply where recovered state
+    * provably gates further admissions (every source's budget exhausts
+    * mid-protocol by construction). */
+  def tokenBudgetAdmissionRestored(s: SparkSession, dir: String,
+      nFiles: Int = 4, budget: Long = 800L,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageDocsOrdered(s, dir, nFiles)
+    // query-private reveal dir (symlinks into the immutable staged
+    // cache) + call-lifetime checkpoint and sink — the w18 machinery
+    val reveal = Files.createTempDirectory("graft-stream-w20")
+    val ckpt = Files.createTempDirectory("graft-stream-w20-ckpt")
+    val out = Files.createTempDirectory("graft-stream-w20-out")
+    def reveal1(k: Int): Unit = {
+      val fn = f"b$k%03d.parquet"
+      Files.createSymbolicLink(reveal.resolve(fn), Paths.get(staged, fn))
+    }
+    try {
+      (0 until nFiles - 1).foreach(reveal1)
+      // run 1: drain the visible prefix, committing each source's
+      // running token total into the checkpoint's operator state
+      runToParquetSink(s, tokenBudgetPlan(s, reveal.toString, budget),
+        out.toString, ckpt.toString, _ => ())
+      // reveal the last data file AND the sentinel file (batch parity
+      // with pl11's single run; the sentinel batch admits nothing)
+      reveal1(nFiles - 1)
+      reveal1(nFiles)
+      // run 2: a NEW query on the SAME checkpoint — prove it resumed
+      runToParquetSink(s, tokenBudgetPlan(s, reveal.toString, budget),
+        out.toString, ckpt.toString,
+        q => {
+          val progresses = q.recentProgress
+          require(progresses.nonEmpty &&
+            progresses.map(_.batchId).min >= nFiles - 1,
+            s"restore run re-executed early batches (ids " +
+              s"${progresses.map(_.batchId).sorted.mkString(",")}) — " +
+              "the checkpoint was not resumed")
+          require(progresses.map(_.numInputRows).sum > 0,
+            "restore run processed no input — the revealed files were " +
+              "not picked up")
+          inspectRestored(q)
+        })
+      s.read.parquet(out.toString).localCheckpoint()
+    } finally {
+      deleteTree(ckpt)
+      deleteTree(reveal)
+      deleteTree(out)
+    }
+  }
+
+  /** Stage the embeddings table as `nFiles` single-parquet ingest drops
+    * by vec_id ntile — the pl13 ANN-ingest protocol (no sentinel: the
+    * cell-census aggregation runs in complete mode, which needs no
+    * watermark punctuation). Same fingerprint-keyed cache +
+    * atomic-publish discipline as [[stageDocsOrdered]]. */
+  private[graft] def stageEmbOrdered(s: SparkSession, dir: String,
+      nFiles: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    val fp = sourceFingerprint(dir)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"emb|$dir|$fp|$nFiles|vec_id,embedding"))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-emb-$tag")
+    if (Files.exists(root.resolve("_STAGED"))) return root.toString
+    val build = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-emb-$tag.build-${java.lang.ProcessHandle.current().pid()}")
+    Files.createDirectories(build)
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__b", ntile(nFiles).over(Window.orderBy(col("vec_id"))) - 1)
+      .localCheckpoint() // one sort, nFiles filtered writes below
+    val tmp = build.resolve("tmp")
+    (0 until nFiles).foreach { k =>
+      val batch = emb.filter(col("__b") === k).drop("__b")
+        .coalesce(1).localCheckpoint()
+      require(!batch.isEmpty, s"staged embedding drop $k is empty")
+      writeStagedFile(batch, tmp, build, k)
+    }
+    deleteTree(tmp)
+    publishStaged(build, root)
+    root.toString
+  }
+
+  /** PL13: STREAMING ANN-INDEX INGEST — the retrieval index's coarse
+    * layer maintained on the ingest path, the last pipeline shape with
+    * no streaming twin: staged embedding drops arrive one file per
+    * micro-batch, each vector is assigned its nearest IVF cell by a
+    * pure PROJECTION against the broadcast centroid set (the sim3
+    * deterministic stub centroids — the first `nCells` corpus vectors,
+    * collected once before the stream starts; production swaps k-means
+    * centroids in and nothing else changes,
+    * [[graft.operators.Similarity.ivfTopK]]'s contract), and ONE
+    * streaming aggregation keyed by cell maintains the per-cell census
+    * — `n_vecs` plus the integer `sum_vec_ids` membership pin —
+    * through `StateStoreSaveExec` in complete mode. This is how an IVF
+    * index actually builds at 100 TB/day: assignment embarrassingly
+    * parallel against broadcast centroids (the argmax is an ordered
+    * fold over the literal centroid array — ascending cell order with
+    * strict `>`, so ties keep the smallest cell, exactly the batch
+    * `max_by(struct(sim, -cell))` rule), ONE exchange on cell id,
+    * state one row per cell. Oracle = the batch argmax assignment +
+    * census (the sim3 CTE machinery); every vector appears in exactly
+    * one drop, so the complete-mode final state equals the batch
+    * aggregate under any micro-batching. */
+  def ivfCellIngest(s: SparkSession, dir: String,
+      nFiles: Int = 4, nCells: Int = 8,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val staged = stageEmbOrdered(s, dir, nFiles)
+    // the coarse centroids: nCells rows, driver-safe by construction
+    // (the broadcast a production assignment ships to every executor)
+    val cents = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < nCells && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroid vectors below id $nCells")
+    val centArr = array(cents.map { case (cell, v) =>
+      struct(lit(cell).as("cell"), typedLit(v).as("centroid"))
+    }: _*)
+    val schema = s.read.parquet(staged).schema // metadata-only
+    val assigned = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .withColumn("cell",
+        aggregate(centArr,
+          struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cell")),
+          (acc, c) => {
+            val sim = cosine(col("embedding"), c.getField("centroid"))
+            when(sim > acc.getField("sim"),
+              struct(sim.as("sim"), c.getField("cell").as("cell")))
+              .otherwise(acc)
+          }).getField("cell"))
+    drainComplete(s,
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("vec_id")).as("sum_vec_ids")),
+      inspect)
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over

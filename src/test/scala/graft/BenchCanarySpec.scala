@@ -46,6 +46,37 @@ class BenchCanarySpec extends SparkTestBase {
       "regressed")
   }
 
+  test("health3: the rule must hold on BOTH decades; regressed/degenerate dominate") {
+    val a = BlockVolume(10, 2, 100)
+    val b = BlockVolume(90, 2, 1500)
+    val c = BlockVolume(900, 3, 20000)
+    assert(health3("dd2_minhash_lsh_realistic", a, b, c, 1.18, 1.12) == "ok")
+    assert(health3("dd2_minhash_lsh_realistic", a, b,
+      BlockVolume(900, 40, 3000000), 1.18, 3.3) == "regressed")
+    assert(health3("dd2_minhash_lsh_realistic", a, b,
+      BlockVolume(0, 0, 0), 1.18, -1.0) == "degenerate")
+  }
+
+  test("the 100x third point is real: decade-over-decade exponent of the headline realistic canaries stays linear") {
+    val sf = "/root/testdata/sf0.001"
+    val v100 = graft.queries.TrainingDataQueries
+      .realisticBlockedVolumes100(spark, sf)
+    // every 100x entry names a declared canary (the bench emits its
+    // health through the same rules map)
+    assert(v100.nonEmpty && v100.keySet.subsetOf(rules.keySet), v100.keySet)
+    val v10 = graft.queries.TrainingDataQueries
+      .blockedQueryVolumesAt(spark, sf, copies = 10)
+    v100.foreach { case (q, c) =>
+      val b = v10(q)
+      assert(b.totalPairs > 0 && c.totalPairs > 0, s"$q degenerate")
+      val e = math.log(c.totalPairs.toDouble / b.totalPairs.toDouble) /
+        math.log(10.0)
+      assert(e <= 1.3,
+        s"$q 10x->100x pair-growth exponent $e — the second decade " +
+          "is not linear (cross-copy vocabulary leak or plant-rate drift)")
+    }
+  }
+
   test("an undeclared canary name reads unknown") {
     val a = BlockVolume(10, 2, 100)
     assert(health("not_a_canary", a, a, 1.0) == "unknown")

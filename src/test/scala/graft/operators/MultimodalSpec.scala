@@ -47,6 +47,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(3L) == (2, 2, Seq[Byte](0, 2, 32, 34)))
   }
 
+  test("pixelMoments: exact Long moments, unsigned byte range, empty grid yields zeros") {
+    val rows = Seq(
+      // bytes 1, 2, 3 → n 3, Σ 6, Σ² 14
+      (1L, 3, 1, Array[Byte](1, 2, 3)),
+      // byte -1 is unsigned 255 — signed folding would give Σ -1
+      (2L, 1, 1, Array[Byte](-1)),
+      (3L, 0, 0, Array.empty[Byte]))
+      .toDF("doc_id", "width", "height", "grid")
+    val out = Multimodal.pixelMoments(rows, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 6L, 14L)))
+    assert(out(2L) == ((1L, 255L, 65025L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("resizeNearest: a malformed grid fails loud with the offending id, not a silent out-of-bounds read") {
     val bad = Seq((7L, 3, 3, Array[Byte](1, 2, 3)))
       .toDF("doc_id", "width", "height", "grid")

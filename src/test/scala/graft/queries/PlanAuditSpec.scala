@@ -230,6 +230,57 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("pl12_perceptual_pipeline: decode/resize run once behind the signature boundary; no exchange ships pixels; plants surface") {
+    // The FLAGSHIP real-codec path (pl9's discipline on images): the
+    // materialized run's final plan reads the (id, sig) scalars from
+    // ExistingRDD — the javax.imageio decode + resize MapPartitions
+    // appear in no consumer branch, and every exchange carries
+    // signature scalars, never the grid/media byte columns.
+    val p = staticScalePlan("pl12_perceptual_pipeline")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("MapPartitions graft.operators.Multimodal"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("grid#") && !l.contains("media#")), p)
+    // the un-materialized twin exposes the WHOLE pipeline as one
+    // auditable plan: the one corpus-wide exchange the signatures ride
+    // is shared by the engine's consumer shapes (ReusedExchange), and
+    // still no exchange output carries a pixel column
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (planNodes, rows) =
+      try {
+        val df = graft.operators.Dedup.perceptualHashDup(
+          graft.operators.Multimodal.resizeNearest(
+            graft.operators.Multimodal.decodeLumaGrid(
+              TrainingDataQueries.imagePngPairDocs(spark, sf),
+              "doc_id", "media"),
+            "doc_id", targetW = 8, targetH = 8),
+          "doc_id", "grid", maxHamming = 3)
+        (df.queryExecution.executedPlan, df.collect())
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = planNodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    val pixelCarrying = shuffles.filter(_.output.exists(a =>
+      a.name.contains("grid") || a.name.contains("media")))
+    assert(pixelCarrying.isEmpty,
+      s"exchanges ship pixel columns: ${pixelCarrying.map(_.output.map(_.name))}")
+    assert(planNodes.toString.linesIterator.count(_.contains("ReusedExchange")) >= 1,
+      planNodes.toString)
+    // planted re-encode artifacts surface as small-hamming pairs of
+    // (base, base + 2,000,000) — the pipeline finds real dups, not
+    // hash-diverse noise
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = pairs.filter { case (a, b) => b == a + 2000000L && a % 16 == 0 }
+    assert(planted.nonEmpty, s"no planted near-dup recovered: ${pairs.take(5)}")
+  }
+
   test("sim3_topk_ivf: centroid assignment is a partial-agg max_by, not a corpus-wide window sort") {
     val p = plan("sim3_topk_ivf")
     // no row_number window partitioned by the corpus id — that plan

@@ -739,6 +739,88 @@ class StreamingRunSpec extends SparkTestBase {
       "every source's admissions fit one drop — no state crossed batches")
   }
 
+  test("w20 operator-state restore: pl11 killed before the last drop and restarted from its checkpoint reproduces the single-run admissions") {
+    import org.apache.spark.sql.expressions.Window
+    var run2Batches = Seq.empty[Long]
+    val restored = StreamingRun.tokenBudgetAdmissionRestored(spark, sfDir,
+        inspectRestored = q =>
+          run2Batches = q.recentProgress.toSeq.map(_.batchId))
+      .collect().map(_.toSeq).toSet
+    val single = StreamingRun.tokenBudgetAdmission(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(restored == single,
+      s"operator-state restore is output-visible; only-restored: " +
+        s"${(restored -- single).take(3)}, only-single: ${(single -- restored).take(3)}")
+    assert(restored.nonEmpty)
+    // the second query provably RESUMED (no batch re-ran)
+    assert(run2Batches.nonEmpty && run2Batches.min >= 3, s"$run2Batches")
+    // recovered state is LOAD-BEARING: some source's last-drop slice
+    // would fit the budget on its own, so a restore that lost the
+    // GroupState running totals would have re-admitted those docs —
+    // restored == single proves the recovered totals gated them.
+    val scored = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .withColumn("drop", ntile(4).over(Window.orderBy(col("doc_id"))) - 1)
+    val lastDrop = scored.filter(col("drop") === 3)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("standalone"),
+        sum((col("cum") <= 800L).cast("long")).as("admitted"))
+      .collect()
+    assert(lastDrop.exists(r => r.getLong(1) <= 800L && r.getLong(2) == 0L),
+      "no source had a budget-fitting last-drop slice that the " +
+        "recovered totals rejected — a lossy restore would be invisible " +
+        s"here: ${lastDrop.mkString(",")}")
+  }
+
+  test("tokenBudgetPlan: a SINGLE-source multi-drop feed folds each batch in doc_id order under the bounded-drop sort") {
+    // The within-batch sort materializes one (source, micro-batch)
+    // group on the executor — the documented bounded-drop assumption
+    // (StreamingRun.tokenBudgetPlan). This feed makes the sort
+    // load-bearing: rows are written SHUFFLED within every drop, so an
+    // arrival-order fold would admit a different set.
+    import java.nio.file.{Files, StandardCopyOption}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-w20-feed")
+    val tmp = Files.createTempDirectory("graft-w20-feed-tmp")
+    try {
+      val drops = Seq(
+        Seq((5L, "w w w"), (1L, "w w"), (3L, "w")),   // tokens 3,2,1
+        Seq((8L, "w w w w"), (6L, "w w")),            // 4,2
+        Seq((11L, "w w w"), (9L, "w")))               // 3,1
+      drops.zipWithIndex.foreach { case (rows, k) =>
+        rows.map { case (id, t) => (id, "src", t) }
+          .toDF("doc_id", "source", "text")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val dst = dir.resolve(f"b$k%03d.parquet")
+        Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + k * 60000L))
+      }
+      val got = StreamingRun.drainAppend(spark,
+          StreamingRun.tokenBudgetPlan(spark, dir.toString, budget = 9L))
+        .select(col("doc_id"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc_id-order fold: drop 0 admits 1(cum 2), 3(3), 5(6); drop 1
+      // admits 6(8) and rejects 8 (12 > 9, source closes); drop 2
+      // rejects everything on the recovered total
+      assert(got == Set((1L, 2L), (3L, 3L), (5L, 6L), (6L, 8L)), s"$got")
+    } finally {
+      StreamingRun.deleteTree(tmp)
+      StreamingRun.deleteTree(dir)
+    }
+  }
+
   test("w1_streaming result equals the batch w1_tumbling plan exactly") {
     val streaming = graft.queries.EventTimeQueries
       .defs("w1_streaming")(spark, sfDir)
