@@ -743,9 +743,17 @@ object Bench {
                 .blockedQueryVolumesAt(spark, sfDir, copies = 10)
               // the THIRD curve point, headline realistic canaries only
               // (the 100× corpus is 100× the documents table; the other
-              // canaries' shapes are pinned by their 1×/10× rules)
-              val v100 = graft.queries.TrainingDataQueries
-                .realisticBlockedVolumes100(spark, sfDir)
+              // canaries' shapes are pinned by their 1×/10× rules). Its
+              // OWN Try: a 100×-only failure must degrade those two
+              // entries to their 2-point form, not blind the whole
+              // block_volume_scaling tripwire — and it must be LOUD.
+              val v100 = scala.util.Try(graft.queries.TrainingDataQueries
+                  .realisticBlockedVolumes100(spark, sfDir))
+                .recover { case e =>
+                  System.err.println(s"[bench] 100x curve point FAILED " +
+                    s"(falling back to 2-point entries): $e")
+                  Map.empty[String, graft.operators.Dedup.BlockVolume]
+                }.get
               def expOf(a: graft.operators.Dedup.BlockVolume,
                   b: graft.operators.Dedup.BlockVolume): Double =
                 if (a.totalPairs > 0 && b.totalPairs > 0)

@@ -210,7 +210,23 @@ object EventTimeQueries extends QueryModule {
     // gaps-and-islands (exact under this geometry — see
     // StreamingRun.sessionWatermarked's scaladoc for the proof).
     "w16_streaming_session_watermark" -> ((s, d) =>
-      graft.streaming.StreamingRun.sessionWatermarked(s, d)),
+      graft.streaming.StreamingRun.sessionWatermarked(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
+
+    // W22: CHECKPOINT RESTORE FOR SESSION STATE — w16's staged protocol
+    // killed before the last drop and restarted from its checkpoint:
+    // run 2's within-lateness stragglers must MERGE into RECOVERED
+    // open sessions (gap-merged variable-extent state, a different
+    // recovery surface from w18's calendar buffers and w20's scalar
+    // GroupState). Oracle = w16's replay verbatim; the w18 restart
+    // geometry carries over because it is a watermark-protocol
+    // argument, not a state-layout one (derivation in
+    // StreamingRun.sessionWatermarkedRestored's scaladoc).
+    "w22_streaming_session_restore" -> ((s, d) =>
+      graft.streaming.StreamingRun.sessionWatermarkedRestored(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
 
     // W17: the stream-stream interval join WITH watermarks on both
     // sides (w10 runs append without one, by pre-w15 design) — LEFT
@@ -586,6 +602,45 @@ object EventTimeQueries extends QueryModule {
        |  CAST(NULL AS BIGINT) AS sum_value_micros
        |FROM dels""".stripMargin
 
+  /** w16's session replay — shared VERBATIM by w22 (session-state
+    * restore must be output-invisible). */
+  private val w16Sql: String =
+    """WITH ev AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |  FROM events),
+        |wm AS (
+        |  SELECT b,
+        |    (max(mx_ms) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - 172800000) * 1000 AS late_wm_us
+        |  FROM (SELECT b, max(ts_us // 1000) AS mx_ms FROM ev GROUP BY b)),
+        |fin AS (SELECT (max(ts_us // 1000) - 172800000) * 1000 AS wm_us
+        |        FROM ev),
+        |acc AS (
+        |  SELECT ev.user_id, ev.value, ev.ts_us FROM ev JOIN wm USING (b)
+        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us + 1800000000 > wm.late_wm_us),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |isl AS (
+        |  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged)
+        |SELECT user_id,
+        |  make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micros
+        |FROM isl, fin
+        |GROUP BY user_id, island, fin.wm_us
+        |HAVING max(ts_us) + 1800000000 <= fin.wm_us""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "w1_tumbling" -> tumblingDailySql,
 
@@ -784,42 +839,14 @@ object EventTimeQueries extends QueryModule {
     // iff the final eviction watermark passed its end. Exactness of the
     // flat replay vs the exec's incremental merge/evict is the geometry
     // argument in StreamingRun.sessionWatermarked's scaladoc.
-    "w16_streaming_session_watermark" ->
-      """WITH ev AS (
-        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
-        |  FROM events),
-        |wm AS (
-        |  SELECT b,
-        |    (max(mx_ms) OVER (ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000) * 1000 AS late_wm_us
-        |  FROM (SELECT b, max(ts_us // 1000) AS mx_ms FROM ev GROUP BY b)),
-        |fin AS (SELECT (max(ts_us // 1000) - 172800000) * 1000 AS wm_us
-        |        FROM ev),
-        |acc AS (
-        |  SELECT ev.user_id, ev.value, ev.ts_us FROM ev JOIN wm USING (b)
-        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us + 1800000000 > wm.late_wm_us),
-        |flagged AS (
-        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nf
-        |  FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-        |isl AS (
-        |  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts_us
-        |    ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM flagged)
-        |SELECT user_id,
-        |  make_timestamp(min(ts_us)) AS session_start,
-        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS sum_value_micros
-        |FROM isl, fin
-        |GROUP BY user_id, island, fin.wm_us
-        |HAVING max(ts_us) + 1800000000 <= fin.wm_us""".stripMargin,
+    "w16_streaming_session_watermark" -> w16Sql,
+
+    // w22: w16's replay VERBATIM — session-state restore must be
+    // output-invisible (the w18 restart-geometry argument is about the
+    // watermark protocol, not the state layout; derivation in
+    // StreamingRun.sessionWatermarkedRestored's scaladoc).
+    "w22_streaming_session_restore" -> w16Sql,
+
 
     // w17: replay of the watermarked symmetric join. The watermark is
     // PER-SIDE (Catalyst pushes the event-type filter below each

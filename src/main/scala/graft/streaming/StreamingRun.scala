@@ -704,52 +704,66 @@ object StreamingRun {
       dropMod: Int = 89, provider: Option[String] = None,
       inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame =
       withStateProvider(s, provider) {
-    import java.nio.file.{Files, Paths}
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    // a query-private reveal dir (symlinks into the shared staged cache,
-    // which is never mutated) + a persistent-for-the-call checkpoint
+    runRestored(s, staged,
+      dir2 => watermarkedTumblingPlan(s, dir2, delayDays),
+      runOneFiles = nFiles - 1, totalFiles = nFiles,
+      noDataBatchesRun1 = Some(false), inspectRestored = inspectRestored)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+  }
+
+  /** The kill-and-restart protocol shared by every restore row — w18
+    * (tumbling aggregation state), w20 (custom-operator GroupState),
+    * w21 (w18 under RocksDB+changelog) and w22 (merging session
+    * state): reveal the first `runOneFiles` staged files into a
+    * query-private symlink dir (the shared staged cache is never
+    * mutated), drive `planOf(revealDir)` into a DURABLE parquet sink
+    * (run 1 — recovery requires a fault-tolerant sink: the memory sink
+    * refuses, its contents die with the query, exactly what the
+    * exactly-once contract must survive; `noDataBatchesRun1 =
+    * Some(false)` stops run 1 at the post-commit point a crash would
+    * leave, the w18 geometry), reveal the remaining files, and start a
+    * NEW query on the SAME checkpoint (run 2) — asserted to RESUME
+    * (first executed batch ≥ runOneFiles, and input was processed).
+    * The parquet sink's _spark_metadata commit log is
+    * checkpoint-coupled, so the final read sees exactly the committed
+    * union of both runs — the production deployment shape. ONE
+    * implementation so a protocol fix lands in every restore row
+    * (advisor-r17 discipline). */
+  private def runRestored(s: SparkSession, staged: String,
+      planOf: String => DataFrame, runOneFiles: Int, totalFiles: Int,
+      noDataBatchesRun1: Option[Boolean],
+      inspectRestored: StreamingQuery => Unit): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val reveal = Files.createTempDirectory("graft-stream-restore")
     val ckpt = Files.createTempDirectory("graft-stream-restore-ckpt")
-    // a DURABLE sink, not the memory sink of the other drains: recovery
-    // from a checkpoint requires a fault-tolerant sink (the memory sink
-    // refuses — its contents died with run 1, exactly what the
-    // exactly-once contract must survive). The parquet sink's
-    // _spark_metadata commit log is checkpoint-coupled, so run 2
-    // APPENDS to the same directory and the final read sees exactly the
-    // committed union of both runs — the production deployment shape.
     val out = Files.createTempDirectory("graft-stream-restore-out")
     def reveal1(k: Int): Unit = {
       val fn = f"b$k%03d.parquet"
       Files.createSymbolicLink(reveal.resolve(fn), Paths.get(staged, fn))
     }
     try {
-      (0 until nFiles - 1).foreach(reveal1)
-      // run 1: drain the visible prefix; no-data batches OFF so the run
-      // stops at the post-commit point a crash would leave (see scaladoc)
-      runToParquetSink(s,
-        watermarkedTumblingPlan(s, reveal.toString, delayDays),
+      (0 until runOneFiles).foreach(reveal1)
+      runToParquetSink(s, planOf(reveal.toString),
         out.toString, ckpt.toString, _ => (),
-        noDataBatches = Some(false))
-      reveal1(nFiles - 1)
-      // run 2: a NEW query on the SAME checkpoint — prove it resumed
-      runToParquetSink(s,
-        watermarkedTumblingPlan(s, reveal.toString, delayDays),
+        noDataBatches = noDataBatchesRun1)
+      (runOneFiles until totalFiles).foreach(reveal1)
+      runToParquetSink(s, planOf(reveal.toString),
         out.toString, ckpt.toString,
         q => {
           val progresses = q.recentProgress
-          require(progresses.nonEmpty && progresses.map(_.batchId).min >= nFiles - 1,
+          require(progresses.nonEmpty &&
+            progresses.map(_.batchId).min >= runOneFiles,
             s"restore run re-executed early batches (ids " +
               s"${progresses.map(_.batchId).sorted.mkString(",")}) — the " +
               "checkpoint was not resumed")
           require(progresses.map(_.numInputRows).sum > 0,
-            "restore run processed no input — the revealed last file " +
-              "was not picked up")
+            "restore run processed no input — the revealed files were " +
+              "not picked up")
           inspectRestored(q)
         })
-      s.read.parquet(out.toString)
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("sum_value_micros"))
-        .localCheckpoint()
+      s.read.parquet(out.toString).localCheckpoint()
     } finally {
       deleteTree(ckpt)
       deleteTree(reveal)
@@ -841,27 +855,71 @@ object StreamingRun {
     // it must exceed the merge gap by a wide margin) — fail loud if a
     // caller erodes that geometry rather than silently desynchronizing
     // the oracle
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    sessionReadout(
+      drainAppend(s, sessionPlan(s, staged, delayDays, gapMinutes), inspect))
+  }
+
+  /** The staged watermarked SESSION aggregation — ONE plan definition
+    * shared by w16 (single run) and w22 (kill-and-restart), the
+    * watermarkedTumblingPlan discipline. The gap ≪ delay guard lives
+    * HERE, with the plan whose flat-oracle exactness argument needs it
+    * (an accepted straggler's distance to any evicted session's end is
+    * ≥ the delay; it must exceed the merge gap by a wide margin — see
+    * [[sessionWatermarked]]'s scaladoc), so both consumers fail loud
+    * identically if a caller erodes the geometry. */
+  private def sessionPlan(s: SparkSession, stagedDir: String,
+      delayDays: Int, gapMinutes: Int): DataFrame = {
     require(gapMinutes.toLong * 60000L * 8L <= delayDays.toLong * 86400000L,
       s"sessionWatermarked's flat oracle requires gap << delay " +
         s"(got gap ${gapMinutes}m vs delay ${delayDays}d); see the " +
         "scaladoc's exactness argument")
+    val schema = s.read.parquet(stagedDir).schema // metadata-only
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .withWatermark("ts", s"$delayDays days")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6)).cast("long"))
+          .as("sum_value_micros"))
+  }
+
+  /** The w16/w22 output contract — one projection for both the single
+    * run and the restored run, so the "restore is output-invisible"
+    * compare can never diverge on column shape. */
+  private def sessionReadout(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+      col("session_window.start").as("session_start"),
+      col("session_window.end").as("session_end"),
+      col("n_events"), col("sum_value_micros"))
+
+  /** W22: CHECKPOINT RESTORE FOR SESSION STATE — [[sessionWatermarked]]
+    * through the [[runRestored]] kill-and-restart: run 1 drains the
+    * first nFiles−1 staged drops (no-data batches off), committing the
+    * OPEN sessions — gap-merged, variable-extent state rows, a
+    * different recovery surface from w18's calendar buffers and w20's
+    * scalar GroupState — then a NEW query on the same checkpoint
+    * drains the last drop: within-lateness stragglers must MERGE into
+    * RECOVERED open sessions (possibly bridging two recovered sessions
+    * into one), and the trailing no-data batch evicts with wm(all).
+    * Oracle = w16's replay VERBATIM. The w18 restart-geometry argument
+    * carries over unchanged: the late filter of the restarted batch
+    * runs with the recovered watermark wm(data ≤ nFiles−3), which for
+    * batch nFiles−1 IS the two-value contract's value, so restarting
+    * before the LAST file is the one output-invisible restart point —
+    * the argument is about the watermark protocol, not the state
+    * layout, which is exactly what makes it reusable across the
+    * stateful execs (`MergingSessionsExec` here). */
+  def sessionWatermarkedRestored(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89, gapMinutes: Int = 30,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val schema = s.read.parquet(staged).schema // metadata-only
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-    drainAppend(s,
-      stream
-        .withWatermark("ts", s"$delayDays days")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), s"$gapMinutes minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * lit(1e6)).cast("long"))
-            .as("sum_value_micros")),
-      inspect)
-      .select(col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"), col("sum_value_micros"))
+    sessionReadout(runRestored(s, staged,
+      dir2 => sessionPlan(s, dir2, delayDays, gapMinutes),
+      runOneFiles = nFiles - 1, totalFiles = nFiles,
+      noDataBatchesRun1 = Some(false), inspectRestored = inspectRestored))
   }
 
   /** w10's stream-stream interval join WITH watermarks on both sides —
@@ -1472,48 +1530,17 @@ object StreamingRun {
   def tokenBudgetAdmissionRestored(s: SparkSession, dir: String,
       nFiles: Int = 4, budget: Long = 800L,
       inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val staged = stageDocsOrdered(s, dir, nFiles)
-    // query-private reveal dir (symlinks into the immutable staged
-    // cache) + call-lifetime checkpoint and sink — the w18 machinery
-    val reveal = Files.createTempDirectory("graft-stream-w20")
-    val ckpt = Files.createTempDirectory("graft-stream-w20-ckpt")
-    val out = Files.createTempDirectory("graft-stream-w20-out")
-    def reveal1(k: Int): Unit = {
-      val fn = f"b$k%03d.parquet"
-      Files.createSymbolicLink(reveal.resolve(fn), Paths.get(staged, fn))
-    }
-    try {
-      (0 until nFiles - 1).foreach(reveal1)
-      // run 1: drain the visible prefix, committing each source's
-      // running token total into the checkpoint's operator state
-      runToParquetSink(s, tokenBudgetPlan(s, reveal.toString, budget),
-        out.toString, ckpt.toString, _ => ())
-      // reveal the last data file AND the sentinel file (batch parity
-      // with pl11's single run; the sentinel batch admits nothing)
-      reveal1(nFiles - 1)
-      reveal1(nFiles)
-      // run 2: a NEW query on the SAME checkpoint — prove it resumed
-      runToParquetSink(s, tokenBudgetPlan(s, reveal.toString, budget),
-        out.toString, ckpt.toString,
-        q => {
-          val progresses = q.recentProgress
-          require(progresses.nonEmpty &&
-            progresses.map(_.batchId).min >= nFiles - 1,
-            s"restore run re-executed early batches (ids " +
-              s"${progresses.map(_.batchId).sorted.mkString(",")}) — " +
-              "the checkpoint was not resumed")
-          require(progresses.map(_.numInputRows).sum > 0,
-            "restore run processed no input — the revealed files were " +
-              "not picked up")
-          inspectRestored(q)
-        })
-      s.read.parquet(out.toString).localCheckpoint()
-    } finally {
-      deleteTree(ckpt)
-      deleteTree(reveal)
-      deleteTree(out)
-    }
+    // run 1 drains all but the last data drop (committing each source's
+    // running token total as GroupState); run 2 reveals the last drop
+    // AND the sentinel file (batch parity with pl11's single run; the
+    // sentinel batch admits nothing). No noDataBatches handling: the
+    // operator has no watermark, so FMGWS recovery is exact at any
+    // epoch boundary (see scaladoc).
+    runRestored(s, staged,
+      dir2 => tokenBudgetPlan(s, dir2, budget),
+      runOneFiles = nFiles - 1, totalFiles = nFiles + 1,
+      noDataBatchesRun1 = None, inspectRestored = inspectRestored)
   }
 
   /** Stage the embeddings table as `nFiles` single-parquet ingest drops

@@ -739,6 +739,62 @@ class StreamingRunSpec extends SparkTestBase {
       "every source's admissions fit one drop — no state crossed batches")
   }
 
+  test("w22 session-state restore: the session query killed mid-protocol and restarted reproduces w16's single-run output, with merges from recovered state") {
+    var run2Batches = Seq.empty[Long]
+    var run2Evicted = 0L
+    val restored = StreamingRun.sessionWatermarkedRestored(spark, sfDir,
+        inspectRestored = q => {
+          run2Batches = q.recentProgress.toSeq.map(_.batchId)
+          run2Evicted = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+        })
+      .collect().map(_.toSeq).toSet
+    val single = StreamingRun.sessionWatermarked(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(restored == single,
+      s"session restore is output-visible; only-restored: " +
+        s"${(restored -- single).take(3)}, only-single: ${(single -- restored).take(3)}")
+    assert(restored.nonEmpty)
+    assert(run2Batches.nonEmpty && run2Batches.min >= 4, s"$run2Batches")
+    // emission split across the runs: run 2 evicted (emitted) sessions
+    // from RECOVERED merge state, but run 1 emitted its prefix
+    assert(run2Evicted > 0 && run2Evicted < restored.size,
+      s"run 2 evicted $run2Evicted of ${restored.size} — the restart " +
+        "point did not split session emissions")
+  }
+
+  test("pl13 ANN ingest: cell assignment is a projection (no join), the census runs through StateStoreSave, and equals the batch argmax") {
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    var plan = ""
+    val got = StreamingRun.ivfCellIngest(spark, sfDir,
+        inspect = q => plan = planOf(q))
+      .collect().map(_.toSeq).toSet
+    assert(plan.contains("StateStoreSave"), plan)
+    // assignment must be the broadcast-centroid fold, not a
+    // centroid-join: an 8x row explosion through a join would show as
+    // a BroadcastNestedLoopJoin/CartesianProduct here
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+    val cents = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 8).select(col("vec_id").as("cell"),
+        col("embedding").as("centroid"))
+    val want = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_vec_ids"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"only-got: ${(got -- want).take(3)}, only-want: ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("w20 operator-state restore: pl11 killed before the last drop and restarted from its checkpoint reproduces the single-run admissions") {
     import org.apache.spark.sql.expressions.Window
     var run2Batches = Seq.empty[Long]
