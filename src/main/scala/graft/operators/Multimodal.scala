@@ -130,48 +130,103 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     typed.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        // ImageIO's InputStream overload defaults to a DISK-backed
-        // stream cache (a temp FileCacheImageInputStream per read) —
-        // for in-memory byte sources that is pure I/O overhead and made
-        // decode throughput track the host's page-cache state
-        // (observed: 0.7 s isolated vs 1.1–3.3 s mid-sweep for the same
-        // 5000 decodes). Wrapping the bytes in a per-call
-        // MemoryCacheImageInputStream picks the memory cache for THIS
-        // read only — unlike ImageIO.setUseCache(false), which flips a
-        // process-global flag every other ImageIO user in the executor
-        // JVM would silently inherit.
-        val img = javax.imageio.ImageIO.read(
-          new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-        require(img != null, s"undecodable media for id $id")
-        val gray =
-          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-          else {
-            val g = new java.awt.image.BufferedImage(img.getWidth,
-              img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val gfx = g.createGraphics()
-            gfx.drawImage(img, 0, 0, null)
-            gfx.dispose()
-            g
-          }
-        val w = gray.getWidth
-        val h = gray.getHeight
-        val raster = gray.getRaster
-        val grid = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            grid(y * w + x) = raster.getSample(x, y, 0).toByte
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, grid) = decodeOneLuma(id, bytes, 0, bytes.length)
         (id, w, h, grid)
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
       Encoders.scalaInt, Encoders.BINARY))
       .toDF(idCol, "width", "height", "grid")
+  }
+
+  /** One real ImageIO decode of `bytes[off, off+len)` to a row-major
+    * 8-bit luma grid — the executor-side core of [[decodeLumaGrid]]
+    * (whole-blob media) and [[decodeFrames]] (one container frame).
+    * ImageIO's InputStream overload defaults to a DISK-backed stream
+    * cache (a temp FileCacheImageInputStream per read) — for in-memory
+    * byte sources that is pure I/O overhead and made decode throughput
+    * track the host's page-cache state (observed: 0.7 s isolated vs
+    * 1.1–3.3 s mid-sweep for the same 5000 decodes). Wrapping the bytes
+    * in a per-call MemoryCacheImageInputStream picks the memory cache
+    * for THIS read only — unlike ImageIO.setUseCache(false), which
+    * flips a process-global flag every other ImageIO user in the
+    * executor JVM would silently inherit. Non-gray inputs luma-convert
+    * through an offscreen TYPE_BYTE_GRAY draw (headless-safe);
+    * undecodable bytes fail loudly naming the id. */
+  private def decodeOneLuma(id: Long, bytes: Array[Byte], off: Int,
+      len: Int): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, len)))
+    require(img != null, s"undecodable media for id $id")
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(img.getWidth,
+          img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gfx = g.createGraphics()
+        gfx.drawImage(img, 0, 0, null)
+        gfx.dispose()
+        g
+      }
+    val w = gray.getWidth
+    val h = gray.getHeight
+    val raster = gray.getRaster
+    val grid = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        grid(y * w + x) = raster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, grid)
+  }
+
+  /** REAL multi-frame decode — the video-shaped path on a real codec:
+    * `mediaCol` holds a LENGTH-PREFIXED FRAME CONTAINER (per frame, a
+    * 4-byte big-endian length then one complete encoded image). The
+    * container framing is the deterministic stand-in for a video
+    * container this environment ships no codec for, but everything
+    * inside it is real: each frame decodes through javax.imageio
+    * ([[decodeOneLuma]]), so the batch shape, per-frame luma grids and
+    * the aligned-frame banding downstream (pl14) all exercise
+    * production plumbing — a real demuxer swaps in at the offset-parse
+    * line and nothing else changes. One output row per
+    * (id, frame_no, width, height, grid); a truncated or overrunning
+    * frame header fails loudly naming the id and frame — a silent
+    * partial parse would desynchronize any count-carrying oracle.
+    * Partition-local flatMap: no shuffle, media bytes never leave the
+    * scan-side task. */
+  def decodeFrames(df: DataFrame, idCol: String,
+      mediaCol: String): DataFrame = {
+    val typed = df.filter(col(mediaCol).isNotNull)
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+    typed.flatMap { case (id, bytes) =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Int, Int, Array[Byte])]
+      var off = 0
+      var f = 0
+      while (off < bytes.length) {
+        require(off + 4 <= bytes.length,
+          s"truncated frame header for id $id at frame $f (offset $off)")
+        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        require(len > 0 && off + 4 + len <= bytes.length,
+          s"frame $f of id $id overruns the container " +
+            s"(len $len at offset $off of ${bytes.length})")
+        val (w, h, grid) = decodeOneLuma(id, bytes, off + 4, len)
+        out += ((id, f, w, h, grid))
+        off += 4 + len
+        f += 1
+      }
+      out
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY))
+      .toDF(idCol, "frame_no", "width", "height", "grid")
   }
 
   /** Frame sampling: one output row per sampled frame index
@@ -230,23 +285,53 @@ object Multimodal {
           Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
           Encoders.BINARY))
     typed.map { case (id, w, h, grid) =>
-      require(w > 0 && h > 0 && grid.length == w * h,
-        s"malformed grid for id $id: ${grid.length} bytes for ${w}x$h")
-      val out = new Array[Byte](targetW * targetH)
-      var y = 0
-      while (y < targetH) {
-        val sy = y * h / targetH
-        var x = 0
-        while (x < targetW) {
-          out(y * targetW + x) = grid(sy * w + x * w / targetW)
-          x += 1
-        }
-        y += 1
-      }
-      (id, targetW, targetH, out)
+      (id, targetW, targetH, resizeOne(id, w, h, grid, targetW, targetH))
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
       Encoders.scalaInt, Encoders.BINARY))
       .toDF(idCol, "width", "height", "grid")
+  }
+
+  /** The one nearest-neighbor index-map kernel behind [[resizeNearest]]
+    * (whole-image media) and [[resizeNearestFrames]] (per container
+    * frame): resized(y', x') = grid(⌊y'·h/tH⌋·w + ⌊x'·w/tW⌋). */
+  private def resizeOne(id: Long, w: Int, h: Int, grid: Array[Byte],
+      targetW: Int, targetH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && grid.length == w * h,
+      s"malformed grid for id $id: ${grid.length} bytes for ${w}x$h")
+    val out = new Array[Byte](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = y * h / targetH
+      var x = 0
+      while (x < targetW) {
+        out(y * targetW + x) = grid(sy * w + x * w / targetW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[resizeNearest]] at FRAME granularity — input is
+    * [[decodeFrames]]'s shape (id, frame_no, width, height, grid) and
+    * the frame key rides the narrow map, so a multi-frame pipeline can
+    * normalize every frame to the canonical hash grid before aligned-
+    * frame banding (pl14). Same kernel, same bit-reproducibility, same
+    * fixed per-row output volume. */
+  def resizeNearestFrames(decoded: DataFrame, idCol: String,
+      frameNoCol: String, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    val typed = decoded.select(col(idCol).cast("long"),
+        col(frameNoCol).cast("int"), col("width"), col("height"),
+        col("grid"))
+      .as[(Long, Int, Int, Int, Array[Byte])](Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
+        Encoders.scalaInt, Encoders.BINARY))
+    typed.map { case (id, f, w, h, grid) =>
+      (id, f, targetW, targetH, resizeOne(id, w, h, grid, targetW, targetH))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY))
+      .toDF(idCol, frameNoCol, "width", "height", "grid")
   }
 
   /** Per-image PIXEL MOMENTS of decoded luma grids — (n_pixels, sum,

@@ -318,6 +318,62 @@ object TrainingDataQueries extends QueryModule {
       realisticDocs100(s, d), "doc_id", "text",
       n = 3, threshold = 0.7))
 
+  /** pl14/mm7's multi-frame "video" corpus: per document one
+    * length-prefixed frame container ([[graft.operators.Multimodal
+    * .decodeFrames]]'s format — 4-byte big-endian length + one REAL
+    * PNG per frame, encoded through javax.imageio on the executors).
+    * Frame f's pixel i = `(c1·(i+3) + c2·(i²+1) + 17·f) mod 256` with
+    * c1/c2 the pl12 mixing residues (base mod 251 / mod 241) — the
+    * same clique-proofing as [[imagePngPairDocs]], with the frame
+    * index folded in as a per-frame shift (frames of ONE doc never
+    * compare — the banding is frame-aligned — so the shift only has to
+    * separate frames in the oracle's replay, not in hash space).
+    * nFrames = base mod 4 + 2. With `planted`, every 16th doc gains a
+    * copy (id + 2,000,000) whose FRAME 0 pixel 0 is one gray level
+    * up: an aligned-frame near-dup whose remaining frames match at
+    * hamming 0 — the "same clip, one re-encoded frame" analog. */
+  private def videoPngDocs(s: SparkSession, d: String,
+      planted: Boolean): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("base"), lit(false).as("perturb"))
+    val rows =
+      if (!planted) base
+      else base.union(Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("doc_id").as("base"), lit(true).as("perturb")))
+    rows.as[(Long, Long, Boolean)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean))
+      .mapPartitions { it =>
+        it.map { case (id, b, perturb) =>
+          val w = (b % 5 + 4).toInt
+          val h = (b % 3 + 4).toInt
+          val nf = (b % 4 + 2).toInt
+          val c1 = b % 251
+          val c2 = b % 241
+          val bos = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            val ff = f
+            val png = encodeGrayPng(w, h, (x, y) => {
+              val i = y * w + x
+              val bump = if (perturb && ff == 0 && i == 0) 1L else 0L
+              ((c1 * (i + 3) + c2 * (i.toLong * i + 1) + 17L * ff + bump)
+                % 256L).toInt
+            })
+            val len = png.length
+            bos.write((len >>> 24) & 0xff); bos.write((len >>> 16) & 0xff)
+            bos.write((len >>> 8) & 0xff); bos.write(len & 0xff)
+            bos.write(png, 0, len)
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "media")
+  }
+
   /** dd14's realistic ingest batch against the [[realisticBase]] prior:
     * the planted 4/5-prefix re-crawls (~1.6% of prior, INHERITING their
     * source's salt so their minhash bands truly collide with the prior
@@ -1592,6 +1648,50 @@ object TrainingDataQueries extends QueryModule {
       graft.streaming.StreamingRun.ivfCellIngest(s, d,
         nFiles = pl10Files, nCells = 8)),
 
+    // mm7: REAL multi-frame decode — the video-shaped path with a real
+    // codec per frame: a length-prefixed container of PNG frames is
+    // demuxed (offset parse) and each frame decoded through
+    // javax.imageio, then average-hashed — one row per (doc, frame).
+    // The oracle replays demux+decode+hash as pattern arithmetic
+    // keyed by (doc_id, frame_no): PNG gray is lossless, so only the
+    // Spark side needs the codec (the mm4 discipline, per frame).
+    "mm7_frame_decode" -> ((s, d) =>
+      graft.operators.Multimodal.decodeFrames(
+        videoPngDocs(s, d, planted = false), "doc_id", "media")
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
+
+    // pl14: the VIDEO perceptual-dedup pipeline on the real codec —
+    // pl9's flagship shape with the stub retired: container demux →
+    // REAL per-frame decode (mm7) → per-frame resize to the canonical
+    // 8×8 hash grid (mm5 at frame granularity — load-bearing, not
+    // cosmetic: a raw 4–8-px-a-side frame populates only w·h of the 61
+    // hash cells, and the shared always-zero cells weld unrelated
+    // same-shape frames into small-hamming matches — probed: 542 pairs
+    // for 32 plants at sf0.001 without the resize, 32-ish with it) →
+    // per-frame aHash61 → dd15's Manku banding grouped on frame_no
+    // (only aligned frames compare; signatures materialized once —
+    // perceptualFrameDup's built-in stage boundary) → media-level
+    // rollup: near-dups when ≥ 2 aligned frames band-match within
+    // hamming 3. The planted copies perturb only frame 0 by one gray
+    // level, so every later frame matches at hamming 0 — exactly how a
+    // clip with one re-encoded frame survives a frame-level match.
+    // Oracle = demux/decode/resize/hash as (doc, frame)-keyed pattern
+    // arithmetic, the UNFILTERED per-frame n², then the same rollup.
+    "pl14_video_dedup" -> ((s, d) =>
+      Dedup.perceptualFrameDup(
+        graft.operators.Multimodal.resizeNearestFrames(
+          graft.operators.Multimodal.decodeFrames(
+            videoPngDocs(s, d, planted = true), "doc_id", "media"),
+          "doc_id", "frame_no", targetW = 8, targetH = 8),
+        "doc_id", "frame_no", "grid", maxHamming = 3)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_frames_matched"),
+          min(col("hamming")).as("min_hamming"))
+        .filter(col("n_frames_matched") >= 2)),
+
     // mm6: MEDIA NORMALIZATION STATS — per-source decoded-pixel
     // moments over the real-codec corpus (mm4's PNGs): exact Long
     // (count, Σpx, Σpx²) folded per image BEFORE any shuffle
@@ -1623,24 +1723,27 @@ object TrainingDataQueries extends QueryModule {
     * mid-protocol and the cross-batch state is load-bearing. */
   private val pl11Budget = 800L
 
-  /** The aHash61 cell chain as DuckDB CTEs, shared verbatim by the mm4
-    * and mm5 oracles (the pl9/dd15 replay over an int list): expects an
-    * upstream `px(doc_id, n, bs)` where `bs` is the n-pixel luma list,
-    * and yields `sig(doc_id, ahash)`. */
-  private val aHash61ChainSql: String =
-    """cl AS (
-      |  SELECT doc_id, list_transform(range(61), j ->
-      |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
-      |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
-      |             // (((j+1)*n)//61 - (j*n)//61)
-      |        ELSE 0 END) AS cells
-      |  FROM px),
-      |sig AS (
-      |  SELECT doc_id, CAST(list_sum(list_transform(range(61), j ->
-      |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
-      |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-      |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
-      |  FROM cl)""".stripMargin
+  /** The aHash61 cell chain as DuckDB CTEs, keyed by `keys` (the
+    * pl9/dd15 replay over an int list): expects an upstream
+    * `px($keys, n, bs)` where `bs` is the n-pixel luma list, and
+    * yields `sig($keys, ahash)`. Shared by mm4/mm5/pl12 (doc_id) and
+    * mm7/pl14 (doc_id, frame_no). */
+  private def aHash61ChainSqlKeyed(keys: String): String =
+    s"""cl AS (
+       |  SELECT $keys, list_transform(range(61), j ->
+       |      CASE WHEN ((j+1)*n)//61 > (j*n)//61
+       |        THEN list_sum(bs[CAST((j*n)//61 AS INT)+1 : CAST(((j+1)*n)//61 AS INT)])
+       |             // (((j+1)*n)//61 - (j*n)//61)
+       |        ELSE 0 END) AS cells
+       |  FROM px),
+       |sig AS (
+       |  SELECT $keys, CAST(list_sum(list_transform(range(61), j ->
+       |      CASE WHEN cells[CAST(j AS INT)+1] > list_sum(cells) // 61
+       |        THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+       |  FROM cl)""".stripMargin
+
+  private val aHash61ChainSql: String = aHash61ChainSqlKeyed("doc_id")
 
   /** pl10's staged crawl-drop count — interpolated into the oracle's
     * ntile and passed to the stager (one source of truth). */
@@ -3553,6 +3656,67 @@ object TrainingDataQueries extends QueryModule {
          |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
          |FROM asg GROUP BY 1""".stripMargin,
+
+    // mm7: demux+decode+hash replayed as (doc, frame)-keyed pattern
+    // arithmetic — the mm4 lossless-PNG discipline per container frame.
+    "mm7_frame_decode" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h,
+         |    doc_id % 251 AS c1, doc_id % 241 AS c2, doc_id % 4 + 2 AS nf
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, w, h, c1, c2,
+         |    CAST(unnest(range(nf)) AS BIGINT) AS frame_no
+         |  FROM m),
+         |px AS (
+         |  SELECT doc_id, frame_no, w * h AS n,
+         |    list_transform(range(w * h), i ->
+         |      (c1 * (i + 3) + c2 * (i * i + 1) + 17 * frame_no) % 256) AS bs
+         |  FROM fr),
+         |${aHash61ChainSqlKeyed("doc_id, frame_no")}
+         |SELECT fr.doc_id, fr.frame_no, CAST(fr.w AS BIGINT) AS width,
+         |  CAST(fr.h AS BIGINT) AS height, sig.ahash
+         |FROM fr JOIN sig USING (doc_id, frame_no)""".stripMargin,
+
+    // pl14: the per-frame replay over base ∪ perturbed plants, the
+    // UNFILTERED frame-aligned n² (a hash match proves the grouped
+    // banding IS the brute force over real decoded pixels), then the
+    // pl9 rollup.
+    "pl14_video_dedup" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, doc_id AS base, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, doc_id, TRUE FROM documents
+         |  WHERE doc_id % 16 = 0),
+         |m AS (
+         |  SELECT doc_id, base % 5 + 4 AS w, base % 3 + 4 AS h,
+         |    base % 251 AS c1, base % 241 AS c2, base % 4 + 2 AS nf, perturb
+         |  FROM cand),
+         |fr AS (
+         |  SELECT doc_id, w, h, c1, c2, perturb,
+         |    CAST(unnest(range(nf)) AS BIGINT) AS frame_no
+         |  FROM m),
+         |px AS (
+         |  SELECT doc_id, frame_no, 64 AS n,
+         |    list_transform(range(64), i ->
+         |      (c1 * ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8) + 3)
+         |       + c2 * (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8))
+         |               * ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) + 1)
+         |       + 17 * frame_no
+         |       + CASE WHEN perturb AND frame_no = 0
+         |              AND (((i // 8) * h) // 8) * w + (((i % 8) * w) // 8) = 0
+         |              THEN 1 ELSE 0 END) % 256) AS bs
+         |  FROM fr),
+         |${aHash61ChainSqlKeyed("doc_id, frame_no")},
+         |fp AS (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
+         |  FROM sig l JOIN sig r
+         |    ON l.frame_no = r.frame_no AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.ahash, r.ahash)) <= 3)
+         |SELECT doc_a, doc_b, count(*) AS n_frames_matched,
+         |  min(hamming) AS min_hamming
+         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // mm6: the decoded-pixel moments recomputed arithmetically from
     // mm4's pattern (PNG gray is lossless), summed per source — all

@@ -47,6 +47,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(3L) == (2, 2, Seq[Byte](0, 2, 32, 34)))
   }
 
+  test("decodeFrames: demuxes length-prefixed PNG frames through the real codec; truncation and overrun fail loud with id and frame") {
+    def png(w: Int, h: Int, v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (v + x + y) % 256)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    def frame(b: Array[Byte]): Array[Byte] = {
+      val n = b.length
+      Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte,
+        n.toByte) ++ b
+    }
+    val container = frame(png(2, 2, 10)) ++ frame(png(3, 2, 100))
+    val out = Multimodal.decodeFrames(
+        Seq((5L, container)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getAs[Array[Byte]]("grid").toSeq)).sortBy(_._1)
+    assert(out.length == 2)
+    // frame 0: 2x2 of (10 + x + y) — row-major 10,11,11,12
+    assert(out(0) == ((0, 2, 2, Seq[Byte](10, 11, 11, 12))))
+    // frame 1: 3x2 of (100 + x + y)
+    assert(out(1) == ((1, 3, 2, Seq[Byte](100, 101, 102, 101, 102, 103))))
+    // a frame length overrunning the container names id and frame
+    val bad = container.take(container.length - 3)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFrames(
+        Seq((7L, bad)).toDF("doc_id", "media"), "doc_id", "media").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("7") && msg.contains("frame 1"), msg.take(400))
+  }
+
+  test("resizeNearestFrames: the frame key rides the resize; kernel matches resizeNearest") {
+    val rows = Seq(
+      (1L, 0, 1, 1, Array[Byte](42)),
+      (1L, 1, 2, 2, Array.tabulate(4)(i => (10 * i).toByte)))
+      .toDF("doc_id", "frame_no", "width", "height", "grid")
+    val out = Multimodal.resizeNearestFrames(rows, "doc_id", "frame_no", 2, 2)
+      .collect().map(r => (r.getInt(1),
+        r.getAs[Array[Byte]]("grid").toSeq)).sortBy(_._1)
+    assert(out(0) == ((0, Seq[Byte](42, 42, 42, 42))))
+    assert(out(1) == ((1, Seq[Byte](0, 10, 20, 30))))
+  }
+
   test("pixelMoments: exact Long moments, unsigned byte range, empty grid yields zeros") {
     val rows = Seq(
       // bytes 1, 2, 3 → n 3, Σ 6, Σ² 14
