@@ -76,7 +76,13 @@ object CanaryHealth {
     "dd11_jaccard_prefix_realistic" -> LinearPairs(1.3),
     "dd13_substring_realistic" -> LinearPairs(1.5),
     "dd14_incremental_fuzzy_realistic" -> LinearPairs(1.3),
-    "sim9_knn_graph_realistic" -> LinearPairs(1.7))
+    // tightened from 1.7 in r20: the old linear Weyl plane family
+    // saturated signature entropy (planes were windows of ONE
+    // sequence), which was the real source of the ~1.5 exponents; the
+    // quadratic-mix family (NativeVector.lshSignature) measures
+    // 1.01/1.17 decade-over-decade, so sim9 now holds the same bound
+    // as every other realistic canary.
+    "sim9_knn_graph_realistic" -> LinearPairs(1.3))
 
   /** The artifact verdict for one canary; an UNDECLARED canary reads
     * `unknown` (and fails BenchSpec's coverage pin). */
@@ -93,8 +99,15 @@ object CanaryHealth {
       x100: BlockVolume, exp1: Double, exp2: Double): String = {
     val h1 = health(name, x1, x10, exp1)
     val h2 = health(name, x10, x100, exp2)
-    if (h1 == h2) h1 else if (Seq(h1, h2).contains("regressed")) "regressed"
-    else if (Seq(h1, h2).contains("degenerate")) "degenerate" else h2
+    // Explicit precedence: bad verdicts dominate, then unknown (a
+    // coverage gap must never read as healthy), and "ok" requires BOTH
+    // decades to say ok — a mixed ok/saturated pair falls through to
+    // the non-ok member rather than defaulting to h2's side.
+    if (h1 == h2) h1
+    else if (Seq(h1, h2).contains("regressed")) "regressed"
+    else if (Seq(h1, h2).contains("degenerate")) "degenerate"
+    else if (Seq(h1, h2).contains("unknown")) "unknown"
+    else Seq(h1, h2).find(_ != "ok").getOrElse("ok")
   }
 }
 
@@ -160,22 +173,36 @@ object Bench {
     @volatile var current: String = "startup"
     private val counts = new java.util.concurrent.ConcurrentHashMap[
       (String, String), java.util.concurrent.atomic.AtomicLong]()
+    private val injected = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.util.concurrent.atomic.AtomicLong]()
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       e.reason match {
         case org.apache.spark.Success => ()
-        case ef: org.apache.spark.ExceptionFailure => record(ef.className)
-        case r => record(r.getClass.getSimpleName.stripSuffix("$"))
+        case ef: org.apache.spark.ExceptionFailure =>
+          record(ef.className, ef.description)
+        case r => record(r.getClass.getSimpleName.stripSuffix("$"), "")
       }
-    private def record(reason: String): Unit = {
-      counts.computeIfAbsent((current, reason),
+    private def record(reason: String, description: String): Unit = {
+      // the w24 row's DELIBERATE faults ledger separately: the
+      // clean-record bar stays "task_failures EMPTY", while the
+      // injected ledger is EXPECTED non-empty for exactly that query —
+      // the retry machinery exercised on purpose, recorded on purpose.
+      // The probe throws from inside a UDF, so the task-end reason is
+      // SparkException [FAILED_EXECUTE_UDF] with the real class in the
+      // cause chain — classify by either surface.
+      val marker = classOf[graft.streaming.InjectedTaskFault].getName
+      val isInjected = reason == marker || description.contains(marker)
+      val book = if (isInjected) injected else counts
+      val key = if (isInjected) marker else reason
+      book.computeIfAbsent((current, key),
         _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
       ()
     }
-    /** `{"<query>":{"<failure class>":n,…},…}` — empty on a clean run. */
-    def json: String = {
+    private def bookJson(book: java.util.concurrent.ConcurrentHashMap[
+        (String, String), java.util.concurrent.atomic.AtomicLong]): String = {
       import scala.jdk.CollectionConverters._
-      counts.asScala.toSeq.map { case ((q, r), n) => (q, r, n.get) }
+      book.asScala.toSeq.map { case ((q, r), n) => (q, r, n.get) }
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (q, rs) =>
           "\"" + q + "\":" + rs.sortBy(_._2)
@@ -183,6 +210,10 @@ object Bench {
             .mkString("{", ",", "}")
         }.mkString("{", ",", "}")
     }
+    /** `{"<query>":{"<failure class>":n,…},…}` — empty on a clean run. */
+    def json: String = bookJson(counts)
+    /** Injected-fault ledger — non-empty iff fault-injection rows ran. */
+    def injectedJson: String = bookJson(injected)
   }
 
   /** The carried-cell regression rule (r17 verdict: round-over-round
@@ -508,8 +539,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[n,2]: one task retry allowed (production maxFailures=4) —
+    // required by the w24 fault-injection row; every retry, injected or
+    // not, is ledgered by TaskFailureTracker.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -837,7 +871,8 @@ object Bench {
         s""""state_size_curve":$stateCurveStart,""" +
         s""""block_volume":$blockVolStart,"calib_end":$calibEndStart},""" +
         s""""contention_warning":$contended}""" +
-        s""","task_failures":${taskFailures.json}"""
+        s""","task_failures":${taskFailures.json}""" +
+        s""","task_failures_injected":${taskFailures.injectedJson}"""
 
     // round-over-round carried-cell tripwire (isRegression): each cell's
     // median vs the previous artifact in the working tree. Emitted only
@@ -877,8 +912,10 @@ object Bench {
       "exceeds 2x. task_failures ledgers every retried/failed task by " +
       "(query, failure class) - the clean-record bar is EMPTY (a retry " +
       "contaminates its cell's timing and may name a lost-block " +
-      "recompute hazard); perf_regressions machine-checks carried cells " +
-      "vs the previous committed record (>1.5x AND >0.3s). "
+      "recompute hazard); task_failures_injected ledgers the w24 row's " +
+      "DELIBERATE InjectedTaskFault retries, expected non-empty for " +
+      "exactly that query; perf_regressions machine-checks carried " +
+      "cells vs the previous committed record (>1.5x AND >0.3s). "
     val streamingNote = if (only.isEmpty)
       "streaming_availablenow (median of 5 in-process runs, untimed " +
       "warm-ups, tmpfs checkpoints, providers unloaded between runs) is " +

@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[n,2]: allow ONE task retry — production clusters run
+    // spark.task.maxFailures=4, local mode defaults to 1, and the w24
+    // exactly-once row injects a task fault that MUST be retried, not
+    // fail the query. Scheduling is otherwise identical; a real (non-
+    // injected) failure now retries once and surfaces in the bench
+    // ledger instead of killing the run.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -35,9 +35,21 @@ object NativeVector {
     if (a.numElements() != b.numElements()) Double.NaN
     else dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
-  /** Random-hyperplane LSH signature: plane p's component j is the Weyl
-    * value ((p*dim + j) * 2654435761 mod 1000003)/1000003 - 0.5; bit p =
+  /** Random-hyperplane LSH signature: plane p's component j is the
+    * QUADRATICALLY-mixed value
+    * `((idx² mod 1000003)·427799 + idx·653 + 7919) mod 1000003 /
+    * 1000003 − 0.5` with idx = p·dim + j + 1; bit p =
     * [dot(a, plane_p) > 0], packed little-endian (ordered j-fold).
+    * The mix must be NON-LINEAR in the flattened index: the previous
+    * linear Weyl form (idx·2654435761 mod 1000003) made every plane a
+    * 64-step window of ONE arithmetic sequence, so planes were
+    * mutually correlated and the signature carried far fewer effective
+    * bits than nPlanes — measured on 500 random unit vectors at 15
+    * planes: 355 distinct buckets with an 8-member hottest (new form:
+    * 492 / 2), i.e. bucket growth SATURATED as suggestedPlanes raised
+    * the plane count, the exact failure the sim9 scale canary caught.
+    * All integer steps stay < 2⁶³ for any idx the 62-plane cap allows,
+    * and the same arithmetic is exact in the DuckDB oracle's BIGINT.
     * Vectors shorter than `dim` contribute only their present
     * components (missing ⇒ 0.0); longer ones ignore the excess.
     * Bounded reads either way — an unchecked getFloat(j) past the end
@@ -51,7 +63,9 @@ object NativeVector {
       var d = 0.0
       var j = 0
       while (j < n) {
-        val c = (((p.toLong * dim + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+        val idx = p.toLong * dim + j + 1
+        val c = ((idx * idx % 1000003L * 427799L + idx * 653L + 7919L)
+          % 1000003L).toDouble / 1000003.0 - 0.5
         d += a.getFloat(j).toDouble * c
         j += 1
       }

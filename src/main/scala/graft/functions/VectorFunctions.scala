@@ -52,13 +52,18 @@ object VectorFunctions {
 
   /** Sign-of-dot-product bit for one deterministic pseudo-random
     * hyperplane — the random-hyperplane LSH primitive. Hyperplane
-    * component j of plane p is derived from a Weyl-style integer sequence
-    * so any engine can reproduce it:
-    *   c(p, j) = ((p * dim + j) * 2654435761 mod 1000003) / 1000003 - 0.5
-    */
+    * component j of plane p derives from a QUADRATICALLY-mixed integer
+    * sequence so any engine can reproduce it, with idx = p·dim + j + 1:
+    *   c(p, j) = ((idx² mod 1000003)·427799 + idx·653 + 7919) mod 1000003
+    *             / 1000003 − 0.5
+    * (non-linear in idx on purpose — a linear form makes the planes
+    * windows of one sequence and collapses signature entropy; see
+    * [[graft.functions.NativeVector.lshSignature]]). */
   def hyperplaneBit(a: Column, plane: Int, dim: Int): Column = {
     val prods = (0 until dim).map { j =>
-      val c = (((plane.toLong * dim + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+      val idx = plane.toLong * dim + j + 1
+      val c = ((idx * idx % 1000003L * 427799L + idx * 653L + 7919L)
+        % 1000003L).toDouble / 1000003.0 - 0.5
       element_at(a, j + 1).cast("double") * lit(c)
     }
     val d = prods.reduce(_ + _)

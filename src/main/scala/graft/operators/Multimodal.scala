@@ -215,7 +215,10 @@ object Multimodal {
           s"truncated frame header for id $id at frame $f (offset $off)")
         val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
           ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-        require(len > 0 && off + 4 + len <= bytes.length,
+        // Bound check in Long: a corrupt header with len near
+        // Int.MaxValue must fail HERE naming the demux, not overflow
+        // negative and reach the decoder with garbage bounds.
+        require(len > 0 && off.toLong + 4L + len.toLong <= bytes.length,
           s"frame $f of id $id overruns the container " +
             s"(len $len at offset $off of ${bytes.length})")
         val (w, h, grid) = decodeOneLuma(id, bytes, off + 4, len)

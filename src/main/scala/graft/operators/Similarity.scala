@@ -161,18 +161,50 @@ object Similarity {
       .agg(max_by(col("cell"), argmaxKey).as("cell"),
         max_by(col("cv"), argmaxKey).as("cv"))
       .select(col("cell"), col("neighbor_id"), col("cv"))
-    val qa = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeCells(queries, cents, idCol, vecCol, nProbe)
+    (cells, probes)
+  }
+
+  /** Per-query top-`nProbe` probe cells against a broadcast centroid
+    * set — shared by [[ivfAssign]] (build+serve in one plan) and
+    * [[ivfTopKServe]] (serve against a PREBUILT index): nCells rows
+    * fold into one sorted array per query (bounded by nCells), then
+    * explode ≤ nProbe. Returns (cell, query_id, qv). */
+  private def probeCells(queries: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val argmaxKey = struct(col("sim"), -col("cell"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qv"), col("centroid")))
-    // top-nProbe cells per query, same trick: nCells rows fold into one
-    // sorted array per query (bounded by nCells), then explode ≤ nProbe
-    val probes = qa.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(max_by(col("qv"), argmaxKey).as("qv"),
         slice(array_sort(collect_list(struct((-col("sim")).as("neg_sim"),
           col("cell")))), 1, nProbe).as("cands"))
       .select(col("query_id"), col("qv"), explode(col("cands")).as("cand"))
       .select(col("cand.cell").as("cell"), col("query_id"), col("qv"))
-    (cells, probes)
+  }
+
+  /** Serve exact-cosine top-k from a PREBUILT IVF index — the
+    * build-once/serve-many split [[ivfTopK]] fuses into one plan:
+    * `index` is the materialized (cell, neighbor_id, cv) assignment
+    * table (at 100 TB: a cell-partitioned parquet/lakehouse table a
+    * streaming ingest appends to — see
+    * [[graft.streaming.StreamingRun.ivfCellIngest]]'s census twin),
+    * `centroids` the (cell, centroid) coarse layer the ingest
+    * broadcast. Per query: top-`nProbe` cells against the broadcast
+    * centroids, then ONE shuffle on cell id into the index and the
+    * shared NaN-safe rank. Serving equals [[ivfTopK]] exactly when the
+    * index equals the batch argmax assignment — which is the pl15
+    * row's claim about the stream-built index. */
+  def ivfTopKServe(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF × SQ8 — the production ANN combination: coarse cells bound the

@@ -212,7 +212,7 @@ object EventTimeQueries extends QueryModule {
     "w16_streaming_session_watermark" -> ((s, d) =>
       graft.streaming.StreamingRun.sessionWatermarked(s, d,
         nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
-        dropMod = wmDropMod)),
+        dropMod = wmDropMod, gapMinutes = wmGapMinutes)),
 
     // W22: CHECKPOINT RESTORE FOR SESSION STATE — w16's staged protocol
     // killed before the last drop and restarted from its checkpoint:
@@ -225,6 +225,36 @@ object EventTimeQueries extends QueryModule {
     // StreamingRun.sessionWatermarkedRestored's scaladoc).
     "w22_streaming_session_restore" -> ((s, d) =>
       graft.streaming.StreamingRun.sessionWatermarkedRestored(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod, gapMinutes = wmGapMinutes)),
+
+    // W24: EXACTLY-ONCE UNDER A MID-BATCH TASK FAILURE — w15's staged
+    // protocol with a one-shot fault injected INTO the StateStoreSave
+    // task (the probe filter references the aggregation output, so the
+    // throwing task holds uncommitted store updates when it dies; the
+    // retry re-runs against the aborted store). The run REQUIRES the
+    // fault fired; the oracle is w15's replay VERBATIM — leaked
+    // partial state or replayed input hash-fails. The reference's
+    // mid-epoch recovery claim (arcon node/mod.rs:406-453) as a
+    // driver-checked row; the clean restore rows (w18/w20-w23) cover
+    // the between-epochs half.
+    "w24_exactly_once_task_failure" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDailyWatermarkedFaulted(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
+
+    // W23: CHECKPOINT RESTORE FOR THE TransformWithStateExec LAYOUT —
+    // the restore matrix's last hole. w13's modern state API (declared
+    // ValueIndex + NATIVE per-key timers) under the staged w15
+    // protocol, killed at the post-commit point before the last drop
+    // and resumed on the same checkpoint: post-restart emissions are
+    // gated by the RECOVERED (count, sum) and timers armed in run 1
+    // fire from the RECOVERED timer registry (derivation in
+    // StreamingRun.indexOperatorTimerRestored's scaladoc). Oracle =
+    // the accepted-row batch replay: per-user count/sum(event_id) plus
+    // the DISTINCT day-ends the final eviction watermark passed.
+    "w23_streaming_tws_restore" -> ((s, d) =>
+      graft.streaming.StreamingRun.indexOperatorTimerRestored(s, d,
         nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
         dropMod = wmDropMod)),
 
@@ -475,6 +505,12 @@ object EventTimeQueries extends QueryModule {
   private val wmDropMod = 89
   private val wmDelayMs: Long = wmDelayDays * 86400000L
 
+  /** Session gap for the w16/w22 merging-session rows — passed to
+    * StreamingRun.sessionWatermarked AND interpolated into [[w16Sql]]
+    * so the gap cannot desynchronize between runner and oracle. */
+  private val wmGapMinutes = 30
+  private val wmGapUs: Long = wmGapMinutes * 60000000L
+
   /** k11's pinned mid-protocol epoch (an interior committed version). */
   private val k11BatchId = 2
 
@@ -494,7 +530,7 @@ object EventTimeQueries extends QueryModule {
     * different staged protocols. */
   private val stagedEvWmCtes: String =
     s"""ev AS (
-       |  SELECT event_type, value,
+       |  SELECT user_id, event_id, event_type, value,
        |    epoch_us(ts) // 1000 AS ts_ms,
        |    ((epoch_us(ts) // 1000) // 86400000 + 1) * 86400000 AS wend_ms,
        |    least(${wmFiles - 1}, ntile($wmFiles) OVER (ORDER BY event_id) - 1
@@ -603,29 +639,33 @@ object EventTimeQueries extends QueryModule {
        |FROM dels""".stripMargin
 
   /** w16's session replay — shared VERBATIM by w22 (session-state
-    * restore must be output-invisible). */
+    * restore must be output-invisible). Protocol constants interpolate
+    * from the same wm* vals the `defs` call sites pass to
+    * StreamingRun, so a constant change lands in the runner and this
+    * oracle at once (the stagedEvWmCtes discipline; this prelude stays
+    * separate only because it compares at MICROSECOND precision). */
   private val w16Sql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
         |  SELECT user_id, value, epoch_us(ts) AS ts_us,
-        |    least(4, ntile(5) OVER (ORDER BY event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN ntile(5) OVER (ORDER BY event_id) - 1 <= 1
-        |             AND event_id % 89 = 0 THEN 3 ELSE 0 END) AS b
+        |    least(${wmFiles - 1}, ntile($wmFiles) OVER (ORDER BY event_id) - 1
+        |      + CASE WHEN event_id % $wmBumpMod = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN ntile($wmFiles) OVER (ORDER BY event_id) - 1 <= 1
+        |             AND event_id % $wmDropMod = 0 THEN 3 ELSE 0 END) AS b
         |  FROM events),
         |wm AS (
         |  SELECT b,
         |    (max(mx_ms) OVER (ORDER BY b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |      - 172800000) * 1000 AS late_wm_us
+        |      - $wmDelayMs) * 1000 AS late_wm_us
         |  FROM (SELECT b, max(ts_us // 1000) AS mx_ms FROM ev GROUP BY b)),
-        |fin AS (SELECT (max(ts_us // 1000) - 172800000) * 1000 AS wm_us
+        |fin AS (SELECT (max(ts_us // 1000) - $wmDelayMs) * 1000 AS wm_us
         |        FROM ev),
         |acc AS (
         |  SELECT ev.user_id, ev.value, ev.ts_us FROM ev JOIN wm USING (b)
-        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us + 1800000000 > wm.late_wm_us),
+        |  WHERE wm.late_wm_us IS NULL OR ev.ts_us + $wmGapUs > wm.late_wm_us),
         |flagged AS (
         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nf
+        |      OR ts_us - lag(ts_us) OVER w >= $wmGapUs THEN 1 ELSE 0 END AS nf
         |  FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
         |isl AS (
         |  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts_us
@@ -633,7 +673,7 @@ object EventTimeQueries extends QueryModule {
         |  FROM flagged)
         |SELECT user_id,
         |  make_timestamp(min(ts_us)) AS session_start,
-        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+        |  make_timestamp(max(ts_us) + $wmGapUs) AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
         |    AS sum_value_micros
@@ -830,6 +870,11 @@ object EventTimeQueries extends QueryModule {
     // state backend (the w18 geometry argument is provider-free).
     "w21_streaming_restore_rocksdb" -> w15Sql,
 
+    // w24: w15's replay VERBATIM — a mid-batch task failure + retry
+    // must be output-invisible too (the exactly-once contract at TASK
+    // granularity; the run itself asserts the fault fired).
+    "w24_exactly_once_task_failure" -> w15Sql,
+
     // w16: the session analog of w15's replay, same staged batches and
     // per-batch two-value watermarks but µs-precision timestamps (the
     // session boundary compare ts - lag >= gap must match the exec's µs
@@ -846,6 +891,30 @@ object EventTimeQueries extends QueryModule {
     // watermark protocol, not the state layout; derivation in
     // StreamingRun.sessionWatermarkedRestored's scaladoc).
     "w22_streaming_session_restore" -> w16Sql,
+
+    // w23: the TransformWithState restore replay. Restore is
+    // output-invisible, so the oracle is the single-run batch replay:
+    // the exec's row-level late filter is w19's strict `ts > late_wm`
+    // rule (WatermarkSupport's predicate, not the aggregation's
+    // window-end rule); 'state' rows are the per-user running
+    // (count, sum(event_id)) the final max-count emission carries;
+    // 'timer' rows are the DISTINCT (user, day-end) instants the FINAL
+    // eviction watermark passed — armed per element with SET
+    // coalescing, so re-arms collapse exactly like the DISTINCT.
+    "w23_streaming_tws_restore" ->
+      s"""WITH $stagedEvWmCtes,
+         |accr AS (
+         |  SELECT ev.* FROM ev JOIN wm USING (b)
+         |  WHERE wm.late_wm_ms IS NULL OR ev.ts_ms > wm.late_wm_ms),
+         |fin AS (SELECT max(ts_ms) - $wmDelayMs AS wm_ms FROM ev)
+         |SELECT user_id, 'state' AS row_kind,
+         |  CAST(count(*) AS BIGINT) AS a,
+         |  CAST(sum(event_id) AS BIGINT) AS b
+         |FROM accr GROUP BY 1
+         |UNION ALL
+         |SELECT DISTINCT user_id, 'timer' AS row_kind,
+         |  wend_ms AS a, CAST(0 AS BIGINT) AS b
+         |FROM accr, fin WHERE accr.wend_ms <= fin.wm_ms""".stripMargin,
 
 
     // w17: replay of the watermarked symmetric join. The watermark is

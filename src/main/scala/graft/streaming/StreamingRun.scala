@@ -663,6 +663,42 @@ object StreamingRun {
         col("n"), col("sum_value_micros"))
   }
 
+  /** W24: EXACTLY-ONCE UNDER A MID-BATCH TASK FAILURE — w15's staged
+    * watermarked run with a deliberately injected one-shot task fault
+    * ([[FaultInjection]]) in the stage that COMMITS the state store:
+    * the probe filter references the aggregation's output column, so
+    * it executes inside the `StateStoreSaveExec` task, which dies
+    * mid-iteration with uncommitted store updates. Spark's task retry
+    * re-runs that partition from shuffle input against the ABORTED
+    * store (batch version unchanged) — if the engine leaked the dead
+    * task's partial updates or replayed input into committed state,
+    * counts/sums would double and the oracle (w15's replay VERBATIM)
+    * hash-fails. Every restore row (w18/w20-w23) kills between
+    * batches; this is the reference's harder mid-epoch claim
+    * (buffered-message replay on failure,
+    * `/root/reference/arcon/src/stream/node/mod.rs:406-453`) as a
+    * driver-checked row. Requires a retry-tolerant master
+    * (`local[n,2]`; production runs `spark.task.maxFailures=4`) — and
+    * the run REQUIRES the fault actually fired, so a plan rewrite
+    * that elides the probe fails loudly instead of passing as a
+    * silently-clean run. */
+  def tumblingDailyWatermarkedFaulted(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val tag = FaultInjection.freshTag("w24")
+    val out = drainAppend(s,
+      watermarkedTumblingPlan(s, staged, delayDays)
+        .filter(FaultInjection.failOnce(tag, col("n"))), inspect)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+    require(FaultInjection.fired(tag),
+      s"injected fault '$tag' never fired — the probe was optimized " +
+        "away and this run proved nothing")
+    out
+  }
+
   /** CHECKPOINT RESTORE under the driver oracle — the reference's
     * headline exactly-once epoch-snapshotting claim
     * (`/root/reference/arcon/src/lib.rs:16-19`; the barrier/replay
@@ -1601,9 +1637,24 @@ object StreamingRun {
     * aggregate under any micro-batching. */
   def ivfCellIngest(s: SparkSession, dir: String,
       nFiles: Int = 4, nCells: Int = 8,
-      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    drainComplete(s,
+      ivfAssignedStream(s, stageEmbOrdered(s, dir, nFiles), dir, nCells)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("vec_id")).as("sum_vec_ids")),
+      inspect)
+
+  /** The pl13/pl15 shared ingest-assignment plan: staged embedding
+    * drops, each vector assigned its nearest IVF cell by a pure
+    * PROJECTION against the literal broadcast centroid array (ordered
+    * fold, ascending cell with strict `>` — ties keep the smallest
+    * cell, the batch `max_by(struct(sim, -cell))` rule). Returns the
+    * streaming (vec_id, embedding, cell) frame; pl13 folds it into the
+    * census, pl15 materializes it as the serving index. */
+  private def ivfAssignedStream(s: SparkSession, staged: String,
+      dir: String, nCells: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    val staged = stageEmbOrdered(s, dir, nFiles)
     // the coarse centroids: nCells rows, driver-safe by construction
     // (the broadcast a production assignment ships to every executor)
     val cents = graft.Tables.embeddings(s, dir)
@@ -1617,7 +1668,7 @@ object StreamingRun {
       struct(lit(cell).as("cell"), typedLit(v).as("centroid"))
     }: _*)
     val schema = s.read.parquet(staged).schema // metadata-only
-    val assigned = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .withColumn("cell",
@@ -1629,11 +1680,36 @@ object StreamingRun {
               struct(sim.as("sim"), c.getField("cell").as("cell")))
               .otherwise(acc)
           }).getField("cell"))
-    drainComplete(s,
-      assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("vec_id")).as("sum_vec_ids")),
-      inspect)
+  }
+
+  /** PL15: SERVE FROM THE STREAM-BUILT ANN INDEX — pl13 proved the
+    * census builds on the ingest path; this row PROBES an index whose
+    * cells were built by the stream: the same assignment plan drains
+    * APPEND into a materialized (cell, neighbor_id, cv) index table
+    * (at 100 TB: a cell-partitioned lakehouse table the ingest appends
+    * to; the memory sink is the test stand-in), then the sim3 query
+    * set is served from it through [[graft.operators.Similarity
+    * .ivfTopKServe]] — broadcast-centroid probe selection, ONE
+    * exchange on cell id, exact-cosine re-rank. Oracle = the batch IVF
+    * top-k over the same corpus (sim3's replay VERBATIM): build-on-
+    * stream / serve-after must equal batch retrieval end to end, which
+    * holds exactly because every vector rides exactly one drop and the
+    * fold's tie rule IS the batch argmax rule. */
+  def ivfServeFromStream(s: SparkSession, dir: String,
+      nFiles: Int = 4, nCells: Int = 8, nProbe: Int = 2, k: Int = 5,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEmbOrdered(s, dir, nFiles)
+    val idx = drainAppend(s,
+      ivfAssignedStream(s, staged, dir, nCells), inspect)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+    val centroids = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < nCells && col("embedding").isNotNull)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val queries = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 20)
+    graft.operators.Similarity.ivfTopKServe(queries, idx, centroids,
+      "vec_id", "embedding", k = k, nProbe = nProbe)
   }
 
   /** Cheap content fingerprint of a source table directory: murmur over
@@ -1755,5 +1831,132 @@ object StreamingRun {
       case Some(p) => s.conf.set(key, p)
       case None => s.conf.unset(key)
     }
+  }
+
+  /** The w23 TransformWithState plan over an already-staged drop dir —
+    * ONE definition shared by the single-run pin and the restore row
+    * (the tokenBudgetPlan discipline). An [[graft.operators
+    * .IndexOperator]] under EVENT-TIME mode: a declared
+    * `ValueIndex[(count, sumIds)]` accumulates per user (the w13
+    * integer discipline — bit-exact cross-engine, order-free), and
+    * every element ARMS a native timer at its daily window end (SET
+    * semantics — re-arming an instant coalesces). A timer fires when
+    * the eviction watermark passes its instant and emits a marker row;
+    * rows older than the LAGGED late watermark are dropped by the exec
+    * before the operator sees them (WatermarkSupport's row-level
+    * `ts > late_wm` predicate — the w19 boundary, two-value contract
+    * SPARK-40925). Output rows: (user_id, 'elem', running_n, running_sum)
+    * per element and (user_id, 'timer', fired_at_ms, 0) per firing. */
+  private[streaming] def twsTimerPlan(s: SparkSession, stagedDir: String,
+      delayDays: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.api.{IndexState, ValueIndex}
+    import graft.operators.{IndexOperator, TimerContext}
+    val schema = s.read.parquet(stagedDir).schema // metadata-only
+    val typed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .withWatermark("ts", s"$delayDays days")
+      .select(col("user_id"), col("event_id"),
+        col("ts")) // the watermark column rides along for the late filter
+      .as[(Long, Long, java.sql.Timestamp)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP))
+    val op = new IndexOperator[Long, (Long, Long, java.sql.Timestamp),
+        (Long, String, Long, Long)] {
+      @transient private var agg: ValueIndex[(Long, Long)] = _
+      def open(state: IndexState): Unit =
+        agg = state.value[(Long, Long)]("agg")(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      def handleElement(key: Long, e: (Long, Long, java.sql.Timestamp),
+          ts: Option[Long], ctx: TimerContext):
+          Iterator[(Long, String, Long, Long)] = {
+        val (n, sum) = agg.rmw((0L, 0L))(st => (st._1 + 1L, st._2 + e._2))
+        val tsMs = ts.getOrElse(sys.error(s"no event time for key $key"))
+        ctx.scheduleAt((tsMs / 86400000L + 1L) * 86400000L)
+        Iterator((key, "elem", n, sum))
+      }
+      override def handleTimer(key: Long, firedAt: Long,
+          ctx: TimerContext): Iterator[(Long, String, Long, Long)] =
+        Iterator((key, "timer", firedAt, 0L))
+    }
+    val conf = graft.api.SourceConf[(Long, Long, java.sql.Timestamp)]()
+      .withTimestampExtractor(_._3.getTime)
+    new graft.api.Stream(typed, conf, watermarked = true)
+      .keyBy(_._1)(Encoders.scalaLong)
+      .indexOperator(op)(Encoders.tuple(Encoders.scalaLong,
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF
+  }
+
+  /** The final-state + fired-timer readout shared by the w23 single run
+    * and restore run. Element emissions are processing-order-dependent,
+    * so state rows take each key's max-count emission (unique — the
+    * count strictly increases per key across batches AND across a
+    * restart, which is exactly what a lost ValueIndex would break);
+    * timer markers are a SET (a within-lateness straggler may re-arm
+    * and re-fire an already-fired instant — distinct'd, like the oracle
+    * side's DISTINCT). */
+  private def twsTimerReadout(drained: DataFrame): DataFrame = {
+    val elems = drained.filter(col("_2") === "elem")
+      .groupBy(col("_1").as("user_id"))
+      .agg(max(col("_3")).as("a"), max_by(col("_4"), col("_3")).as("b"))
+      .select(col("user_id"), lit("state").as("row_kind"), col("a"), col("b"))
+    val timers = drained.filter(col("_2") === "timer")
+      .select(col("_1").as("user_id"), lit("timer").as("row_kind"),
+        col("_3").as("a"), lit(0L).as("b"))
+      .distinct()
+    elems.union(timers)
+  }
+
+  /** W23: CHECKPOINT RESTORE FOR THE TransformWithStateExec LAYOUT —
+    * the restore matrix's last hole: w18 covered built-in aggregation
+    * buffers, w20 FlatMapGroupsWithState GroupState, w21 the RocksDB
+    * changelog, w22 merging-session state; this row proves the MODERN
+    * state API (declared ValueState + NATIVE per-key timers,
+    * `TransformWithStateExec`) recovers both its state variables and
+    * its timer registry from the checkpoint. The staged w15 protocol
+    * runs with only the first nFiles−1 drops visible, stops at the
+    * post-commit crash point (noDataBatches off, the w18 geometry),
+    * then a NEW query resumes the SAME checkpoint with the last drop
+    * revealed:
+    *   - every post-restart element emission is gated by a RECOVERED
+    *     (count, sum) — a lost ValueIndex restarts counts at 0 and the
+    *     max-count readout hash-fails (missing run-1 mass);
+    *   - timers armed in run 1 for day windows the watermark passes
+    *     only in run 2 fire POST-RESTART from the recovered timer
+    *     registry — event-time-ordered staging puts no run-2 elements
+    *     in those days (stragglers aside, which merely re-arm), so a
+    *     lost registry silently drops those markers and the oracle
+    *     hash-fails on the missing 'timer' rows.
+    * Oracle = the batch replay of both readouts over the accepted-row
+    * set (late filter at row granularity, w19's `ts > late_wm` rule;
+    * fired set = day ends the FINAL eviction watermark passed). The
+    * reference persists operator state AND its timer wheel through the
+    * same epoch snapshots
+    * (/root/reference/arcon/src/stream/node/mod.rs:461-507,
+    * timer state registered like any backend:
+    * arcon/src/stream/node/timer.rs:61-274). */
+  def indexOperatorTimerRestored(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame =
+      withStateProvider(s, Some(RocksDbProvider)) {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    twsTimerReadout(runRestored(s, staged,
+      dir2 => twsTimerPlan(s, dir2, delayDays),
+      runOneFiles = nFiles - 1, totalFiles = nFiles,
+      noDataBatchesRun1 = Some(false), inspectRestored = inspectRestored))
+  }
+
+  /** [[indexOperatorTimerRestored]]'s single-run twin (no kill): used
+    * by the spec to pin that the restored union equals the single run
+    * — the same plan, one uninterrupted drain. */
+  def indexOperatorTimerSingle(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+      withStateProvider(s, Some(RocksDbProvider)) {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    twsTimerReadout(drainAppend(s, twsTimerPlan(s, staged, delayDays),
+      inspect))
   }
 }

@@ -11,8 +11,11 @@ trait SparkTestBase extends AnyFunSuite {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
+    // local[4,2]: one task retry allowed, matching Verify/Bench — the
+    // w24 fault-injection specs need the injected failure retried, not
+    // fatal (local default maxFailures=1).
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -112,6 +112,86 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("w23 TWS restore: killed mid-protocol and restarted reproduces the single run, with timers fired from the RECOVERED registry") {
+    var run2Batches = Seq.empty[Long]
+    var plan = ""
+    val restored = StreamingRun.indexOperatorTimerRestored(spark, sfDir,
+        inspectRestored = q => {
+          run2Batches = q.recentProgress.toSeq.map(_.batchId)
+          plan = planOf(q)
+        })
+      .collect().map(_.toSeq).toSet
+    assert(plan.contains("TransformWithState"), plan)
+    val single = StreamingRun.indexOperatorTimerSingle(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(restored == single,
+      s"TWS restore is output-visible; only-restored: " +
+        s"${(restored -- single).take(3)}, only-single: ${(single -- restored).take(3)}")
+    assert(restored.nonEmpty)
+    assert(run2Batches.nonEmpty && run2Batches.min >= 4, s"$run2Batches")
+    // The timer registry's recovery is LOAD-BEARING: find (user, dayEnd)
+    // instants armed ONLY by run-1 elements (no accepted batch-4 element
+    // re-arms them), past run 1's fire horizon (batch 3's timer pass
+    // uses wm(data <= 2)) but within the final one — those markers can
+    // only come from timers the restarted query recovered.
+    val delayMs = 2L * 86400000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("b", StreamingRun.watermarkBatchIndex(5, 97, 89))
+      .select(col("user_id"), col("b"),
+        expr("unix_millis(ts)").as("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val maxTsUpTo = (k: Long) => ev.filter(_._2 <= k).map(_._3).max
+    val lateWm = (b: Long) =>
+      if (b < 2) Long.MinValue else maxTsUpTo(b - 2) - delayMs
+    val accepted = ev.filter { case (_, b, ts) => ts > lateWm(b) }
+    val wendOf = (ts: Long) => (ts / 86400000L + 1L) * 86400000L
+    val run1Horizon = maxTsUpTo(2) - delayMs
+    val finalHorizon = maxTsUpTo(4) - delayMs
+    val run2Armed = accepted.filter(_._2 == 4)
+      .map { case (u, _, ts) => (u, wendOf(ts)) }.toSet
+    val recoveredOnly = accepted
+      .map { case (u, _, ts) => (u, wendOf(ts)) }
+      .filter { case (u, w) =>
+        w > run1Horizon && w <= finalHorizon && !run2Armed((u, w)) }
+      .toSet
+    assert(recoveredOnly.nonEmpty,
+      "protocol geometry degenerate: no timer is armed only in run 1")
+    val timerRows = restored.collect {
+      case Seq(u: Long, "timer", a: Long, _) => (u, a) }.toSet
+    assert(recoveredOnly.subsetOf(timerRows),
+      s"recovered-registry timers missing from output: " +
+        s"${(recoveredOnly -- timerRows).take(3)}")
+  }
+
+  test("w24 mid-batch task failure: the injected fault is retried, output equals the clean run, and the ledger books it as INJECTED") {
+    val tracker = new graft.Bench.TaskFailureTracker
+    tracker.current = "w24_exactly_once_task_failure"
+    spark.sparkContext.addSparkListener(tracker)
+    try {
+      val faulted = StreamingRun
+        .tumblingDailyWatermarkedFaulted(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      val clean = StreamingRun.tumblingDailyWatermarked(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(faulted == clean,
+        s"task retry is output-visible; only-faulted: " +
+          s"${(faulted -- clean).take(3)}, only-clean: ${(clean -- faulted).take(3)}")
+      assert(faulted.nonEmpty)
+      // listener delivery is async — poll for the injected entry
+      val marker = classOf[InjectedTaskFault].getName
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!tracker.injectedJson.contains(marker) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(tracker.injectedJson.contains(marker) &&
+        tracker.injectedJson.contains("w24_exactly_once_task_failure"),
+        s"injected ledger missing the fault: ${tracker.injectedJson}")
+      assert(tracker.json == "{}",
+        s"the injected fault leaked into the UNEXPECTED ledger " +
+          s"(clean-record bar broken): ${tracker.json}")
+    } finally spark.sparkContext.removeSparkListener(tracker)
+  }
+
   test("w13_streaming_index_operator executes TransformWithStateExec; final state equals the batch aggregate exactly") {
     var plan = ""
     val prevProvider = spark.conf
