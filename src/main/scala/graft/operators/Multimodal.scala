@@ -232,6 +232,101 @@ object Multimodal {
       .toDF(idCol, "frame_no", "width", "height", "grid")
   }
 
+  /** Multi-frame decode for a SECOND real container format — any
+    * multi-image container the javax.imageio reader stack recognizes
+    * and demuxes ITSELF (`getImageReaders` → `getNumImages` /
+    * `read(f)`): multipage TIFF (the JDK ships a TIFF plugin since 9;
+    * 8-bit gray pages round-trip bit-exactly) and gray-palette GIF.
+    * [[decodeFrames]]'s claim that "a real demuxer swaps in at the
+    * demux line and nothing else changes" becomes a receipt here, not
+    * prose — the output shape, downstream resize/hash/banding, and
+    * the oracle are all identical (mm8's oracle IS mm7's verbatim).
+    * Exactness contract: gray rasters read directly; palette-coded
+    * frames read their sample's palette entry (exact under any
+    * palette PERMUTATION) — never an sRGB→gray draw, which is
+    * gamma-curved, not identity. Non-gray palettes and other frame
+    * types fail loudly naming id+frame. (The JDK's GIF WRITER was
+    * probed and DROPS PIXELS — single frames and animation alike — so
+    * the corpus side writes TIFF; the reader path handles both
+    * palette-coded and gray-raster frames regardless of container.)
+    * Partition-local flatMap, media bytes never leave the scan task
+    * (the [[decodeFrames]] discipline). */
+  def decodeFramesImageIO(df: DataFrame, idCol: String,
+      mediaCol: String): DataFrame = {
+    val typed = df.filter(col(mediaCol).isNotNull)
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+    typed.flatMap { case (id, bytes) =>
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"no ImageIO reader recognizes the container of id $id")
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try {
+        val n = reader.getNumImages(true)
+        require(n > 0, s"container of id $id holds no frames")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h, grid) = paletteLumaGrid(id, f, img)
+          (id, f, w, h, grid)
+        }
+      } finally reader.dispose()
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY))
+      .toDF(idCol, "frame_no", "width", "height", "grid")
+  }
+
+  /** Exact luma of one palette-coded frame: sample → gray palette
+    * entry. Requires r==g==b for every live entry (exactness under any
+    * palette ORDER, but not under color quantization); direct
+    * TYPE_BYTE_GRAY frames read their raster as in the PNG path. */
+  private def paletteLumaGrid(id: Long, f: Int,
+      img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = new Array[Byte](w * h)
+    val raster = img.getRaster
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val size = icm.getMapSize
+        val reds = new Array[Byte](size)
+        val greens = new Array[Byte](size)
+        val blues = new Array[Byte](size)
+        icm.getReds(reds); icm.getGreens(greens); icm.getBlues(blues)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = raster.getSample(x, y, 0)
+            require(reds(s) == greens(s) && greens(s) == blues(s),
+              s"non-gray palette entry $s in frame $f of id $id — " +
+                "the exact-luma contract needs a gray palette")
+            grid(y * w + x) = reds(s)
+            x += 1
+          }
+          y += 1
+        }
+      case _ if img.getType ==
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY =>
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            grid(y * w + x) = raster.getSample(x, y, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+      case cm =>
+        sys.error(s"frame $f of id $id decodes to ${cm.getClass.getName}" +
+          " — not a gray palette or gray raster; exact luma undefined")
+    }
+    (w, h, grid)
+  }
+
   /** Frame sampling: one output row per sampled frame index
     * (0, stride, 2*stride, ... < n_frames, capped at maxFrames rows) —
     * the video-to-training-examples explode, as a generator. */

@@ -228,6 +228,19 @@ object EventTimeQueries extends QueryModule {
         nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
         dropMod = wmDropMod, gapMinutes = wmGapMinutes)),
 
+    // W25: EVENT-TIME EMISSION LATENCY — the reference measure() sink's
+    // latency-percentile metric as an oracle row: w15's staged run
+    // drained through foreachBatch, each emitted window's latency =
+    // the ENGINE-reported eviction watermark of its emitting batch
+    // minus the window end; output = exact nearest-rank p50/p90/p99 +
+    // max in integer ms. The oracle replays horizon and emission epoch
+    // per window, so emission timing itself is driver-checked
+    // (derivation in StreamingRun.emissionLatency's scaladoc).
+    "w25_emission_latency" -> ((s, d) =>
+      graft.streaming.StreamingRun.emissionLatency(s, d,
+        nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
+        dropMod = wmDropMod)),
+
     // W24: EXACTLY-ONCE UNDER A MID-BATCH TASK FAILURE — w15's staged
     // protocol with a one-shot fault injected INTO the StateStoreSave
     // task (the probe filter references the aggregation output, so the
@@ -874,6 +887,39 @@ object EventTimeQueries extends QueryModule {
     // must be output-invisible too (the exactly-once contract at TASK
     // granularity; the run itself asserts the fault fired).
     "w24_exactly_once_task_failure" -> w15Sql,
+
+    // w25: the latency replay — per emitted (window, event_type), the
+    // emission epoch is the first whose eviction horizon passed the
+    // window end (hor(k) = max ts(b ≤ k−1) − delay, the k12/k13 epoch
+    // spine); latency = that horizon − window end; then the same
+    // integer nearest-rank percentiles the Spark side computes.
+    "w25_emission_latency" ->
+      s"""WITH $stagedEvWmCtes,
+         |$stagedEpochCtes,
+         |emitw AS (
+         |  SELECT w.wend_ms, w.event_type, min(hor.batch_id) AS kb
+         |  FROM (SELECT DISTINCT wend_ms, event_type FROM acc) w
+         |  JOIN hor ON hor.evict_ms IS NOT NULL
+         |    AND w.wend_ms <= hor.evict_ms
+         |  GROUP BY 1, 2),
+         |lat AS (
+         |  SELECT hor.evict_ms - emitw.wend_ms AS latency_ms
+         |  FROM emitw JOIN hor ON hor.batch_id = emitw.kb),
+         |ranked AS (
+         |  SELECT latency_ms,
+         |    row_number() OVER (ORDER BY latency_ms) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM lat)
+         |SELECT 'p50' AS pct, CAST(min(latency_ms) AS BIGINT) AS latency_ms
+         |FROM ranked WHERE rn * 100 >= n * 50
+         |UNION ALL
+         |SELECT 'p90', CAST(min(latency_ms) AS BIGINT)
+         |FROM ranked WHERE rn * 100 >= n * 90
+         |UNION ALL
+         |SELECT 'p99', CAST(min(latency_ms) AS BIGINT)
+         |FROM ranked WHERE rn * 100 >= n * 99
+         |UNION ALL
+         |SELECT 'max', CAST(max(latency_ms) AS BIGINT) FROM lat""".stripMargin,
 
     // w16: the session analog of w15's replay, same staged batches and
     // per-batch two-value watermarks but µs-precision timestamps (the

@@ -1764,6 +1764,20 @@ object TrainingDataQueries extends QueryModule {
           col("height").cast("long").as("height"),
           graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
 
+    // mm8: the SAME frames through a SECOND real container — multipage
+    // TIFF, demuxed by the JDK's own TIFF plugin instead of the
+    // length-prefix parse. The decodeFrames "a real demuxer swaps in
+    // and nothing else changes" claim as a receipt: identical pixel
+    // pattern, identical downstream hash, and the ORACLE IS mm7's
+    // replay VERBATIM (8-bit gray TIFF is lossless).
+    "mm8_tiff_frame_decode" -> ((s, d) =>
+      graft.operators.Multimodal.decodeFramesImageIO(
+        videoTiffDocs(s, d), "doc_id", "media")
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          graft.functions.TextFunctions.aHash61(col("grid")).as("ahash"))),
+
     // pl14: the VIDEO perceptual-dedup pipeline on the real codec —
     // pl9's flagship shape with the stub retired: container demux →
     // REAL per-frame decode (mm7) → per-frame resize to the canonical
@@ -1846,6 +1860,30 @@ object TrainingDataQueries extends QueryModule {
 
   private val aHash61ChainSql: String = aHash61ChainSqlKeyed("doc_id")
 
+  /** The multi-frame demux+decode+hash replay — shared VERBATIM by mm7
+    * (length-prefixed PNG container) and mm8 (animated GIF): both
+    * containers carry the same lossless gray frames, so the replay is
+    * container-agnostic by construction — which is exactly the claim
+    * the two rows make together. */
+  private lazy val mm7Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h,
+       |    doc_id % 251 AS c1, doc_id % 241 AS c2, doc_id % 4 + 2 AS nf
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, w, h, c1, c2,
+       |    CAST(unnest(range(nf)) AS BIGINT) AS frame_no
+       |  FROM m),
+       |px AS (
+       |  SELECT doc_id, frame_no, w * h AS n,
+       |    list_transform(range(w * h), i ->
+       |      (c1 * (i + 3) + c2 * (i * i + 1) + 17 * frame_no) % 256) AS bs
+       |  FROM fr),
+       |${aHash61ChainSqlKeyed("doc_id, frame_no")}
+       |SELECT fr.doc_id, fr.frame_no, CAST(fr.w AS BIGINT) AS width,
+       |  CAST(fr.h AS BIGINT) AS height, sig.ahash
+       |FROM fr JOIN sig USING (doc_id, frame_no)""".stripMargin
+
   /** pl10's staged crawl-drop count — interpolated into the oracle's
     * ntile and passed to the stager (one source of truth). */
   private val pl10Files = 4
@@ -1902,6 +1940,67 @@ object TrainingDataQueries extends QueryModule {
     try javax.imageio.ImageIO.write(img, "png", ios)
     finally ios.close()
     bos.toByteArray
+  }
+
+  /** mm8's MULTIPAGE-TIFF corpus: the SAME per-frame pixel pattern and
+    * (w, h, nFrames) geometry as [[videoPngDocs]] (unplanted), but the
+    * container is one real multipage TIFF per document — the JDK TIFF
+    * writer sequencing TYPE_BYTE_GRAY pages (8-bit gray TIFF is
+    * lossless, so the mm7 oracle replays this container VERBATIM:
+    * same pattern, different demuxer, same hashes). The GIF writer
+    * was tried first and probed LOSSY for animation sequences (a
+    * constant frame came back with its last row zeroed), which is
+    * exactly the kind of codec landmine the fail-loud decode contract
+    * exists to catch. */
+  private def videoTiffDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { b =>
+          val w = (b % 5 + 4).toInt
+          val h = (b % 3 + 4).toInt
+          val nf = (b % 4 + 2).toInt
+          val c1 = b % 251
+          val c2 = b % 241
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("tiff").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val i = y * w + x
+                  raster.setSample(x, y, 0,
+                    ((c1 * (i + 3) + c2 * (i.toLong * i + 1) + 17L * f)
+                      % 256L).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
+          (b, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "media")
   }
 
   /** pl12's real-PNG NEAR-DUP corpus: every document gets a
@@ -3771,24 +3870,13 @@ object TrainingDataQueries extends QueryModule {
 
     // mm7: demux+decode+hash replayed as (doc, frame)-keyed pattern
     // arithmetic — the mm4 lossless-PNG discipline per container frame.
-    "mm7_frame_decode" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h,
-         |    doc_id % 251 AS c1, doc_id % 241 AS c2, doc_id % 4 + 2 AS nf
-         |  FROM documents),
-         |fr AS (
-         |  SELECT doc_id, w, h, c1, c2,
-         |    CAST(unnest(range(nf)) AS BIGINT) AS frame_no
-         |  FROM m),
-         |px AS (
-         |  SELECT doc_id, frame_no, w * h AS n,
-         |    list_transform(range(w * h), i ->
-         |      (c1 * (i + 3) + c2 * (i * i + 1) + 17 * frame_no) % 256) AS bs
-         |  FROM fr),
-         |${aHash61ChainSqlKeyed("doc_id, frame_no")}
-         |SELECT fr.doc_id, fr.frame_no, CAST(fr.w AS BIGINT) AS width,
-         |  CAST(fr.h AS BIGINT) AS height, sig.ahash
-         |FROM fr JOIN sig USING (doc_id, frame_no)""".stripMargin,
+    "mm7_frame_decode" -> mm7Sql,
+
+    // mm8: mm7's replay VERBATIM — the same frames in a multipage-TIFF
+    // container through the JDK's own TIFF demuxer must hash
+    // identically (8-bit gray TIFF is lossless; the container is the
+    // only thing that changed).
+    "mm8_tiff_frame_decode" -> mm7Sql,
 
     // pl14: the per-frame replay over base ∪ perturbed plants, the
     // UNFILTERED frame-aligned n² (a hash match proves the grouped

@@ -663,6 +663,89 @@ object StreamingRun {
         col("n"), col("sum_value_micros"))
   }
 
+  /** W25: END-TO-END EVENT-TIME EMISSION LATENCY — the reference
+    * `measure()` sink's second metric (per-record latency percentiles,
+    * `/root/reference/arcon/src/stream/operator/sink/measure.rs:8-96`)
+    * as a driver-checked row. w15's staged watermarked run drains
+    * through `foreachBatch` with each emitted (window, event_type) row
+    * tagged by its micro-batch; a row's latency is the EVICTION
+    * WATERMARK its emitting batch ran under (read from the engine's
+    * own progress events, not re-derived from data) minus the window
+    * end — i.e. how long past its close the window waited for the
+    * allowed-lateness horizon. Output = exact nearest-rank
+    * p50/p90/p99/max over the emitted rows (integer ms, no
+    * interpolation — bit-stable cross-engine). The oracle replays the
+    * per-epoch horizon (hor(k) = max ts(b ≤ k−1) − delay) and each
+    * window's emission epoch (the first k whose horizon passed its
+    * end), so the ENGINE's choice of emission batch and reported
+    * watermark are both pinned — an early emission, a late one, or a
+    * wrong watermark all shift a percentile and hash-fail. */
+  def emissionLatency(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89): DataFrame = {
+    import java.nio.file.Files
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val outDir = Files.createTempDirectory("graft-latency-out")
+    val ckpt = Files.createTempDirectory("graft-latency-ckpt")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.getOption(spKey)
+    s.conf.set(spKey, drainStatePartitions.toString)
+    var q: StreamingQuery = null
+    val wmByBatch =
+      try {
+        q = watermarkedTumblingPlan(s, staged, delayDays).writeStream
+          .outputMode("append")
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            df.select(col("window.end").as("wend"), col("event_type"))
+              .withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(outDir.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the engine's own per-batch eviction watermark (ISO-8601 UTC
+        // in the progress event) — batch 0 reports the epoch zero
+        // watermark, which never emits, so parse failures on it are
+        // moot but handled anyway
+        q.recentProgress.toSeq.map { p =>
+          p.batchId -> java.time.Instant.parse(
+            p.eventTime.get("watermark")).toEpochMilli
+        }.toMap
+      } finally {
+        if (q != null) q.stop()
+        prevSp match {
+          case Some(p) => s.conf.set(spKey, p)
+          case None => s.conf.unset(spKey)
+        }
+        deleteTree(ckpt)
+      }
+    val wmExpr = wmByBatch.foldLeft(lit(null).cast("long")) {
+      case (acc, (bid, wm)) =>
+        when(col("batch_id") === bid, lit(wm)).otherwise(acc)
+    }
+    val lat = s.read.parquet(outDir.toString)
+      .withColumn("latency_ms", wmExpr - unix_millis(col("wend")))
+      .select(col("latency_ms")).localCheckpoint()
+    deleteTree(outDir)
+    require(!lat.isEmpty, "no emissions — the staged protocol is broken")
+    // exact nearest-rank percentiles (ceil(p·n/100)-th order statistic)
+    // + max, as four rows — integer ms end to end
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lat
+      .withColumn("rn", row_number().over(Window.orderBy(col("latency_ms"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val pcts = Seq(50, 90, 99).map { p =>
+      ranked.filter(col("rn") * 100 >= col("n") * p)
+        .groupBy().agg(min(col("latency_ms")).as("latency_ms"))
+        .select(lit(s"p$p").as("pct"), col("latency_ms"))
+    }
+    val mx = ranked.groupBy()
+      .agg(max(col("latency_ms")).as("latency_ms"))
+      .select(lit("max").as("pct"), col("latency_ms"))
+    (pcts :+ mx).reduce(_ union _)
+  }
+
   /** W24: EXACTLY-ONCE UNDER A MID-BATCH TASK FAILURE — w15's staged
     * watermarked run with a deliberately injected one-shot task fault
     * ([[FaultInjection]]) in the stage that COMMITS the state store:

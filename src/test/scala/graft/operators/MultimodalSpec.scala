@@ -83,6 +83,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(msg.contains("7") && msg.contains("frame 1"), msg.take(400))
   }
 
+  test("decodeFramesImageIO: multipage TIFF and gray-palette GIF demux through the JDK's own readers; non-gray palettes fail loud") {
+    // multipage TIFF of two gray frames — the mm8 corpus shape
+    def tiff(frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      try {
+        w.setOutput(ios); w.prepareWriteSequence(null)
+        frames.foreach { case (fw, fh, v) =>
+          val img = new java.awt.image.BufferedImage(fw, fh,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          (0 until fh).foreach(y => (0 until fw).foreach(x =>
+            img.getRaster.setSample(x, y, 0, (v + x + y) % 256)))
+          w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val out = Multimodal.decodeFramesImageIO(
+        Seq((5L, tiff(Seq((2, 2, 10), (3, 2, 100)))))
+          .toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getAs[Array[Byte]]("grid").toSeq)).sortBy(_._1)
+    assert(out.length == 2)
+    assert(out(0) == ((0, 2, 2, Seq[Byte](10, 11, 11, 12))))
+    assert(out(1) == ((1, 3, 2, Seq[Byte](100, 101, 102, 101, 102, 103))))
+    // a PALETTE-coded frame (palette PNG — the JDK GIF writer was
+    // probed to DROP PIXELS even on single frames, so PNG carries the
+    // IndexColorModel coverage) reads EXACT luma through the palette
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    def pal1(fw: Int, fh: Int, v: Int,
+        model: java.awt.image.IndexColorModel): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(fw, fh,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, model)
+      (0 until fh).foreach(y => (0 until fw).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (v + x + y) % 256)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val gout = Multimodal.decodeFramesImageIO(
+        Seq((6L, pal1(2, 2, 40, cm))).toDF("doc_id", "media"),
+        "doc_id", "media")
+      .collect().map(r => r.getAs[Array[Byte]]("grid").toSeq).toSeq
+    assert(gout == Seq(Seq[Byte](40, 41, 41, 42)))
+    // a COLOR palette breaks the exact-luma contract: loud, names both
+    val colors = Array.tabulate(256)(i => ((i * 37) % 256).toByte)
+    val colorCm = new java.awt.image.IndexColorModel(8, 256, ramp, colors, ramp)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFramesImageIO(
+        Seq((9L, pal1(2, 2, 40, colorCm))).toDF("doc_id", "media"),
+        "doc_id", "media").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("9") && msg.contains("non-gray palette"), msg.take(400))
+  }
+
   test("resizeNearestFrames: the frame key rides the resize; kernel matches resizeNearest") {
     val rows = Seq(
       (1L, 0, 1, 1, Array[Byte](42)),

@@ -163,6 +163,21 @@ class StreamingRunSpec extends SparkTestBase {
         s"${(recoveredOnly -- timerRows).take(3)}")
   }
 
+  test("w25 emission latency: four ordered non-negative percentile rows, bounded by the protocol's full horizon span") {
+    val rows = StreamingRun.emissionLatency(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("p50", "p90", "p99", "max"), rows)
+    assert(rows("p50") >= 0, rows)
+    assert(rows("p50") <= rows("p90") && rows("p90") <= rows("p99") &&
+      rows("p99") <= rows("max"), rows)
+    // no emission can wait longer than the whole event-time span of
+    // the table plus the allowed-lateness delay
+    val span = graft.Tables.events(spark, sfDir)
+      .agg(max(expr("unix_millis(ts)")) - min(expr("unix_millis(ts)")))
+      .collect()(0).getLong(0)
+    assert(rows("max") <= span + 2L * 86400000L, s"$rows vs span $span")
+  }
+
   test("w24 mid-batch task failure: the injected fault is retried, output equals the clean run, and the ledger books it as INJECTED") {
     val tracker = new graft.Bench.TaskFailureTracker
     tracker.current = "w24_exactly_once_task_failure"
