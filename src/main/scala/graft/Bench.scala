@@ -232,8 +232,25 @@ object Bench {
     * None when the file is missing, unparsable, or a `"filtered"` spot
     * run (a SPARK_GRAFT_ONLY smoke is not a baseline). Hand-rolled
     * extraction — the artifact is this object's own single-line JSON. */
-  private[graft] def parsePrevRecord(txt: String): Option[(Map[String, Double], Boolean)] = {
+  private[graft] def parsePrevRecord(txt: String,
+      sfDir: String = ""): Option[(Map[String, Double], Boolean)] = {
     if (txt.contains("\"filtered\":true")) return None
+    // a baseline from a DIFFERENT scale factor is not a baseline: an
+    // sf0.001 smoke left in the working tree made a clean sf0.1 run
+    // flag 19 bogus 2-3x "regressions" (every cell compared against
+    // tiny-input timings). The sf field is part of the record's
+    // identity — mismatch means no regression comparison at all.
+    if (sfDir.nonEmpty) {
+      val sfRe = "\"sf\":\"([^\"]*)\"".r
+      sfRe.findFirstMatchIn(txt) match {
+        case Some(m) if m.group(1) != sfDir =>
+          System.err.println(s"[bench] previous record is for sf " +
+            s"'${m.group(1)}', this run is '$sfDir' — skipping the " +
+            "regression comparison (cross-SF ratios are meaningless)")
+          return None
+        case _ => ()
+      }
+    }
     val start = txt.indexOf("\"queries\":{")
     if (start < 0) return None
     val end = txt.indexOf("}", start)
@@ -560,7 +577,7 @@ object Bench {
     // it BEFORE this run overwrites the file (regression baseline)
     val prevRecord = scala.util.Try(java.nio.file.Files.readString(
         java.nio.file.Paths.get("bench_result.json")))
-      .toOption.flatMap(parsePrevRecord)
+      .toOption.flatMap(parsePrevRecord(_, sfDir))
     val taskFailures = new TaskFailureTracker
     spark.sparkContext.addSparkListener(taskFailures)
 

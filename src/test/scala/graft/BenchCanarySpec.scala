@@ -113,6 +113,12 @@ class BenchCanarySpec extends SparkTestBase {
       rec.replace(""""errors":{}""", """"errors":{},"filtered":true""")).isEmpty)
     assert(Bench.parsePrevRecord("{}").isEmpty)
     assert(Bench.parsePrevRecord("""{"queries":{}}""").isEmpty)
+    // a baseline from a DIFFERENT scale factor is rejected outright —
+    // an sf0.001 smoke in the working tree must not make a clean sf0.1
+    // run flag cross-SF "regressions"
+    assert(Bench.parsePrevRecord(rec, "x").nonEmpty)
+    assert(Bench.parsePrevRecord(rec, "y").isEmpty)
+    assert(Bench.parsePrevRecord(rec).nonEmpty) // no sf given: legacy path
   }
 
   test("TaskFailureTracker: empty ledger on a clean run, keyed counts otherwise") {

@@ -890,6 +890,28 @@ class StreamingRunSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("pl15 ANN serve: the stream-built index serves the sim3 result exactly, through a broadcast probe join (no corpus-sized shuffle on the query side)") {
+    val served = StreamingRun.ivfServeFromStream(spark, sfDir)
+    val plan = served.queryExecution.executedPlan.toString
+    // probe selection must ride a broadcast of the 8 centroids — a
+    // SortMergeJoin/shuffle on the centroid side would be the wrong
+    // 100 TB shape (the index side's single cell-keyed exchange is the
+    // one shuffle this plan should have)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val want = graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == want,
+      s"serve-from-stream diverges from batch IVF; only-served: " +
+        s"${(got -- want).take(3)}, only-batch: ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("w20 operator-state restore: pl11 killed before the last drop and restarted from its checkpoint reproduces the single-run admissions") {
     import org.apache.spark.sql.expressions.Window
     var run2Batches = Seq.empty[Long]
