@@ -184,18 +184,29 @@ object Bench {
         case r => record(r.getClass.getSimpleName.stripSuffix("$"), "")
       }
     private def record(reason: String, description: String): Unit = {
-      // the w24 row's DELIBERATE faults ledger separately: the
-      // clean-record bar stays "task_failures EMPTY", while the
-      // injected ledger is EXPECTED non-empty for exactly that query —
-      // the retry machinery exercised on purpose, recorded on purpose.
+      // the fault-injection rows' (w24/w26) DELIBERATE faults ledger
+      // separately: the clean-record bar stays "task_failures EMPTY",
+      // while the injected ledger is EXPECTED non-empty for exactly
+      // those queries — the retry machinery exercised on purpose,
+      // recorded on purpose.
       // The probe throws from inside a UDF, so the task-end reason is
       // SparkException [FAILED_EXECUTE_UDF] with the real class in the
-      // cause chain — classify by either surface.
+      // cause chain — classify by either surface. Attribution: the
+      // exception text carries the injection tag, whose prefix IS the
+      // query name (race-free — listener events are async, and
+      // `current` may have advanced to the NEXT query by delivery
+      // time; booking an injected fault under an uninstrumented query
+      // would make a clean record look leaked).
       val marker = classOf[graft.streaming.InjectedTaskFault].getName
       val isInjected = reason == marker || description.contains(marker)
       val book = if (isInjected) injected else counts
       val key = if (isInjected) marker else reason
-      book.computeIfAbsent((current, key),
+      val query =
+        if (isInjected)
+          "injected task fault '([^'#]+)#".r.findFirstMatchIn(description)
+            .map(_.group(1)).getOrElse(current)
+        else current
+      book.computeIfAbsent((query, key),
         _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
       ()
     }
@@ -929,10 +940,11 @@ object Bench {
       "exceeds 2x. task_failures ledgers every retried/failed task by " +
       "(query, failure class) - the clean-record bar is EMPTY (a retry " +
       "contaminates its cell's timing and may name a lost-block " +
-      "recompute hazard); task_failures_injected ledgers the w24 row's " +
-      "DELIBERATE InjectedTaskFault retries, expected non-empty for " +
-      "exactly that query; perf_regressions machine-checks carried " +
-      "cells vs the previous committed record (>1.5x AND >0.3s). "
+      "recompute hazard); task_failures_injected ledgers the w24/w26 " +
+      "rows' DELIBERATE InjectedTaskFault retries, expected non-empty " +
+      "for exactly those queries; perf_regressions machine-checks " +
+      "carried cells vs the previous committed record (>1.5x AND " +
+      ">0.3s), same-SF baselines only. "
     val streamingNote = if (only.isEmpty)
       "streaming_availablenow (median of 5 in-process runs, untimed " +
       "warm-ups, tmpfs checkpoints, providers unloaded between runs) is " +

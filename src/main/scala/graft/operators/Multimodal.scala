@@ -273,7 +273,13 @@ object Multimodal {
           val (w, h, grid) = paletteLumaGrid(id, f, img)
           (id, f, w, h, grid)
         }
-      } finally reader.dispose()
+      } finally {
+        // dispose() does NOT close the input stream (unlike the
+        // ImageIO.read convenience path) — close it or every row
+        // leaves a memory-cache stream to GC
+        reader.dispose()
+        iis.close()
+      }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
       Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY))
       .toDF(idCol, "frame_no", "width", "height", "grid")

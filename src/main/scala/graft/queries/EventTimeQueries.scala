@@ -228,6 +228,20 @@ object EventTimeQueries extends QueryModule {
         nFiles = wmFiles, delayDays = wmDelayDays, bumpMod = wmBumpMod,
         dropMod = wmDropMod, gapMinutes = wmGapMinutes)),
 
+    // W26: THE TWO FAILURE MODES COMPOSED — w18's kill-and-restart with
+    // w24's one-shot task fault injected into the RECOVERED run: crash
+    // between epochs, restore, then die mid-batch inside the restarted
+    // query holding uncommitted state AND an uncommitted parquet-sink
+    // write. The retry must re-run against the aborted store at the
+    // recovered version and the file-sink manifest must commit that
+    // partition exactly once (the sink side of exactly-once, which
+    // w24's memory sink could not exercise). Oracle = w15's replay
+    // VERBATIM; the run asserts the fault fired post-restart.
+    "w26_exactly_once_restore_retry" -> ((s, d) =>
+      graft.streaming.StreamingRun.tumblingDailyWatermarkedRestoredFaulted(
+        s, d, nFiles = wmFiles, delayDays = wmDelayDays,
+        bumpMod = wmBumpMod, dropMod = wmDropMod)),
+
     // W25: EVENT-TIME EMISSION LATENCY — the reference measure() sink's
     // latency-percentile metric as an oracle row: w15's staged run
     // drained through foreachBatch, each emitted window's latency =
@@ -887,6 +901,11 @@ object EventTimeQueries extends QueryModule {
     // must be output-invisible too (the exactly-once contract at TASK
     // granularity; the run itself asserts the fault fired).
     "w24_exactly_once_task_failure" -> w15Sql,
+
+    // w26: w15's replay VERBATIM — checkpoint restore COMPOSED with a
+    // mid-batch task retry inside the recovered run (state abort at
+    // the recovered version + file-sink manifest exactly-once).
+    "w26_exactly_once_restore_retry" -> w15Sql,
 
     // w25: the latency replay — per emitted (window, event_type), the
     // emission epoch is the first whose eviction horizon passed the

@@ -380,20 +380,28 @@ object TrainingDataQueries extends QueryModule {
     * duplication is sparse). All five realistic rows carry it: the
     * headline banding/prefix pair (dd2/dd11), the substring skew and
     * incremental-fuzzy controls (dd13/dd14), and the kNN-graph bucket
-    * join (sim9 — the loosest declared bound, where decade stability
-    * is exactly the open question its 1.7 rule defends). The
+    * join (sim9 — whose 100× point exposed and then certified the
+    * plane-family fix; it now holds the standard 1.3 bound). The
     * saturated-corpus canaries' shapes stay pinned by their own 1×/10×
     * rules. */
   def realisticBlockedVolumes100(s: SparkSession, d: String)
-      : Map[String, graft.operators.Dedup.BlockVolume] = Map(
+      : Map[String, graft.operators.Dedup.BlockVolume] = {
+    // the 10-copy salted derivation is the section's most expensive
+    // scan — do it ONCE for the three canaries that share the corpus
+    // (each Volume is an action, so the Map literal would otherwise
+    // re-derive it per entry); spill-to-disk cache, dropped before
+    // returning (the section runs under its own Try in the bench)
+    val docs100 = realisticDocs100(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Map(
     "dd2_minhash_lsh_realistic" -> Dedup.minHashBandVolume(
-      realisticDocs100(s, d), "doc_id", "text",
+      docs100, "doc_id", "text",
       shingleK = 3, numHashes = 32, bands = 8),
     "dd11_jaccard_prefix_realistic" -> Dedup.prefixJaccardVolume(
-      realisticDocs100(s, d), "doc_id", "text",
+      docs100, "doc_id", "text",
       n = 3, threshold = 0.7),
     "dd13_substring_realistic" -> Dedup.substringAnchorVolume(
-      realisticDocs100(s, d), "doc_id", "text", k = 10),
+      docs100, "doc_id", "text", k = 10),
     "dd14_incremental_fuzzy_realistic" -> Dedup.incrementalBandVolume(
       realisticIncrBatch100(s, d), realisticBase100(s, d),
       "doc_id", "text", shingleK = 3, numHashes = 32, bands = 8),
@@ -409,6 +417,8 @@ object TrainingDataQueries extends QueryModule {
           baseCorpus = subCount),
         dim = 64, multiProbe = true)
     })
+    finally docs100.unpersist(blocking = false)
+  }
 
   /** pl14/mm7's multi-frame "video" corpus: per document one
     * length-prefixed frame container ([[graft.operators.Multimodal
@@ -1861,10 +1871,11 @@ object TrainingDataQueries extends QueryModule {
   private val aHash61ChainSql: String = aHash61ChainSqlKeyed("doc_id")
 
   /** The multi-frame demux+decode+hash replay — shared VERBATIM by mm7
-    * (length-prefixed PNG container) and mm8 (animated GIF): both
-    * containers carry the same lossless gray frames, so the replay is
-    * container-agnostic by construction — which is exactly the claim
-    * the two rows make together. */
+    * (length-prefixed PNG container) and mm8 (multipage TIFF — not
+    * GIF: the JDK GIF writer was probed lossy, see videoTiffDocs):
+    * both containers carry the same lossless gray frames, so the
+    * replay is container-agnostic by construction — which is exactly
+    * the claim the two rows make together. */
   private lazy val mm7Sql: String =
     s"""WITH m AS (
        |  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 4 AS h,

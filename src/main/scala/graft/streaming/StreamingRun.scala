@@ -691,43 +691,60 @@ object StreamingRun {
     val prevSp = s.conf.getOption(spKey)
     s.conf.set(spKey, drainStatePartitions.toString)
     var q: StreamingQuery = null
-    val wmByBatch =
+    // outDir holds per-batch data parquet — it must not survive ANY
+    // failure path (drain error, retention breach, empty protocol),
+    // so the whole drain-and-read rides one finally
+    val lat =
       try {
-        q = watermarkedTumblingPlan(s, staged, delayDays).writeStream
-          .outputMode("append")
-          .foreachBatch { (df: DataFrame, bid: Long) =>
-            df.select(col("window.end").as("wend"), col("event_type"))
-              .withColumn("batch_id", lit(bid))
-              .write.mode("append").parquet(outDir.toString)
+        val wmByBatch =
+          try {
+            q = watermarkedTumblingPlan(s, staged, delayDays).writeStream
+              .outputMode("append")
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.select(col("window.end").as("wend"), col("event_type"))
+                  .withColumn("batch_id", lit(bid))
+                  .write.mode("append").parquet(outDir.toString)
+              }
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // the engine's own per-batch eviction watermark (ISO-8601
+            // UTC in the progress event) — batch 0 reports the epoch
+            // zero watermark, which never emits, so parse failures on
+            // it are moot but handled anyway
+            q.recentProgress.toSeq.map { p =>
+              p.batchId -> java.time.Instant.parse(
+                p.eventTime.get("watermark")).toEpochMilli
+            }.toMap
+          } finally {
+            if (q != null) q.stop()
+            prevSp match {
+              case Some(p) => s.conf.set(spKey, p)
+              case None => s.conf.unset(spKey)
+            }
+            deleteTree(ckpt)
           }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // the engine's own per-batch eviction watermark (ISO-8601 UTC
-        // in the progress event) — batch 0 reports the epoch zero
-        // watermark, which never emits, so parse failures on it are
-        // moot but handled anyway
-        q.recentProgress.toSeq.map { p =>
-          p.batchId -> java.time.Instant.parse(
-            p.eventTime.get("watermark")).toEpochMilli
-        }.toMap
-      } finally {
-        if (q != null) q.stop()
-        prevSp match {
-          case Some(p) => s.conf.set(spKey, p)
-          case None => s.conf.unset(spKey)
+        val wmExpr = wmByBatch.foldLeft(lit(null).cast("long")) {
+          case (acc, (bid, wm)) =>
+            when(col("batch_id") === bid, lit(wm)).otherwise(acc)
         }
-        deleteTree(ckpt)
-      }
-    val wmExpr = wmByBatch.foldLeft(lit(null).cast("long")) {
-      case (acc, (bid, wm)) =>
-        when(col("batch_id") === bid, lit(wm)).otherwise(acc)
-    }
-    val lat = s.read.parquet(outDir.toString)
-      .withColumn("latency_ms", wmExpr - unix_millis(col("wend")))
-      .select(col("latency_ms")).localCheckpoint()
-    deleteTree(outDir)
+        val emitted = s.read.parquet(outDir.toString)
+        // every emitting batch must have a progress entry:
+        // recentProgress retains only the last N updates (default
+        // 100), and a batch that fell out would get a NULL watermark —
+        // NULLs sort first and silently shift the percentiles. Loud,
+        // not quiet.
+        val missing = emitted.select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0))
+          .filterNot(wmByBatch.contains)
+        require(missing.isEmpty,
+          s"batches ${missing.sorted.mkString(",")} emitted rows but " +
+            "carry no progress watermark (recentProgress retention " +
+            "exceeded?) — latency percentiles would be silently wrong")
+        emitted.withColumn("latency_ms", wmExpr - unix_millis(col("wend")))
+          .select(col("latency_ms")).localCheckpoint()
+      } finally deleteTree(outDir)
     require(!lat.isEmpty, "no emissions — the staged protocol is broken")
     // exact nearest-rank percentiles (ceil(p·n/100)-th order statistic)
     // + max, as four rows — integer ms end to end
@@ -770,7 +787,12 @@ object StreamingRun {
       dropMod: Int = 89,
       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val tag = FaultInjection.freshTag("w24")
+    // the tag prefix is the QUERY NAME: the bench ledger attributes
+    // injected faults by parsing it out of the exception text, which is
+    // race-free against the listener bus (the bench's section marker is
+    // a volatile that may have advanced by the time the async task-end
+    // event is delivered)
+    val tag = FaultInjection.freshTag("w24_exactly_once_task_failure")
     val out = drainAppend(s,
       watermarkedTumblingPlan(s, staged, delayDays)
         .filter(FaultInjection.failOnce(tag, col("n"))), inspect)
@@ -830,6 +852,57 @@ object StreamingRun {
       noDataBatchesRun1 = Some(false), inspectRestored = inspectRestored)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_micros"))
+  }
+
+  /** W26: THE TWO FAILURE MODES COMPOSED — w18's kill-and-restart
+    * restore with w24's one-shot task fault injected INTO THE RECOVERED
+    * RUN: the query crashes between epochs (run 1 stops at the
+    * post-commit point), restarts from its checkpoint, and then a task
+    * of the restarted run dies MID-batch holding uncommitted state
+    * AND an uncommitted parquet-sink write — the retry must re-run
+    * against the aborted store at the recovered version and the file
+    * sink's manifest must commit that partition's output exactly once
+    * (a leaked pre-retry file would surface as duplicate rows in the
+    * final read — the sink side of exactly-once, which w24's memory
+    * sink could not test). Oracle = w15's replay VERBATIM: recovery
+    * and retry composed are output-invisible. The plan mutation rides
+    * a call counter (runRestored invokes planOf once per run), so run
+    * 1 is the unmodified w18 geometry and ONLY the recovered run
+    * carries the probe; the run REQUIRES the fault fired. */
+  def tumblingDailyWatermarkedRestoredFaulted(s: SparkSession, dir: String,
+      nFiles: Int = 5, delayDays: Int = 2, bumpMod: Int = 97,
+      dropMod: Int = 89,
+      inspectRestored: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
+    val tag = FaultInjection.freshTag("w26_exactly_once_restore_retry")
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    val out = runRestored(s, staged,
+      dir2 => {
+        val plan = watermarkedTumblingPlan(s, dir2, delayDays)
+        if (calls.incrementAndGet() >= 2) {
+          // run 1 has fully drained by the time run 2's plan is built —
+          // the fault must not have fired yet, or the probe leaked into
+          // the pre-crash run and this row degrades to w24's claim
+          require(!FaultInjection.fired(tag),
+            s"fault '$tag' fired BEFORE the restored run's plan was " +
+              "built — the run-2-only coupling broke")
+          plan.filter(FaultInjection.failOnce(tag, col("n")))
+        } else plan
+      },
+      runOneFiles = nFiles - 1, totalFiles = nFiles,
+      noDataBatchesRun1 = Some(false), inspectRestored = inspectRestored)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+    // the run-2-only gating rests on runRestored invoking planOf exactly
+    // once per run — pin that coupling so a protocol change that calls
+    // it again fails HERE, not by silently moving the fault into run 1
+    require(calls.get() == 2,
+      s"runRestored built ${calls.get()} plans (expected 2: one per " +
+        "run) — the run-2-only fault coupling no longer holds")
+    require(FaultInjection.fired(tag),
+      s"injected fault '$tag' never fired in the restored run — the " +
+        "probe was optimized away and this run proved nothing")
+    out
   }
 
   /** The kill-and-restart protocol shared by every restore row — w18

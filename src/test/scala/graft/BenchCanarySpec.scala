@@ -72,9 +72,8 @@ class BenchCanarySpec extends SparkTestBase {
       val e = math.log(c.totalPairs.toDouble / b.totalPairs.toDouble) /
         math.log(10.0)
       // each canary's DECLARED LinearPairs bound, not a blanket 1.3:
-      // dd13's skew control is declared at 1.5 and sim9's bucketed
-      // ANN at 1.7 (cluster-structure residual, defended in the
-      // blockedQueryVolumesAt scaladoc)
+      // dd13's skew control is declared at 1.5 (the rest, including
+      // sim9 since the quadratic-mix plane-family fix, at 1.3)
       val bound = rules(q) match {
         case LinearPairs(x) => x
         case r => fail(s"$q has a 100x point but a non-linear rule $r")

@@ -207,6 +207,40 @@ class StreamingRunSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(tracker)
   }
 
+  test("w26 restore composed with mid-batch retry: output equals the clean run; the fault fires in the RECOVERED run and books as INJECTED") {
+    val tracker = new graft.Bench.TaskFailureTracker
+    tracker.current = "w26_exactly_once_restore_retry"
+    spark.sparkContext.addSparkListener(tracker)
+    try {
+      var run2Batches = Seq.empty[Long]
+      val faulted = StreamingRun
+        .tumblingDailyWatermarkedRestoredFaulted(spark, sfDir,
+          inspectRestored = q =>
+            run2Batches = q.recentProgress.toSeq.map(_.batchId))
+        .collect().map(_.toSeq).toSet
+      val clean = StreamingRun.tumblingDailyWatermarked(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(faulted == clean,
+        s"restore+retry is output-visible; only-faulted: " +
+          s"${(faulted -- clean).take(3)}, only-clean: ${(clean -- faulted).take(3)}")
+      assert(faulted.nonEmpty)
+      // the restart resumed (no early batch re-ran) — so the fault,
+      // which exists only in run 2's plan, fired inside the RECOVERED
+      // query, against recovered state and the recovered sink manifest
+      assert(run2Batches.nonEmpty && run2Batches.min >= 4, s"$run2Batches")
+      val marker = classOf[InjectedTaskFault].getName
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!tracker.injectedJson.contains(marker) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(tracker.injectedJson.contains(marker) &&
+        tracker.injectedJson.contains("w26_exactly_once_restore_retry"),
+        s"injected ledger missing the fault: ${tracker.injectedJson}")
+      assert(tracker.json == "{}",
+        s"the injected fault leaked into the UNEXPECTED ledger: ${tracker.json}")
+    } finally spark.sparkContext.removeSparkListener(tracker)
+  }
+
   test("w13_streaming_index_operator executes TransformWithStateExec; final state equals the batch aggregate exactly") {
     var plan = ""
     val prevProvider = spark.conf
