@@ -130,7 +130,7 @@ object StreamingRun {
   private def drainTo(s: SparkSession, plan: DataFrame, mode: String,
       inspect: StreamingQuery => Unit): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = Scratch.dir("graft-stream-ckpt")
     // the checkpoint is single-use (unique sink name per call): remove
     // it so repeated bench/verify invocations don't accumulate temp dirs
     try runToMemorySink(s, plan, mode, name, ckpt.toString, inspect)
@@ -228,7 +228,7 @@ object StreamingRun {
   private def drainToState(s: SparkSession, plan: DataFrame, mode: String,
       batchId: Option[Long],
       inspect: StreamingQuery => Unit): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val ckpt = Scratch.dir("graft-stream-state")
     val name = "graft_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     try {
@@ -387,7 +387,7 @@ object StreamingRun {
       inspect: StreamingQuery => Unit = _ => ()): DataFrame =
       withStateProvider(s, provider) {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val ckpt = Scratch.dir("graft-stream-state")
     val name = "graft_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     try {
@@ -437,7 +437,7 @@ object StreamingRun {
       inspect: StreamingQuery => Unit = _ => ()): DataFrame =
       withStateProvider(s, provider) {
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val ckpt = Scratch.dir("graft-stream-state")
     val name = "graft_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     try {
@@ -685,8 +685,8 @@ object StreamingRun {
       dropMod: Int = 89): DataFrame = {
     import java.nio.file.Files
     val staged = stageEventsOrdered(s, dir, nFiles, bumpMod, dropMod)
-    val outDir = Files.createTempDirectory("graft-latency-out")
-    val ckpt = Files.createTempDirectory("graft-latency-ckpt")
+    val outDir = Scratch.dir("graft-latency-out")
+    val ckpt = Scratch.dir("graft-latency-ckpt")
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.getOption(spKey)
     s.conf.set(spKey, drainStatePartitions.toString)
@@ -928,9 +928,9 @@ object StreamingRun {
       noDataBatchesRun1: Option[Boolean],
       inspectRestored: StreamingQuery => Unit): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val reveal = Files.createTempDirectory("graft-stream-restore")
-    val ckpt = Files.createTempDirectory("graft-stream-restore-ckpt")
-    val out = Files.createTempDirectory("graft-stream-restore-out")
+    val reveal = Scratch.dir("graft-stream-restore")
+    val ckpt = Scratch.dir("graft-stream-restore-ckpt")
+    val out = Scratch.dir("graft-stream-restore-out")
     def reveal1(k: Int): Unit = {
       val fn = f"b$k%03d.parquet"
       Files.createSymbolicLink(reveal.resolve(fn), Paths.get(staged, fn))
