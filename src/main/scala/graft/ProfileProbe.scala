@@ -22,6 +22,32 @@ object ProfileProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-job trace (SPARK_GRAFT_PROBE_JOBS=1): job wall time + task
+    // count, to see where a build-heavy cell's eager driver work goes
+    if (sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val nt = new java.util.concurrent.ConcurrentHashMap[Int,
+            java.util.concurrent.atomic.AtomicInteger]()
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(e.jobId, System.nanoTime())
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = ()
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val s = e.stageInfo
+            println(f"    stage ${s.stageId}%4d tasks=${s.numTasks}%4d " +
+              s"name=${s.name.take(70)}")
+          }
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dt = (System.nanoTime() - t0.getOrDefault(e.jobId, 0L)) / 1e6
+            println(f"  job ${e.jobId}%4d ${dt}%8.1f ms")
+          }
+        })
+    }
     def ms(t0: Long): Double = math.rint((System.nanoTime() - t0) / 1e4) / 100
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -216,12 +216,28 @@ object Dedup {
     * floor((n − p) / stride); sequence(0, k) is invalid for k < 0, so
     * docs shorter than one passage yield an empty array. Shared by
     * [[passageExactDedup]] and [[selfDedupPassages]] — ONE tiling
-    * arithmetic, so both operators always tile a document identically. */
+    * arithmetic, so both operators always tile a document identically.
+    *
+    * `toks` is bound ONCE per row through a lambda variable
+    * (`transform` over a one-element array): callers pass
+    * `split(text, " ")`, and higher-order-function lambdas get no
+    * common-subexpression elimination, so referencing `toks` directly
+    * inside the window lambda re-ran the split PER WINDOW POSITION —
+    * O(tokens · windows) per document (the r21 probe measured dd13's
+    * exec ~2.3 s → ~1.9 s from this change alone; the asymptotic term
+    * grows with document length, so the gap widens on real corpora).
+    * The bound variable makes the tiling O(tokens · p/stride) windows
+    * of O(p) each — evaluation-count
+    * semantics guaranteed by the lambda calculus, not by an optimizer
+    * rule that might inline a projected alias back into the lambda. */
   private def tokenPassages(toks: Column, p: Int, stride: Int): Column =
-    when(size(toks) >= p,
-      transform(sequence(lit(0), floor((size(toks) - p) / stride).cast("int")),
-        i => array_join(slice(toks, i * stride + 1, lit(p)), " ")))
-      .otherwise(array().cast("array<string>"))
+    element_at(
+      transform(array(toks), ts =>
+        when(size(ts) >= p,
+          transform(sequence(lit(0), floor((size(ts) - p) / stride).cast("int")),
+            i => array_join(slice(ts, i * stride + 1, lit(p)), " ")))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Passage-level exact dedup: split each document into
     * `passageTokens`-token passages every `stride` tokens (trailing
@@ -1204,8 +1220,9 @@ object Dedup {
     * speed-vs-resilience trade of iterative Spark.
     *
     * `maxIters` is the same fail-loudly contract as the pair-budget
-    * guards: propagation runs `diameter + 1` rounds, near-dup clusters
-    * are shallow (duplicates of a common source — single digits), so a
+    * guards: the 1-hop-seeded propagation runs `max(1, diameter)`
+    * rounds (the init already banks hop one), near-dup clusters are
+    * shallow (duplicates of a common source — single digits), so a
     * graph still unconverged after `maxIters` edge-list shuffles is a
     * pathology (an adversarial chain, or pairs that aren't near-dup
     * output) and aborts with the round count instead of shuffling for
@@ -1236,9 +1253,9 @@ object Dedup {
   private val BroadcastFrontierMaxEdges = 4L << 20
 
   /** [[clusters]] plus the number of propagation rounds actually run —
-    * label propagation needs exactly `diameter` rounds to reach the far
-    * end of a component plus one round to observe the fixpoint, which
-    * the chain-cluster test pins down. */
+    * the 1-hop-seeded propagation needs `diameter − 1` rounds to reach
+    * the far end of a component plus one round to observe the fixpoint
+    * (`max(1, diameter)` total), which the chain-cluster test pins. */
   private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
       bCol: String, reliable: Boolean = false,
       maxIters: Int = 50): (DataFrame, Int) = {
@@ -1259,9 +1276,19 @@ object Dedup {
     }
     def stage(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Both edge directions via ONE generator over ONE evaluation of
+    // `pairs` — the callers hand this an UNMATERIALIZED pair pipeline
+    // (dd6/pl2/sp3: the entire minHashLsh DAG), and the previous
+    // `pairs UNION pairs.swapped` evaluated that pipeline once per
+    // union branch inside the staging job (exchange reuse recovers the
+    // shuffles but not the band-verify work above them). r21, guide
+    // §1.2 "don't compute things you throw away".
     val edges = stage(
-      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+      pairs.select(explode(array(
+          struct(col(aCol).as("a"), col(bCol).as("b")),
+          struct(col(bCol).as("a"), col(aCol).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")))
     // coalesce: sum() is NULL on an empty frame (no near-dup pairs at
     // all — clean corpus / high threshold) and that must converge to an
     // empty result, not NPE. Σ fits a Long while N·max(doc_id) < 2^63 —
@@ -1280,9 +1307,17 @@ object Dedup {
     val broadcastFrontier = edges.count() <= BroadcastFrontierMaxEdges
     def frontier(labels: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(labels) else labels
+    // 1-hop-seeded init (r21): each node starts at the min over its
+    // CLOSED neighborhood — the same one groupBy over the staged edge
+    // list the old identity init paid for its distinct(), but it banks
+    // the first propagation round, so the loop below runs max(1, d)
+    // rounds instead of d + 1 (one fewer full edge-list shuffle at any
+    // scale; the fixpoint — component-min labels — is unchanged).
     var labels = stage(
-      edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+      edges.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a").as("doc_id"),
+          least(col("a"), col("mb")).as("cluster_id")))
     // Labels only ever DECREASE (min propagation), so Σ(cluster_id)
     // strictly decreases on any change — a single cheap aggregate over
     // the just-materialized labels replaces a per-iteration change join.

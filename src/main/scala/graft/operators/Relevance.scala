@@ -85,6 +85,62 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
+    bm25Scored(docs, idCol, textCol, queryTerms.distinct, k1, b)
+      // per-doc score = ordered fold over the term-sorted contributions
+      // (the library-wide float-reduction convention): the sum is
+      // bit-identical run-to-run and engine-to-engine, so two docs with
+      // the same term profile score EXACTLY equal — a partial float sum
+      // would order-jitter them apart
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .select(col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("bm25"),
+        size(col("cs")).cast("long").as("n_terms_matched"))
+  }
+
+  /** BM25 for a BATCH of queries in ONE corpus pass — bit-identical
+    * per-query scores to calling [[bm25]] once per query (the r21
+    * optimization receipt: sim10/pl8's sparse arms ran |Q| separate
+    * corpus scans — |Q| tokenize-explode exchanges, |Q| doc-length
+    * joins — for scores that differ only in which (query, term) rows
+    * survive; guide §2.4 "do fewer shuffles", §2.3 "aggregate before
+    * you shuffle"). Equivalence is term-local: tf(doc, term), df(term),
+    * N and avgdl do not depend on the query, the per-(query, doc)
+    * contribution is the same expression, and the per-(query, doc)
+    * fold runs over the same term-sorted contribution list a
+    * single-query fold sees — so every double is the same double.
+    * Terms may repeat across queries (each (query_id, term) pair scores
+    * independently); duplicate terms within one query are collapsed,
+    * matching [[bm25]]'s set semantics.
+    *
+    * @return (query_id, doc_id, bm25, n_terms_matched), one row per
+    *         query × doc matching ≥ 1 of that query's terms. */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25PerQuery: empty query set or empty query")
+    val vocab = queries.flatMap(_._2).distinct
+    val qmap = docs.sparkSession.createDataFrame(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("query_id", "term")
+    bm25Scored(docs, idCol, textCol, vocab, k1, b)
+      .join(broadcast(qmap), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("bm25"),
+        size(col("cs")).cast("long").as("n_terms_matched"))
+  }
+
+  /** Shared scorer for [[bm25]] / [[bm25PerQuery]]: one row per
+    * (doc_id, term ∈ vocab) with the BM25 term contribution — the
+    * corpus tokenize/tf/df/dl/stats pipeline, computed once per call
+    * regardless of how many queries consume it. */
+  private def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], k1: Double, b: Double): DataFrame = {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
     // avgdl as an exact integer sum ÷ count (one correctly-rounded
@@ -93,7 +149,7 @@ object Relevance {
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val qtf = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = qtf.groupBy(col("term"))
@@ -107,17 +163,6 @@ object Relevance {
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + (lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
-      // per-doc score = ordered fold over the term-sorted contributions
-      // (the library-wide float-reduction convention): the sum is
-      // bit-identical run-to-run and engine-to-engine, so two docs with
-      // the same term profile score EXACTLY equal — a partial float sum
-      // would order-jitter them apart
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
-      .select(col("doc_id"),
-        aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")).as("bm25"),
-        size(col("cs")).cast("long").as("n_terms_matched"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard

@@ -145,7 +145,14 @@ object Similarity {
   private def ivfAssign(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nCells: Int,
       nProbe: Int): (DataFrame, DataFrame) = {
-    val cents = corpus.filter(col(idCol) < nCells)
+    // embedding IS NOT NULL pinned on the centroid derivation (r21 —
+    // the r20 advisory): the pl13/pl15 serve path and pl13's oracle
+    // cents CTE already exclude null embeddings, and this stub must
+    // agree with them (and with sim3Sql/sim8's now-pinned CTEs) so a
+    // null vector among the first nCells ids can never make the family
+    // diverge. Synthetic embeddings are never null, so results are
+    // unchanged — this pins the contract, not a behavior change.
+    val cents = corpus.filter(col(idCol) < nCells && col(vecCol).isNotNull)
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))

@@ -1378,10 +1378,13 @@ object TrainingDataQueries extends QueryModule {
     "sim10_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val sparseScored = hybridQueries.map { case (qid, terms, _) =>
-        Relevance.bm25(docs, "doc_id", "text", terms, k1 = bm25K1, b = bm25B)
-          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
-      }.reduce(_ unionByName _)
+      // r21: ONE corpus pass for all three sparse arms (bm25PerQuery)
+      // instead of one bm25 scan per query — bit-identical scores,
+      // |Q|× fewer tokenize exchanges (guide §2.4)
+      val sparseScored = Relevance.bm25PerQuery(docs, "doc_id", "text",
+          hybridQueries.map { case (qid, terms, _) => qid -> terms },
+          k1 = bm25K1, b = bm25B)
+        .select(col("query_id"), col("doc_id"), col("bm25"))
       val ws = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))
@@ -1608,10 +1611,11 @@ object TrainingDataQueries extends QueryModule {
     "pl8_rag_retrieval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val sparseScored = hybridQueries.map { case (qid, terms, _) =>
-        Relevance.bm25(docs, "doc_id", "text", terms, k1 = bm25K1, b = bm25B)
-          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
-      }.reduce(_ unionByName _)
+      // r21: one corpus pass for all sparse arms (the sim10 receipt)
+      val sparseScored = Relevance.bm25PerQuery(docs, "doc_id", "text",
+          hybridQueries.map { case (qid, terms, _) => qid -> terms },
+          k1 = bm25K1, b = bm25B)
+        .select(col("query_id"), col("doc_id"), col("bm25"))
       val ws = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))
@@ -2295,7 +2299,8 @@ object TrainingDataQueries extends QueryModule {
          |  FROM scored) WHERE "rank" <= 5""".stripMargin
   private lazy val sim3Sql: String =
     s"""WITH cents AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |  SELECT vec_id AS cell, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
          |cells AS (
          |  SELECT cell, neighbor_id, cv FROM (
          |    SELECT c.cell, e.vec_id AS neighbor_id, e.embedding AS cv,
@@ -3275,7 +3280,8 @@ object TrainingDataQueries extends QueryModule {
     "sim8_topk_ivf_sq8" ->
       s"""WITH $sq8CodesCte,
          |cents AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |  SELECT vec_id AS cell, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
          |cells AS (
          |  SELECT cell, neighbor_id, q8 FROM (
          |    SELECT c.cell, e.vec_id AS neighbor_id, e8.q8,

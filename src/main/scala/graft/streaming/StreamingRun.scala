@@ -103,8 +103,17 @@ object StreamingRun {
     * inherited partitions spend 1.8× the wall time of 8 on identical
     * 600 k-row input — pure per-store fixed cost); a production
     * deployment with TB-scale keyed state sets this high once at
-    * provisioning and the same plans run unchanged. */
-  private val drainStatePartitions = 8
+    * provisioning and the same plans run unchanged. r21: surfaced as
+    * the session conf `spark.graft.drainStatePartitions` (read at
+    * drain start) so provisioning sets it without a rebuild and the
+    * knob probes A/B in one session; the local default drops 8 → 4 on
+    * the alternating-variant probe receipt — ties for the single-store
+    * drains, and a consistent ~1.3× for w17's stream-stream join,
+    * whose symmetric exec commits FOUR stores per partition per batch
+    * (min 5.29 s vs 7.59 s, median 6.43 vs 8.33, same session). */
+  private val DrainPartitionsKey = "spark.graft.drainStatePartitions"
+  private def drainStatePartitions(s: SparkSession): Int =
+    s.conf.getOption(DrainPartitionsKey).map(_.toInt).getOrElse(4)
 
   /** Run `plan` (a streaming aggregation) to completion under
     * `Trigger.AvailableNow` in complete mode into a memory sink; block
@@ -138,6 +147,24 @@ object StreamingRun {
     s.table(name)
   }
 
+  /** Unload every loaded state-store provider in this JVM (local mode:
+    * the only JVM). A stopped streaming query's providers stay loaded
+    * until the ~60 s maintenance cycle deactivates them, snapshotting
+    * in the background against a checkpoint the caller is about to
+    * delete — with dozens of bench/verify drains per session that
+    * churn lands inside LATER cells' measured windows (the same
+    * observation that put StateStore.stop() in Bench.streamingBench;
+    * the r21 A/B probe measured the resulting monotone per-cell drift
+    * within one session). Statestore READER providers (SPARK-45511)
+    * register in the same JVM-wide registry and are covered too. Safe
+    * between drains: the next query start reloads from its checkpoint
+    * — which is exactly the restore path the w18-w26 rows exercise. */
+  private def releaseStateStores(): Unit = {
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    ()
+  }
+
   /** The one streaming-drive primitive every oracle drain shares: start
     * `plan` into a named memory sink on `ckpt` under
     * `Trigger.AvailableNow`, block until drained, always stop the query
@@ -158,7 +185,7 @@ object StreamingRun {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevSp = s.conf.getOption(spKey)
     val prevNd = s.conf.getOption(ndKey)
-    s.conf.set(spKey, drainStatePartitions.toString)
+    s.conf.set(spKey, drainStatePartitions(s).toString)
     noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
     var q: StreamingQuery = null
     try {
@@ -173,6 +200,7 @@ object StreamingRun {
       inspect(q)
     } finally {
       if (q != null) q.stop()
+      releaseStateStores()
       prevSp match {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)
@@ -240,6 +268,7 @@ object StreamingRun {
           col("value.sum").as("sum_value_micros"))
         .localCheckpoint()
     } finally {
+      releaseStateStores() // the statestore READER's providers
       deleteTree(ckpt)
       scala.util.Try(s.catalog.dropTempView(name))
       ()
@@ -410,6 +439,7 @@ object StreamingRun {
             col("n_rows"), col("sum_value_micros"))
       }.reduce(_ unionAll _).localCheckpoint()
     } finally {
+      releaseStateStores() // the statestore READER's providers
       deleteTree(ckpt)
       scala.util.Try(s.catalog.dropTempView(name))
       ()
@@ -451,6 +481,7 @@ object StreamingRun {
           col("value.sum").as("sum_value_micros"))
         .localCheckpoint()
     } finally {
+      releaseStateStores() // the statestore READER's providers
       deleteTree(ckpt)
       scala.util.Try(s.catalog.dropTempView(name))
       ()
@@ -689,7 +720,7 @@ object StreamingRun {
     val ckpt = Scratch.dir("graft-latency-ckpt")
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.getOption(spKey)
-    s.conf.set(spKey, drainStatePartitions.toString)
+    s.conf.set(spKey, drainStatePartitions(s).toString)
     var q: StreamingQuery = null
     // outDir holds per-batch data parquet — it must not survive ANY
     // failure path (drain error, retention breach, empty protocol),
@@ -719,6 +750,7 @@ object StreamingRun {
             }.toMap
           } finally {
             if (q != null) q.stop()
+            releaseStateStores()
             prevSp match {
               case Some(p) => s.conf.set(spKey, p)
               case None => s.conf.unset(spKey)
@@ -957,6 +989,7 @@ object StreamingRun {
         })
       s.read.parquet(out.toString).localCheckpoint()
     } finally {
+      releaseStateStores()
       deleteTree(ckpt)
       deleteTree(reveal)
       deleteTree(out)
@@ -975,7 +1008,7 @@ object StreamingRun {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevSp = s.conf.getOption(spKey)
     val prevNd = s.conf.getOption(ndKey)
-    s.conf.set(spKey, drainStatePartitions.toString)
+    s.conf.set(spKey, drainStatePartitions(s).toString)
     noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
     var q: StreamingQuery = null
     try {
@@ -990,6 +1023,7 @@ object StreamingRun {
       inspect(q)
     } finally {
       if (q != null) q.stop()
+      releaseStateStores()
       prevSp match {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)

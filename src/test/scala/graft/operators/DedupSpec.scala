@@ -266,10 +266,11 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.clusters(empty, "doc_a", "doc_b").count() == 0)
   }
 
-  test("clusters: chain-shaped cluster labels in diameter+1 rounds, reliable checkpointing") {
+  test("clusters: chain-shaped cluster labels in max(1, diameter) rounds, reliable checkpointing") {
     // path 1-2-3-4-5-6: diameter 5 — the worst case for min-label
-    // propagation (near-dup clusters are usually star-shaped). The label
-    // needs exactly `diameter` rounds to reach the far end, plus one
+    // propagation (near-dup clusters are usually star-shaped). The
+    // 1-hop-seeded init (r21) banks the first hop, so the label needs
+    // `diameter - 1` propagation rounds to reach the far end, plus one
     // round to observe the fixpoint.
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
@@ -280,7 +281,7 @@ class DedupSpec extends SparkTestBase {
         Dedup.clustersWithIters(chain, "doc_a", "doc_b", reliable = reliable)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == (1L to 6L).map((_, 1L)).toSet, s"reliable=$reliable")
-      assert(iters == 6, s"reliable=$reliable: expected diameter+1=6 rounds, got $iters")
+      assert(iters == 5, s"reliable=$reliable: expected max(1,diameter)=5 rounds, got $iters")
     }
   }
 
@@ -322,7 +323,7 @@ class DedupSpec extends SparkTestBase {
     // The r11 scaladoc documents that the DEFAULT maxIters=50 bounds
     // component diameter at 50 — general-purpose long-path graphs must
     // opt in with an explicit budget. Pin both halves of that contract:
-    // a 61-node path (diameter 60, needs 61 rounds) must abort under
+    // a 61-node path (diameter 60, needs 60 rounds) must abort under
     // the default with the documented message, and the SAME graph must
     // converge when the caller raises the budget.
     val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
@@ -335,7 +336,7 @@ class DedupSpec extends SparkTestBase {
       chain, "doc_a", "doc_b", maxIters = Int.MaxValue)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (1L to 61L).map((_, 1L)).toSet)
-    assert(iters == 61, s"expected diameter+1=61 rounds, got $iters")
+    assert(iters == 60, s"expected max(1,diameter)=60 rounds, got $iters")
   }
 
   test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
