@@ -56,8 +56,15 @@ object ABProbe {
       val times = order.map(b => b -> run(b))
       val a = times.collect { case (false, t) => t }.sorted
       val b = times.collect { case (true, t) => t }.sorted
-      def f(xs: Seq[Double]) =
-        f"min=${xs.head}%.2f med=${xs(xs.size / 2)}%.2f all=[${xs.map(x => f"$x%.2f").mkString(",")}]"
+      def f(xs: Seq[Double]) = {
+        // true median: each variant collects reps+1 samples (an even
+        // count), and the upper-middle element biased the A/B medians
+        // decisions are read from (ADVICE r21)
+        val med =
+          if (xs.size % 2 == 1) xs(xs.size / 2)
+          else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+        f"min=${xs.head}%.2f med=$med%.2f all=[${xs.map(x => f"$x%.2f").mkString(",")}]"
+      }
       println(s"[$name] A(default) ${f(a)}")
       println(s"[$name] B(confs)   ${f(b)}")
     }

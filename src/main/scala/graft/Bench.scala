@@ -768,6 +768,17 @@ object Bench {
       if (only.isEmpty)
         try {
           taskFailures.current = "state_size_curve"
+          // the curve's changelog ON/OFF contrast is only meaningful
+          // under the RocksDB provider; set it EXPLICITLY here instead
+          // of relying on the streaming-legs block's residue, so a
+          // reorder or early exception there cannot silently turn both
+          // cells into identical HDFS-provider runs (ADVICE r21). The
+          // protocol is unchanged — the legs already left this value.
+          val provKey = "spark.sql.streaming.stateStore.providerClass"
+          val priorProv = spark.conf.getOption(provKey)
+          spark.conf.set(provKey,
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
           val clKey = "spark.sql.streaming.stateStore.rocksdb." +
             "changelogCheckpointing.enabled"
           val prior = spark.conf.getOption(clKey)
@@ -787,9 +798,15 @@ object Bench {
             val cells = Seq(cell(100L, true), cell(100L, false),
               cell(400L, true), cell(400L, false)).mkString(",")
             s""","state_size_curve":{"protocol":"wave5_500k_rows","cells":{$cells}}"""
-          } finally prior match {
-            case Some(v) => spark.conf.set(clKey, v)
-            case None    => spark.conf.unset(clKey)
+          } finally {
+            prior match {
+              case Some(v) => spark.conf.set(clKey, v)
+              case None    => spark.conf.unset(clKey)
+            }
+            priorProv match {
+              case Some(v) => spark.conf.set(provKey, v)
+              case None    => spark.conf.unset(provKey)
+            }
           }
         } catch {
           case e: Throwable =>
@@ -1089,7 +1106,23 @@ object StreamKnobProbe {
     val knobs: Seq[(String, Map[String, String])] = Seq(
       "baseline_changelog_on" -> Map(),
       "changelog_off" -> Map(s"${pre}changelogCheckpointing.enabled" -> "false"),
-      "compact_on_commit" -> Map(s"${pre}compactOnCommit" -> "true"))
+      "compact_on_commit" -> Map(s"${pre}compactOnCommit" -> "true"),
+      // r22 wave-leg stateCommit-ceiling matrix (VERDICT r21 task 7):
+      // skip the get-before-put row counting inside every state update
+      "track_rows_off" -> Map(s"${pre}trackTotalNumberOfRows" -> "false"),
+      // stretch the changelog→snapshot compaction interval (default 10
+      // deltas) so maintenance snapshots run rarer under the wave cadence
+      "min_deltas_50" ->
+        Map("spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "50"),
+      // widen maintenance parallelism (default 1 thread serializes the
+      // per-partition snapshot/cleanup work behind the commit path)
+      "maintenance_threads_4" ->
+        Map("spark.sql.streaming.stateStore.numStateStoreMaintenanceThreads" -> "4"),
+      // re-probe bounded block-cache memory ON THE WAVE LEG (r7 probed it
+      // on AvailableNow only and dropped it)
+      "bounded_memory_2g" -> Map(
+        s"${pre}boundedMemoryUsage" -> "true",
+        s"${pre}maxMemoryUsageMB" -> "2048"))
     // Two global warm-up runs, then TWO passes over the matrix — forward
     // and reversed — per-knob runs combined across passes. The JVM keeps
     // warming for minutes into a streaming workload (observed: a single

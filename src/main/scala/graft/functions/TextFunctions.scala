@@ -90,11 +90,15 @@ object TextFunctions {
   }
 
   /** Mean token length (exact double division of integer totals). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  /** [[meanTokenLen]] over an ALREADY-tokenized array — for callers
+    * that [[bind]] the token array once and compute several statistics
+    * from it (HOF lambdas get no CSE, so the text-column form re-splits
+    * per reference). Same expression tree, same doubles. */
+  def meanTokenLenOf(ts: Column): Column =
     aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
       .cast("double") / size(ts).cast("double")
-  }
 
   /** Fraction of characters in [a-z ] (alphabetic-or-space ratio). */
   def alphaRatio(text: Column): Column =

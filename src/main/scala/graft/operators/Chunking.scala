@@ -114,7 +114,12 @@ object Chunker {
         val cum = acc.getField("cum")
         val open = acc.getField("open")
         val closed = acc.getField("closed")
-        val tk = size(filter(split(s, " "), w => length(w) > 0)).cast("long")
+        // the sentence's token count is BOUND once (r22): HOF lambdas
+        // get no CSE, and `tk` is referenced three times below (the
+        // running total, the extended chunk, the fresh chunk), so the
+        // direct form re-split the sentence 3× per fold step
+        graft.functions.TextFunctions.bind(
+          size(filter(split(s, " "), w => length(w) > 0)).cast("long"), tk => {
         val k = floor(cum / budget).cast("long")
         // null open ⇒ null === k ⇒ false ⇒ the otherwise (open new) arm
         val sameChunk = open.getField("chunk_id") === k
@@ -131,6 +136,7 @@ object Chunker {
           when(sameChunk, extended).otherwise(fresh).as("open"),
           when(sameChunk || open.isNull, closed)
             .otherwise(concat(closed, array(open))).as("closed"))
+        })
       },
       acc => when(acc.getField("open").isNull, acc.getField("closed"))
         .otherwise(concat(acc.getField("closed"),

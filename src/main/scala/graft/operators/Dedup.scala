@@ -185,29 +185,44 @@ object Dedup {
       passageTokens: Int = 10): DataFrame = {
     require(passageTokens > 0, s"passageTokens must be positive")
     val p = passageTokens
-    val toks = split(col(textCol), " ")
-    val n = size(toks)
-    val nP = floor(n / p).cast("int")
-    val passages = tokenPassages(toks, p, stride = p)
+    // r22: the token array is BOUND once (the tokenPassages lesson —
+    // `toks`/`n` were re-split per reference), the fold result is bound
+    // too (it was referenced by all three output columns, and HOF
+    // results get no CSE — the O(windows²) dedup fold ran 3× per row),
+    // and the bound struct is staged as ONE multi-use projected column
+    // (CollapseProject does not re-inline a non-cheap multi-use alias),
+    // so the whole per-row computation runs exactly once.
+    import graft.functions.TextFunctions.bind
     val zero = struct(array().cast("array<string>").as("kept"),
       lit(0L).as("nd"))
-    val folded = aggregate(passages, zero,
-      (acc, s) => {
-        val kept = acc.getField("kept")
-        val nd = acc.getField("nd")
-        when(array_position(kept, s) > 0,
-          struct(kept.as("kept"), (nd + 1L).as("nd")))
-          .otherwise(struct(concat(kept, array(s)).as("kept"), nd.as("nd")))
-      })
-    val tail = when(n > nP * p,
-      array(array_join(slice(toks, nP * p + 1, n - nP * p), " ")))
-      .otherwise(array().cast("array<string>"))
+    val out = bind(split(col(textCol), " "), ts => {
+      val n = size(ts)
+      val nP = floor(n / p).cast("int")
+      val passages = tokenPassages(ts, p, stride = p)
+      val folded = aggregate(passages, zero,
+        (acc, s) => {
+          val kept = acc.getField("kept")
+          val nd = acc.getField("nd")
+          when(array_position(kept, s) > 0,
+            struct(kept.as("kept"), (nd + 1L).as("nd")))
+            .otherwise(struct(concat(kept, array(s)).as("kept"), nd.as("nd")))
+        })
+      val tail = when(n > nP * p,
+        array(array_join(slice(ts, nP * p + 1, n - nP * p), " ")))
+        .otherwise(array().cast("array<string>"))
+      bind(folded, f =>
+        struct(
+          array_join(concat(f.getField("kept"), tail), " ").as("clean_text"),
+          size(f.getField("kept")).cast("long").as("n_kept"),
+          f.getField("nd").as("n_dropped")))
+    })
     docs
       .filter(col(textCol).isNotNull)
+      .select(col(idCol), out.as("__sd"))
       .select(col(idCol),
-        array_join(concat(folded.getField("kept"), tail), " ").as("clean_text"),
-        size(folded.getField("kept")).cast("long").as("n_kept"),
-        folded.getField("nd").as("n_dropped"))
+        col("__sd.clean_text").as("clean_text"),
+        col("__sd.n_kept").as("n_kept"),
+        col("__sd.n_dropped").as("n_dropped"))
   }
 
   /** `p`-token windows of a token array every `stride` tokens, each
@@ -1557,7 +1572,7 @@ object Dedup {
       .agg(max_by(col("sub"), struct(col("sim"), -col("sub"))).as("sub"),
         max_by(col("v"), struct(col("sim"), -col("sub"))).as("v"),
         max_by(col("rv"), struct(col("sim"), -col("sub"))).as("rv"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val recomputed = assignSub(subCents)
         .groupBy(col("cell"), col("sub"))
         .agg(sort_array(collect_list(struct(col("id"), col("rv")))).as("mem"))
@@ -1567,10 +1582,18 @@ object Dedup {
               (acc, m) => acc + get(m.getField("rv"), j).cast("double"))
               / size(col("mem")).cast("double")).cast("float"))
             .as("new_centroid"))
-      subCents = subCents.join(recomputed, Seq("cell", "sub"), "left")
+      val next = subCents.join(recomputed, Seq("cell", "sub"), "left")
         .select(col("cell"), col("sub"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-        .localCheckpoint()
+      // non-final rounds truncate (the previous table is referenced
+      // twice per round — unbroken lineage doubles per round, the
+      // ADVICE-r10 exponential-growth fix); the LAST round's table has
+      // exactly ONE consumer — the final re-assignment below — so its
+      // checkpoint job is a pure job boundary: fuse it into the final
+      // assignment instead (r22 — same work, one fewer eager job; the
+      // round's two references to the PREVIOUS table land inside one
+      // job, exactly the pattern the init already uses).
+      subCents = if (it < iters) next.localCheckpoint() else next
     }
     // untouched cells pass through on a broadcast ANTI join (narrow —
     // the corpus is not shuffled to learn it was not split); only the
@@ -1620,9 +1643,18 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     import org.apache.spark.sql.expressions.Window
+    // the sample is MATERIALIZED once (r22): `id % sampleMod` cannot
+    // push down to a parquet scan, so every consumer of an unbroken
+    // lineage — the hash-ranked init plus EACH Lloyd iteration's
+    // assignment — re-read and re-filtered the ENTIRE corpus (iters+1
+    // full scans for a 1/sampleMod sample; at 100 TB that is the
+    // trainer's dominant cost). One corpus scan now; the iterations
+    // read the 1/sampleMod rows from executor block storage — the same
+    // speed-vs-resilience trade documented on [[clusters]].
     val pts = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("id") % sampleMod === 0)
+      .localCheckpoint()
     // hash-ranked init: TakeOrdered keeps nCells rows; the row_number
     // window then runs over those k rows only (single tiny partition)
     var cents = pts

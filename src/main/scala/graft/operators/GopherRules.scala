@@ -46,16 +46,29 @@ object GopherRules {
   /** The quality-family verdict (word count / word shape / alpha words
     * / stopword presence) as a tri-state column (null for null text). */
   def passQuality(t: Column, minWords: Long = 50L,
-      maxWords: Long = 100000L): Column = {
-    val ts = TextFunctions.tokens(t)
+      maxWords: Long = 100000L): Column =
+    // the token array is BOUND once per row (r22): HOF lambdas get no
+    // CSE, so the direct form re-ran split(text) per reference — the
+    // size bound, the mean-length fold, the alpha-word numerator AND
+    // denominator, plus once per stopword inside the presence lambda
+    // (~12 O(len) splits per row on the pl3/pl5/pl6/pl7/pl10/x15 gate
+    // path). Every statistic below is the same expression over the
+    // bound array — same values, same tri-state null behavior.
+    TextFunctions.bind(TextFunctions.tokens(t), ts =>
+      passQualityOf(ts, minWords, maxWords))
+
+  /** [[passQuality]] over an ALREADY-tokenized array — shared with
+    * [[report]], whose projection stages the token array once for all
+    * its statistics. Same expression trees, same tri-state nulls. */
+  private def passQualityOf(ts: Column, minWords: Long,
+      maxWords: Long): Column =
     size(ts).cast("long").between(minWords, maxWords) &&
-      TextFunctions.meanTokenLen(t).between(3.0, 10.0) &&
+      TextFunctions.meanTokenLenOf(ts).between(3.0, 10.0) &&
       (size(filter(ts, w => w.rlike("[a-z]"))).cast("double") /
         size(ts).cast("double") >= 0.8) &&
       (size(filter(
         array(TextFunctions.stopwords.toMap.apply("en").map(lit): _*),
         sw => array_contains(ts, sw))).cast("long") >= 2L)
-  }
 
   /** The repetition-family verdict (all 9 n-gram char-mass rules) as a
     * tri-state column (null for null text). */
@@ -83,9 +96,18 @@ object GopherRules {
   def report(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val t = col(textCol)
-    val ts = TextFunctions.tokens(t)
+    // stage the token array as a REAL projected column consumed by
+    // every token statistic below (r22): the direct `tokens(t)` form
+    // re-split the text once per reference — the count, the length
+    // fold, both alpha-word sides, each of the 7 stopword probes, and
+    // again inside the quality verdict. A multi-use non-cheap alias is
+    // not re-inlined by CollapseProject, so the split runs once per
+    // row; every statistic is the same expression over the staged
+    // array — same values, same nulls.
+    val tsCol = "__gr_ts"
+    val ts = col(tsCol)
     val nTok = size(ts).cast("long")
-    val meanLen = TextFunctions.meanTokenLen(t)
+    val meanLen = TextFunctions.meanTokenLenOf(ts)
     val alphaWords =
       size(filter(ts, w => w.rlike("[a-z]"))).cast("double") /
         size(ts).cast("double")
@@ -97,10 +119,10 @@ object GopherRules {
     val dups = dupNgramMax.map { case (n, _) =>
       n -> TextFunctions.dupNgramCharFrac(t, n) }
 
-    val passQ = passQuality(t, minWords, maxWords)
+    val passQ = passQualityOf(ts, minWords, maxWords)
     val passR = passRepetition(t)
 
-    df.select(
+    df.select(col("*"), TextFunctions.tokens(t).as(tsCol)).select(
       (Seq(col(idCol),
         nTok.as("n_tokens"),
         meanLen.as("mean_tok_len"),

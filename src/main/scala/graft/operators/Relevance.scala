@@ -121,6 +121,11 @@ object Relevance {
       b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25PerQuery: empty query set or empty query")
+    // duplicate query ids would silently MERGE their term sets (the
+    // flatMap below builds one combined (qid, term) map), scoring a
+    // query nobody asked for — fail loudly instead (ADVICE r21)
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"bm25PerQuery: duplicate query ids in ${queries.map(_._1)}")
     val vocab = queries.flatMap(_._2).distinct
     val qmap = docs.sparkSession.createDataFrame(
       queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })

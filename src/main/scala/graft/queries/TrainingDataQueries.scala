@@ -119,20 +119,26 @@ object TrainingDataQueries extends QueryModule {
   private def sentenced(src: DataFrame): DataFrame = {
     val docs = src.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-    val ts = split(col("text"), " ")
-    val n = size(ts)
     val lensArr = array(senLens.map(lit): _*)
     val prefArr = array(senPref.map(lit): _*)
     def off(i: Column) =
       (lit(39) * floor(i / 6)).cast("int") +
         element_at(prefArr, pmod(i, lit(6)) + 1)
-    def sent(i: Column) =
-      when(off(i) < n,
-        array_join(slice(ts, off(i) + 1,
-          element_at(lensArr, pmod(i, lit(6)) + 1)), " "))
-    val idxs = when(n > 0, sequence(lit(0), floor(n / 3).cast("int")))
-      .otherwise(array().cast("array<int>"))
-    val sents = filter(transform(idxs, i => sent(i)), x => x.isNotNull)
+    // the token array is BOUND once per row (r22, the dd13/tokenPassages
+    // lesson): HOF lambdas get no CSE, so referencing `split(text)`
+    // directly inside the per-index `sent(i)` lambda re-ran the split
+    // PER SENTENCE INDEX — O(tokens · tokens/3) per document. Bound,
+    // the segmentation is one split + O(sentences) slices.
+    val sents = graft.functions.TextFunctions.bind(split(col("text"), " "), ts => {
+      val n = size(ts)
+      def sent(i: Column) =
+        when(off(i) < n,
+          array_join(slice(ts, off(i) + 1,
+            element_at(lensArr, pmod(i, lit(6)) + 1)), " "))
+      val idxs = when(n > 0, sequence(lit(0), floor(n / 3).cast("int")))
+        .otherwise(array().cast("array<int>"))
+      filter(transform(idxs, i => sent(i)), x => x.isNotNull)
+    })
     docs.select(col("doc_id"), sents.as("sentences"))
   }
   private val senLens = Seq(5, 9, 7, 3, 11, 4)

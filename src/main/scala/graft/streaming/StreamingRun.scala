@@ -110,10 +110,27 @@ object StreamingRun {
     * the alternating-variant probe receipt — ties for the single-store
     * drains, and a consistent ~1.3× for w17's stream-stream join,
     * whose symmetric exec commits FOUR stores per partition per batch
-    * (min 5.29 s vs 7.59 s, median 6.43 vs 8.33, same session). */
+    * (min 5.29 s vs 7.59 s, median 6.43 vs 8.33, same session). r22:
+    * re-probed 4-vs-8 on a QUIET 32-core window (loadavg 0.05 — the
+    * r21 driver artifact had flagged w17/w22/w25 regressions under its
+    * own contention warning): 4 ≤ 8 on every probed drain and
+    * decisively better on w17 (median 5.57 s vs 7.04 s), so 4 stays
+    * the local default. */
   private val DrainPartitionsKey = "spark.graft.drainStatePartitions"
   private def drainStatePartitions(s: SparkSession): Int =
-    s.conf.getOption(DrainPartitionsKey).map(_.toInt).getOrElse(4)
+    s.conf.getOption(DrainPartitionsKey) match {
+      case None => 4
+      case Some(raw) =>
+        // validate HERE, not via a bare .toInt deep inside the drain: a
+        // typo'd or non-positive value would otherwise surface as a raw
+        // NumberFormatException (or an invalid 0/negative shuffle
+        // partition count) far from the setting site (ADVICE r21)
+        val n = scala.util.Try(raw.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"$DrainPartitionsKey must be a positive integer, got '$raw'"))
+        require(n > 0, s"$DrainPartitionsKey must be > 0, got $n")
+        n
+    }
 
   /** Run `plan` (a streaming aggregation) to completion under
     * `Trigger.AvailableNow` in complete mode into a memory sink; block
@@ -616,12 +633,25 @@ object StreamingRun {
           minHashBandKeys(col(textCol), shingleK, numHashes, bands))
           .as(Seq("band", "band_key")))
     val cleanPrior = clean(prior)
+    // the prior's two static tables are MATERIALIZED once before the
+    // stream starts (localCheckpoint — the pl10/pl8 stage-boundary
+    // discipline, r22): a stream-static join re-executes the static
+    // subplan EVERY micro-batch, so without the boundary each of the
+    // 5-6 micro-batches (x4 protocol runs under the bench) re-hashed
+    // the whole prior corpus's band keys AND shingle sets — and did so
+    // at the drain's state-partition count rather than the session's
+    // scan parallelism (the conf swap happens at stream start; the
+    // checkpoint job here still runs at session width). This is the
+    // scaladoc's production claim — the gate keeps its index + signature
+    // store materialized between days — made true in the plan.
     val priorIndex = cleanPrior.select(col(idCol).as("pid"), posexplode(
         minHashBandKeys(col(textCol), shingleK, numHashes, bands))
         .as(Seq("band", "band_key")))
       .select(col("band"), col("band_key"), col("pid"))
+      .localCheckpoint()
     val priorSh = cleanPrior.select(col(idCol).as("pid"),
       shingleHashes(col(textCol), shingleK).as("psh"))
+      .localCheckpoint()
     val verdict = bandRows
       .join(priorIndex, Seq("band", "band_key"), "left_outer")
       .join(priorSh, Seq("pid"), "left_outer")
@@ -1865,10 +1895,15 @@ object StreamingRun {
         aggregate(centArr,
           struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cell")),
           (acc, c) => {
-            val sim = cosine(col("embedding"), c.getField("centroid"))
-            when(sim > acc.getField("sim"),
-              struct(sim.as("sim"), c.getField("cell").as("cell")))
-              .otherwise(acc)
+            // bind the cosine: HOF lambdas get no CSE, so a direct
+            // `sim` reference in both the compare and the kept struct
+            // ran the 64-dim fold TWICE per centroid per row (r22, the
+            // dd13/tokenPassages lesson). Bound once, same double.
+            graft.functions.TextFunctions.bind(
+              cosine(col("embedding"), c.getField("centroid")), sim =>
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"), c.getField("cell").as("cell")))
+                  .otherwise(acc))
           }).getField("cell"))
   }
 

@@ -452,27 +452,37 @@ class DedupSpec extends SparkTestBase {
       (i.toLong, (i % 4).toLong * (1L << 20))).toSet)
   }
 
-  test("splitOvergrownCells plan: centroid-side joins broadcast; one member exchange (the argmax partial agg)") {
-    // the scale contract of the split itself: the corpus side is joined
-    // against the tiny overgrown/sub-centroid tables ONLY via broadcast
-    // (no SortMergeJoin, no cartesian), and the member set crosses the
-    // wire exactly once — the (cell, id) partial-aggregate requirement
-    // of the final argmax. The assignment input, the residual-member
-    // table, and the Lloyd-round lineage are all localCheckpoint'd, so
-    // the final plan is exactly: scan(assignment) anti-join
-    // broadcast(overgrown) unioned with scan(residuals) join
-    // broadcast(sub-centroids) → one argmax exchange. The mean/residual
-    // broadcasts ran eagerly at checkpoint time and by design do NOT
-    // recompute here.
+  test("splitOvergrownCells plan: corpus side joins broadcast-only; the one SortMergeJoin is the k-row Lloyd coalesce feeding a broadcast") {
+    // the scale contract of the split: the corpus-side tables (the
+    // materialized assignment scan and the residual-member scan) are
+    // joined against the tiny overgrown/sub-centroid tables ONLY via
+    // broadcast probes (no corpus SortMergeJoin, no cartesian). Since
+    // r22 the LAST Lloyd round is fused into the final re-assignment
+    // job instead of paying its own localCheckpoint boundary (its table
+    // has exactly one consumer — semanticDedup materializes the split
+    // OUTPUT, so the fused round still runs once), which puts the
+    // round's machinery inside this plan: the single SortMergeJoin is
+    // the (cell, sub)-keyed LEFT-OUTER coalesce between the kc-row
+    // sub-centroid init and the kc-row recomputed means — both bounded
+    // by the sub-centroid count, never the corpus — and its output
+    // feeds a BroadcastExchange, which is the proof it is
+    // centroid-side. Corpus-side rows enter exactly three
+    // BroadcastHashJoins: the untouched anti-join and the two argmax
+    // assignment probes (Lloyd round + final re-assignment).
     val hot = (0 until 200).map(i => (i.toLong, 7L,
       Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.1f * (i % 5))))
       .toDF("id", "cell", "v")
     val p = Dedup.splitOvergrownCells(hot, 50L, 25L, 1)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2, p)
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 1, p)
+    // the SMJ's output is broadcast — centroid-side, not corpus-side
+    val lines = p.linesIterator.toVector
+    val smjIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+    val bcastAbove = lines.take(smjIdx).reverse
+      .exists(_.contains("BroadcastExchange"))
+    assert(bcastAbove, p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3, p)
     // both corpus-side inputs are materialized scans — the O(N·nCells)
     // assignment cannot be silently recomputed per consumer
     assert(p.contains("Scan ExistingRDD"), p)
