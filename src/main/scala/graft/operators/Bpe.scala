@@ -79,15 +79,21 @@ object Bpe {
   /** Column-general form of the merge fold, shared by the learn loop
     * (literal pair) and [[applyMerges]] (pair from the replayed merge
     * array). */
-  private def applyMerge(sym: Column, a: Column, b: Column): Column = {
-    val s = split(sym, " ")
-    aggregate(slice(s, lit(2), size(s) - 1), element_at(s, 1),
-      (acc, x) =>
-        when(x === b &&
-            (acc === a || acc.endsWith(concat(lit(" "), a))),
-          concat(acc, x))
-        .otherwise(concat(acc, lit(" "), x)))
-  }
+  private def applyMerge(sym: Column, a: Column, b: Column): Column =
+    // the symbol split is BOUND once (r22, the dd13/tokenPassages
+    // lesson): this fold runs INSIDE applyMerges' per-merge lambda,
+    // where HOF lambdas get no CSE, so the direct `val s = split(...)`
+    // form re-split the accumulated symbol string three times per merge
+    // step (the slice source, the size bound, the element_at seed) —
+    // O(3·|word|·|merges|) re-tokenization per OOV word. Same fold,
+    // same strings.
+    graft.functions.TextFunctions.bind(split(sym, " "), s =>
+      aggregate(slice(s, lit(2), size(s) - 1), element_at(s, 1),
+        (acc, x) =>
+          when(x === b &&
+              (acc === a || acc.endsWith(concat(lit(" "), a))),
+            concat(acc, x))
+          .otherwise(concat(acc, lit(" "), x))))
 
   /** Rank-ordered merge replay: tokenize ONE word with a fixed learned
     * merge list — the path for words the training histogram never saw.

@@ -1235,13 +1235,14 @@ object Dedup {
     * speed-vs-resilience trade of iterative Spark.
     *
     * `maxIters` is the same fail-loudly contract as the pair-budget
-    * guards: the 1-hop-seeded propagation runs `max(1, diameter)`
-    * rounds (the init already banks hop one), near-dup clusters are
-    * shallow (duplicates of a common source — single digits), so a
-    * graph still unconverged after `maxIters` edge-list shuffles is a
-    * pathology (an adversarial chain, or pairs that aren't near-dup
-    * output) and aborts with the round count instead of shuffling for
-    * a week.
+    * guards: it bounds edge-list HOPS (one hop = one propagation step
+    * along every edge; since r22 each STAGED round chains two lazy
+    * hops, halving the per-depth checkpoint + convergence-collect
+    * barriers). Near-dup clusters are shallow (duplicates of a common
+    * source — single digits), so a graph still unconverged after
+    * `maxIters` hops is a pathology (an adversarial chain, or pairs
+    * that aren't near-dup output) and aborts with the hop count
+    * instead of shuffling for a week.
     *
     * NOTE the default therefore BOUNDS COMPONENT DIAMETER AT 50: a
     * caller using this as general-purpose connected components over an
@@ -1267,10 +1268,12 @@ object Dedup {
     * shuffled sort-merge shape, which scales unbounded. */
   private val BroadcastFrontierMaxEdges = 4L << 20
 
-  /** [[clusters]] plus the number of propagation rounds actually run —
-    * the 1-hop-seeded propagation needs `diameter − 1` rounds to reach
-    * the far end of a component plus one round to observe the fixpoint
-    * (`max(1, diameter)` total), which the chain-cluster test pins. */
+  /** [[clusters]] plus the number of STAGED propagation rounds actually
+    * run — with the 1-hop-seeded init and two hops per round, a
+    * diameter-`d` component needs `ceil((d − 1) / 2)` rounds to reach
+    * its far end plus one round to observe the fixpoint
+    * (`ceil((d − 1) / 2) + 1` total), which the chain-cluster tests
+    * pin. */
   private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
       bCol: String, reliable: Boolean = false,
       maxIters: Int = 50): (DataFrame, Int) = {
@@ -1339,20 +1342,41 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
+    // ONE min-label hop — labels flow one edge, folded with the current
+    // labels (closed neighborhood). LAZY, so a staged round can chain
+    // two of them. The frontier side is RENAMED before the join: the
+    // second hop's input lineage already contains the edge scan, and
+    // distinct key names keep the self-join unambiguous by construction.
+    def hop(ls: DataFrame): DataFrame =
+      edges
+        .join(frontier(ls.select(col("doc_id").as("__b"), col("cluster_id"))),
+          col("b") === col("__b"))
+        .select(col("a").as("doc_id"), col("cluster_id"))
+        .union(ls)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
     while (!converged) {
-      if (iters >= maxIters)
+      // maxIters bounds edge-list HOPS (one hop = one propagation step
+      // along every edge), so the documented diameter bound is
+      // unchanged by the round unrolling below: 2 hops per round.
+      if (2 * iters >= maxIters)
         throw new IllegalStateException(
           s"clusters: min-label propagation has not converged after " +
-            s"$maxIters rounds. Near-dup components are shallow; a " +
-            "diameter this large means the pair list is not near-dup " +
-            "output (adversarial chain / wrong input) — raise maxIters " +
-            "only if that is intentional.")
-      val prop = stage(
-        edges
-          .join(frontier(labels), edges("b") === labels("doc_id"))
-          .select(col("a").as("doc_id"), col("cluster_id"))
-          .union(labels)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
+            s"$maxIters edge-list hops ($iters two-hop rounds). " +
+            "Near-dup components are shallow; a diameter this large " +
+            "means the pair list is not near-dup output (adversarial " +
+            "chain / wrong input) — raise maxIters only if that is " +
+            "intentional.")
+      // TWO hops per staged round (r22): each staged round previously
+      // paid one localCheckpoint write + one Σ-labels collect + a full
+      // driver job barrier PER HOP; chaining two lazy hops inside one
+      // round halves those per-depth synchronization costs (the shuffle
+      // work per hop is unchanged — the first hop's aggregate exchange
+      // is reused between its two consumers). The fixpoint is invariant
+      // (labels decrease monotonically; Σ equal across a round ⇒ no
+      // change in EITHER hop), the worst case is one wasted hop after
+      // convergence on odd-diameter components — near-dup graphs are
+      // shallow, so the saved barriers dominate at every scale.
+      val prop = stage(hop(hop(labels)))
       val s = labelSum(prop)
       converged = s == prevSum
       prevSum = s

@@ -266,12 +266,13 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.clusters(empty, "doc_a", "doc_b").count() == 0)
   }
 
-  test("clusters: chain-shaped cluster labels in max(1, diameter) rounds, reliable checkpointing") {
+  test("clusters: chain-shaped cluster labels in ceil((diameter-1)/2)+1 rounds, reliable checkpointing") {
     // path 1-2-3-4-5-6: diameter 5 — the worst case for min-label
     // propagation (near-dup clusters are usually star-shaped). The
-    // 1-hop-seeded init (r21) banks the first hop, so the label needs
-    // `diameter - 1` propagation rounds to reach the far end, plus one
-    // round to observe the fixpoint.
+    // 1-hop-seeded init (r21) banks the first hop, each staged round
+    // chains TWO hops (r22), so the label needs ceil((5-1)/2) = 2
+    // rounds to reach the far end, plus one round to observe the
+    // fixpoint.
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     spark.sparkContext.setCheckpointDir(
@@ -281,7 +282,7 @@ class DedupSpec extends SparkTestBase {
         Dedup.clustersWithIters(chain, "doc_a", "doc_b", reliable = reliable)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == (1L to 6L).map((_, 1L)).toSet, s"reliable=$reliable")
-      assert(iters == 5, s"reliable=$reliable: expected max(1,diameter)=5 rounds, got $iters")
+      assert(iters == 3, s"reliable=$reliable: expected ceil((d-1)/2)+1=3 rounds, got $iters")
     }
   }
 
@@ -330,24 +331,25 @@ class DedupSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       Dedup.clusters(chain, "doc_a", "doc_b").collect()
     }
-    assert(e.getMessage.contains("50 rounds"), e.getMessage)
+    assert(e.getMessage.contains("50 edge-list hops"), e.getMessage)
     assert(e.getMessage.contains("raise maxIters"), e.getMessage)
     val (labels, iters) = Dedup.clustersWithIters(
       chain, "doc_a", "doc_b", maxIters = Int.MaxValue)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (1L to 61L).map((_, 1L)).toSet)
-    assert(iters == 60, s"expected max(1,diameter)=60 rounds, got $iters")
+    assert(iters == 31, s"expected ceil((d-1)/2)+1=31 rounds, got $iters")
   }
 
   test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
-    // same chain, diameter 5 (needs 6 rounds) — a 3-round budget must
-    // fail with the round count, not return partially-propagated labels
+    // same chain, diameter 5 (needs 5 hops; the init banks hop 1 and
+    // convergence still needs an observing round) — a 2-hop budget must
+    // fail with the hop count, not return partially-propagated labels
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3).collect()
+      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 2).collect()
     }
-    assert(e.getMessage.contains("3 rounds"))
+    assert(e.getMessage.contains("2 edge-list hops"))
   }
 
   // ---- multi-probe LSH recall ----
