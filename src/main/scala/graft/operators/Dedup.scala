@@ -1236,13 +1236,15 @@ object Dedup {
     *
     * `maxIters` is the same fail-loudly contract as the pair-budget
     * guards: it bounds edge-list HOPS (one hop = one propagation step
-    * along every edge; since r22 each STAGED round chains two lazy
-    * hops, halving the per-depth checkpoint + convergence-collect
-    * barriers). Near-dup clusters are shallow (duplicates of a common
-    * source — single digits), so a graph still unconverged after
-    * `maxIters` hops is a pathology (an adversarial chain, or pairs
-    * that aren't near-dup output) and aborts with the hop count
-    * instead of shuffling for a week.
+    * along every edge; since r22 a graph still unconverged after two
+    * 1-hop rounds — proven deeper than the common shallow near-dup
+    * component — switches to two chained lazy hops per staged round,
+    * halving the per-depth checkpoint + convergence-collect barriers).
+    * Near-dup clusters are shallow (duplicates of a common source —
+    * single digits), so a graph still unconverged after `maxIters`
+    * hops is a pathology (an adversarial chain, or pairs that aren't
+    * near-dup output) and aborts with the hop count instead of
+    * shuffling for a week.
     *
     * NOTE the default therefore BOUNDS COMPONENT DIAMETER AT 50: a
     * caller using this as general-purpose connected components over an
@@ -1269,11 +1271,11 @@ object Dedup {
   private val BroadcastFrontierMaxEdges = 4L << 20
 
   /** [[clusters]] plus the number of STAGED propagation rounds actually
-    * run — with the 1-hop-seeded init and two hops per round, a
-    * diameter-`d` component needs `ceil((d − 1) / 2)` rounds to reach
-    * its far end plus one round to observe the fixpoint
-    * (`ceil((d − 1) / 2) + 1` total), which the chain-cluster tests
-    * pin. */
+    * run — with the 1-hop-seeded init, two 1-hop opening rounds, and
+    * two hops per round after that, a diameter-`d` component (d ≥ 3)
+    * needs `2 + ceil((d − 3) / 2)` rounds to reach its far end plus one
+    * round to observe the fixpoint; d ≤ 2 graphs keep the r21 1-hop
+    * round counts bit-for-bit. The chain-cluster tests pin both. */
   private[operators] def clustersWithIters(pairs: DataFrame, aCol: String,
       bCol: String, reliable: Boolean = false,
       maxIters: Int = 50): (DataFrame, Int) = {
@@ -1354,29 +1356,36 @@ object Dedup {
         .select(col("a").as("doc_id"), col("cluster_id"))
         .union(ls)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    var hopsDone = 0
     while (!converged) {
       // maxIters bounds edge-list HOPS (one hop = one propagation step
       // along every edge), so the documented diameter bound is
-      // unchanged by the round unrolling below: 2 hops per round.
-      if (2 * iters >= maxIters)
+      // unchanged by the adaptive round unrolling below.
+      if (hopsDone >= maxIters)
         throw new IllegalStateException(
           s"clusters: min-label propagation has not converged after " +
-            s"$maxIters edge-list hops ($iters two-hop rounds). " +
-            "Near-dup components are shallow; a diameter this large " +
-            "means the pair list is not near-dup output (adversarial " +
-            "chain / wrong input) — raise maxIters only if that is " +
-            "intentional.")
-      // TWO hops per staged round (r22): each staged round previously
-      // paid one localCheckpoint write + one Σ-labels collect + a full
-      // driver job barrier PER HOP; chaining two lazy hops inside one
-      // round halves those per-depth synchronization costs (the shuffle
-      // work per hop is unchanged — the first hop's aggregate exchange
-      // is reused between its two consumers). The fixpoint is invariant
-      // (labels decrease monotonically; Σ equal across a round ⇒ no
-      // change in EITHER hop), the worst case is one wasted hop after
-      // convergence on odd-diameter components — near-dup graphs are
-      // shallow, so the saved barriers dominate at every scale.
-      val prop = stage(hop(hop(labels)))
+            s"$maxIters edge-list hops ($iters rounds). Near-dup " +
+            "components are shallow; a diameter this large means the " +
+            "pair list is not near-dup output (adversarial chain / " +
+            "wrong input) — raise maxIters only if that is intentional.")
+      // DEPTH-ADAPTIVE rounds (r22): each staged round pays one
+      // localCheckpoint write + one Σ-labels collect + a full driver
+      // job barrier, so chaining two lazy hops per round halves those
+      // per-depth costs — but a hop is a full edge-list join, and the
+      // COMMON near-dup component is an all-pairs group of diameter
+      // 1–2 (LSH emits every in-group pair) that converges within two
+      // rounds, where a second chained hop is pure wasted join work.
+      // So: the first two rounds run ONE hop (bit-identical cost to the
+      // shallow common case), and only a graph still unconverged after
+      // them — proven deeper than the 1-hop-seeded init + 2 hops can
+      // close — switches to TWO hops per round (the first hop's
+      // aggregate exchange is reused between its two consumers inside
+      // the round). The fixpoint is invariant either way: labels
+      // decrease monotonically, so Σ equal across a round proves no
+      // change in ANY of its hops.
+      val twoHop = iters >= 2
+      val prop = stage(if (twoHop) hop(hop(labels)) else hop(labels))
+      hopsDone += (if (twoHop) 2 else 1)
       val s = labelSum(prop)
       converged = s == prevSum
       prevSum = s

@@ -266,13 +266,14 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.clusters(empty, "doc_a", "doc_b").count() == 0)
   }
 
-  test("clusters: chain-shaped cluster labels in ceil((diameter-1)/2)+1 rounds, reliable checkpointing") {
+  test("clusters: chain-shaped cluster labels in depth-adaptive rounds, reliable checkpointing") {
     // path 1-2-3-4-5-6: diameter 5 — the worst case for min-label
     // propagation (near-dup clusters are usually star-shaped). The
-    // 1-hop-seeded init (r21) banks the first hop, each staged round
-    // chains TWO hops (r22), so the label needs ceil((5-1)/2) = 2
-    // rounds to reach the far end, plus one round to observe the
-    // fixpoint.
+    // 1-hop-seeded init (r21) banks hop 1; rounds 1-2 are 1-hop (hops
+    // 2, 3 — the shallow common case never pays a wasted second hop);
+    // the still-unconverged graph then switches to TWO hops per round
+    // (r22): round 3 covers hops 4-5 (reaches the far end), round 4
+    // observes the fixpoint — 4 rounds total.
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     spark.sparkContext.setCheckpointDir(
@@ -282,8 +283,22 @@ class DedupSpec extends SparkTestBase {
         Dedup.clustersWithIters(chain, "doc_a", "doc_b", reliable = reliable)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == (1L to 6L).map((_, 1L)).toSet, s"reliable=$reliable")
-      assert(iters == 3, s"reliable=$reliable: expected ceil((d-1)/2)+1=3 rounds, got $iters")
+      assert(iters == 4, s"reliable=$reliable: expected 2 + ceil((5-3)/2) + 1 = 4 rounds, got $iters")
     }
+  }
+
+  test("clusters: star-shaped (diameter <= 2) components keep the single-hop round counts") {
+    // the COMMON near-dup shape: LSH emits all in-group pairs, so the
+    // component is an all-pairs group the 1-hop-seeded init solves
+    // outright — exactly ONE observing round, and it must be a 1-hop
+    // round (the depth-adaptive switch only fires from round 3), so
+    // shallow graphs never pay a wasted second edge-list join
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.clustersWithIters(star, "doc_a", "doc_b")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    assert(iters == 1, s"expected the single observing round, got $iters")
   }
 
   test("clusters equals pure-Scala union-find on random pair lists") {
@@ -337,7 +352,7 @@ class DedupSpec extends SparkTestBase {
       chain, "doc_a", "doc_b", maxIters = Int.MaxValue)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (1L to 61L).map((_, 1L)).toSet)
-    assert(iters == 31, s"expected ceil((d-1)/2)+1=31 rounds, got $iters")
+    assert(iters == 32, s"expected 2 + ceil((60-3)/2) + 1 = 32 rounds, got $iters")
   }
 
   test("clusters: a graph deeper than maxIters aborts loudly instead of shuffling on") {
