@@ -20,6 +20,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The scratch drains write checkpoints without checksum sidecars
+    // (StreamingRun.drainChecksum); the state-store READER then warns
+    // once per state file that no sidecar exists before reading the
+    // file normally — hundreds of identical benign lines per full
+    // verify run. Quiet exactly that logger; real errors still print.
+    scala.util.Try(
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "ChecksumCheckpointFileManager",
+        org.apache.logging.log4j.Level.ERROR))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for local iteration (the
     // driver sets nothing and always dumps the full set). Loud, and

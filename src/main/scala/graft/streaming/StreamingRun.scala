@@ -132,6 +132,60 @@ object StreamingRun {
         n
     }
 
+  /** Checkpoint-file checksum sidecars for the scratch drains. Spark
+    * 4.1 writes (and verifies on read) a checksum sidecar for every
+    * checkpoint file (`spark.sql.streaming.checkpoint.fileChecksum
+    * .enabled`, default true — integrity protection for DURABLE
+    * checkpoints). The oracle drains checkpoint to single-use tmpfs
+    * scratch dirs deleted seconds after the drain ([[Scratch]]), where
+    * the sidecar doubles the file creates/renames per state commit and
+    * adds a checksum pass per write and per restore-read to protect
+    * files with no life beyond the cell — measured on the
+    * alternating-variant one-JVM probe as 3–12% of whole-cell wall
+    * time (largest on w17, whose symmetric join commits four stores
+    * per partition per batch). Deployments with durable checkpoints
+    * keep the session default; `spark.graft.drainCheckpointChecksum
+    * =true` restores the sidecars for the drains too. Restores and
+    * state-store reads are unaffected either way: a file without a
+    * sidecar is read without verification (the pre-4.1 layout). */
+  private val DrainChecksumKey = "spark.graft.drainCheckpointChecksum"
+  private val CkFileKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+  private def drainChecksum(s: SparkSession): String =
+    s.conf.getOption(DrainChecksumKey) match {
+      case None => "false"
+      case Some(raw) =>
+        val t = raw.trim.toLowerCase
+        require(t == "true" || t == "false",
+          s"$DrainChecksumKey must be true or false, got '$raw'")
+        t
+    }
+
+  /** Map-side session merging for the session-window drains (w9, w16,
+    * w22): `spark.sql.streaming.sessionWindow.merge.sessions.in.local
+    * .partition` (default false) pre-merges each partition's sessions
+    * BEFORE the keyed exchange — partial aggregation before the
+    * shuffle (fewer, wider rows cross the network; at 100 TB the
+    * exchange carries pre-merged sessions instead of every event).
+    * Merging is associative and the post-shuffle merge is unchanged,
+    * so emitted sessions are identical; the alternating-variant probe
+    * measured −3% to −15% whole-cell wall time (w9 2.06→1.76 s,
+    * w16 4.03→3.54 s, w22 4.08→3.97 s medians) and no regression on
+    * non-session drains (the conf is a no-op without a session
+    * window). `spark.graft.drainSessionLocalMerge=false` restores the
+    * engine default. */
+  private val DrainSessKey = "spark.graft.drainSessionLocalMerge"
+  private val SessLocalKey =
+    "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+  private def drainSessionLocalMerge(s: SparkSession): String =
+    s.conf.getOption(DrainSessKey) match {
+      case None => "true"
+      case Some(raw) =>
+        val t = raw.trim.toLowerCase
+        require(t == "true" || t == "false",
+          s"$DrainSessKey must be true or false, got '$raw'")
+        t
+    }
+
   /** Run `plan` (a streaming aggregation) to completion under
     * `Trigger.AvailableNow` in complete mode into a memory sink; block
     * until drained; return the sink table. `inspect` (tests) sees the
@@ -202,7 +256,11 @@ object StreamingRun {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevSp = s.conf.getOption(spKey)
     val prevNd = s.conf.getOption(ndKey)
+    val prevCk = s.conf.getOption(CkFileKey)
+    val prevSm = s.conf.getOption(SessLocalKey)
     s.conf.set(spKey, drainStatePartitions(s).toString)
+    s.conf.set(CkFileKey, drainChecksum(s))
+    s.conf.set(SessLocalKey, drainSessionLocalMerge(s))
     noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
     var q: StreamingQuery = null
     try {
@@ -221,6 +279,14 @@ object StreamingRun {
       prevSp match {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)
+      }
+      prevCk match {
+        case Some(p) => s.conf.set(CkFileKey, p)
+        case None => s.conf.unset(CkFileKey)
+      }
+      prevSm match {
+        case Some(p) => s.conf.set(SessLocalKey, p)
+        case None => s.conf.unset(SessLocalKey)
       }
       if (noDataBatches.isDefined) prevNd match {
         case Some(p) => s.conf.set(ndKey, p)
@@ -750,7 +816,9 @@ object StreamingRun {
     val ckpt = Scratch.dir("graft-latency-ckpt")
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.getOption(spKey)
+    val prevCk = s.conf.getOption(CkFileKey)
     s.conf.set(spKey, drainStatePartitions(s).toString)
+    s.conf.set(CkFileKey, drainChecksum(s))
     var q: StreamingQuery = null
     // outDir holds per-batch data parquet — it must not survive ANY
     // failure path (drain error, retention breach, empty protocol),
@@ -784,6 +852,10 @@ object StreamingRun {
             prevSp match {
               case Some(p) => s.conf.set(spKey, p)
               case None => s.conf.unset(spKey)
+            }
+            prevCk match {
+              case Some(p) => s.conf.set(CkFileKey, p)
+              case None => s.conf.unset(CkFileKey)
             }
             deleteTree(ckpt)
           }
@@ -1038,7 +1110,11 @@ object StreamingRun {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevSp = s.conf.getOption(spKey)
     val prevNd = s.conf.getOption(ndKey)
+    val prevCk = s.conf.getOption(CkFileKey)
+    val prevSm = s.conf.getOption(SessLocalKey)
     s.conf.set(spKey, drainStatePartitions(s).toString)
+    s.conf.set(CkFileKey, drainChecksum(s))
+    s.conf.set(SessLocalKey, drainSessionLocalMerge(s))
     noDataBatches.foreach(v => s.conf.set(ndKey, v.toString))
     var q: StreamingQuery = null
     try {
@@ -1057,6 +1133,14 @@ object StreamingRun {
       prevSp match {
         case Some(p) => s.conf.set(spKey, p)
         case None => s.conf.unset(spKey)
+      }
+      prevCk match {
+        case Some(p) => s.conf.set(CkFileKey, p)
+        case None => s.conf.unset(CkFileKey)
+      }
+      prevSm match {
+        case Some(p) => s.conf.set(SessLocalKey, p)
+        case None => s.conf.unset(SessLocalKey)
       }
       if (noDataBatches.isDefined) prevNd match {
         case Some(p) => s.conf.set(ndKey, p)

@@ -35,6 +35,12 @@ class StreamingRunSpec extends SparkTestBase {
         .streamingQuery.lastExecution.executedPlan.toString)
     assert(plan.contains("SessionWindowStateStoreSave"), plan)
     assert(plan.contains("MergingSessions"), plan)
+    // drains enable map-side session pre-merge (StreamingRun
+    // .drainSessionLocalMerge, r22): sessions merge once per input
+    // partition BEFORE the keyed exchange and once after restore — two
+    // MergingSessions execs, so the exchange carries pre-merged
+    // sessions instead of every event
+    assert("MergingSessions".r.findAllIn(plan).size >= 2, plan)
     assert(out.count() > 0)
   }
 
